@@ -1,0 +1,221 @@
+package graft.fixtures
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Deterministic transaq-shaped tables derived from the driver's TPC-H-ish
+  * parquet (TESTDATA.md). The SAME derivation is expressed twice:
+  *
+  *   - as Spark projections (the `DataFrame` builders below), and
+  *   - as DuckDB CTE prefixes (`*Cte` strings) prepended to every
+  *     `SparkEntry.oracleSql` entry,
+  *
+  * so the driver's hash-compare stays valid (FIXTURES.md). Rules that keep
+  * the two sides bit-identical:
+  *
+  *   1. Arithmetic only — `%`, `*`, `+`, `floor`, `lpad`, `concat`, CASE.
+  *      No engine hash functions, no RAND.
+  *   2. Every numeric that will be aggregated is an INTEGER-VALUED double or
+  *      a bigint. Sums of integer-valued doubles below 2^53 are exact and
+  *      order-independent, so Spark's partition-parallel sum and DuckDB's
+  *      sequential sum agree bit-for-bit (SURVEY §7.5.3).
+  *   3. Timestamps are whole seconds, TZ-naive UTC (SURVEY §7.5.2).
+  *
+  * Shape mirrors the reference DDL (/root/reference/db.go:22-108): 60
+  * securities (prod subscribes 60 sec codes, service:19), boards TQBR/TQTF/
+  * FUT (main.go:106), each security on exactly one board so the fact⋈dim
+  * join on (secid,board) or (sec_code,board) always hits.
+  */
+object Fixtures {
+
+  val NumSecs = 60
+
+  // ---- shared expression fragments (valid in BOTH Spark SQL and DuckDB) ----
+  private def secCode(n: String): String =
+    s"concat('SEC', lpad(CAST($n AS STRING), 2, '0'))"
+  private def board(n: String): String =
+    s"CASE WHEN ($n) % 10 < 6 THEN 'TQBR' WHEN ($n) % 10 < 9 THEN 'TQTF' ELSE 'FUT' END"
+  private def shortname(n: String): String =
+    s"CASE WHEN ($n) % 7 = 0 THEN concat('BOND-', ${secCode(n)}, '-OFZ') ELSE concat('SN-', ${secCode(n)}) END"
+
+  /** Boards offered by the reference (main.go:106). */
+  val Boards = Seq("TQBR", "TQTF", "FUT")
+
+  // =========================================================================
+  // transaq_trades  (from lineitem; FIXTURES.md)
+  // =========================================================================
+
+  /** Trade columns as (sparkExpr, duckdbExpr) — identical except noted. */
+  private val tradeColsSpark = Seq(
+    // second-granularity event time spread across the ship day
+    // (CAST AS TIMESTAMP: the parquet column is NTZ; session TZ is UTC so the
+    // cast is value-preserving and matches DuckDB's naive timestamp)
+    "timestampadd(SECOND, CAST((l_orderkey * 7 + l_linenumber * 13) % 86400 AS INT), CAST(l_shipdate AS TIMESTAMP)) AS time",
+    "CAST(l_partkey % 60 + 1 AS INT) AS secid",
+    s"${secCode("l_partkey % 60")} AS sec_code",
+    "CAST(l_orderkey * 8 + l_linenumber AS BIGINT) AS trade_no",
+    s"${board("l_partkey % 60")} AS board",
+    // integer-valued double (rule 2): floor of the unit price
+    "CAST(floor(l_extendedprice / l_quantity) AS DOUBLE) AS price",
+    "CAST(l_quantity AS BIGINT) AS quantity",
+    "CASE WHEN l_orderkey % 2 = 0 THEN 'B' ELSE 'S' END AS buy_sell",
+    "CAST(l_partkey % 100 AS INT) AS open_interest",
+    "'T' AS period"
+  )
+
+  def trades(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/lineitem.parquet").selectExpr(tradeColsSpark: _*)
+
+  /** DuckDB twin of [[trades]] (interval-add dialect differs). */
+  val tradesCte: String =
+    s"""trades AS (SELECT
+       |  l_shipdate + ((l_orderkey * 7 + l_linenumber * 13) % 86400) * INTERVAL '1 second' AS time,
+       |  CAST(l_partkey % 60 + 1 AS INT) AS secid,
+       |  ${secCode("l_partkey % 60")} AS sec_code,
+       |  CAST(l_orderkey * 8 + l_linenumber AS BIGINT) AS trade_no,
+       |  ${board("l_partkey % 60")} AS board,
+       |  CAST(floor(l_extendedprice / l_quantity) AS DOUBLE) AS price,
+       |  CAST(l_quantity AS BIGINT) AS quantity,
+       |  CASE WHEN l_orderkey % 2 = 0 THEN 'B' ELSE 'S' END AS buy_sell,
+       |  CAST(l_partkey % 100 AS INT) AS open_interest,
+       |  'T' AS period
+       |FROM lineitem)""".stripMargin
+
+  // =========================================================================
+  // transaq_securities  (from part; one row per secid, single board)
+  // =========================================================================
+
+  private val securityCols = Seq(
+    "sec_n + 1 AS secid",
+    s"${secCode("sec_n")} AS seccode",
+    "'E' AS instrclass",
+    s"${board("sec_n")} AS board",
+    "1 AS market",
+    s"${shortname("sec_n")} AS shortname",
+    "2 AS decimals",
+    "CAST(0.01 AS DOUBLE) AS minstep",
+    "CAST(1 + sec_n % 10 AS INT) AS lotsize", // >1 for most rows (FIXTURES.md)
+    "CAST(1.0 AS DOUBLE) AS point_cost",
+    "CASE WHEN sec_n % 7 = 0 THEN 'BOND' ELSE 'SHARE' END AS sectype",
+    "0 AS quotestype",
+    "CASE WHEN sec_n % 29 = 28 THEN 'false' ELSE 'true' END AS active"
+  )
+
+  def securities(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/part.parquet")
+      .selectExpr("CAST(p_partkey % 60 AS INT) AS sec_n").distinct()
+      .selectExpr(securityCols: _*)
+
+  val securitiesCte: String =
+    s"""securities AS (SELECT ${securityCols.mkString(",\n  ")}
+       |FROM (SELECT DISTINCT CAST(p_partkey % 60 AS INT) AS sec_n FROM part))""".stripMargin
+
+  // =========================================================================
+  // ticks  (wire-shaped quotation stream for the candle builder, A16)
+  // =========================================================================
+
+  // second-of-day; l_linenumber % 3 = 0 rows land exactly on :00 (the
+  // reference's emit trigger, process.go:131)
+  private val sodExpr =
+    "CASE WHEN l_linenumber % 3 = 0 THEN (l_orderkey % 1440) * 60 " +
+      "ELSE (l_orderkey % 1440) * 60 + (l_linenumber * 7) % 60 END"
+
+  private val tickInner = Seq(
+    s"CAST($sodExpr AS INT) AS sod",
+    "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity",
+    "l_extendedprice", "l_shipdate")
+
+  private val tickCols = Seq(
+    "CAST(l_partkey % 60 + 1 AS INT) AS secid",
+    s"${secCode("l_partkey % 60")} AS sec_code",
+    "CAST(l_orderkey * 8 + l_linenumber AS BIGINT) AS tick_no",
+    // zero `last` rows exercise the open/low guards (process.go:147,153)
+    "CASE WHEN l_suppkey % 17 = 0 THEN CAST(0 AS DOUBLE) ELSE CAST(floor(l_extendedprice / l_quantity) AS DOUBLE) END AS last",
+    "CAST(l_quantity AS BIGINT) AS quantity",
+    "concat(lpad(CAST(CAST(floor(sod / 3600) AS INT) AS STRING), 2, '0'), ':', " +
+      "lpad(CAST(CAST(floor((sod % 3600) / 60) AS INT) AS STRING), 2, '0'), ':', " +
+      "lpad(CAST(sod % 60 AS STRING), 2, '0')) AS time"
+  )
+
+  def ticks(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .selectExpr(tickInner: _*)
+      .selectExpr(tickCols :+
+        "timestampadd(SECOND, sod, CAST(l_shipdate AS TIMESTAMP)) AS ts": _*)
+
+  val ticksCte: String =
+    s"""ticks AS (SELECT ${tickCols.mkString(",\n  ")},
+       |  l_shipdate + sod * INTERVAL '1 second' AS ts
+       |FROM (SELECT ${tickInner.mkString(", ")} FROM lineitem))""".stripMargin
+
+  // =========================================================================
+  // transaq_quotes  (from events; batch-envelope time, db.go:113)
+  // =========================================================================
+
+  private val quoteCols = Seq(
+    // one shared envelope timestamp per micro-batch (minute)
+    "CAST(date_trunc('minute', ts) AS TIMESTAMP) AS time",
+    "CAST(user_id % 60 + 1 AS INT) AS secid",
+    s"${board("user_id % 60")} AS board",
+    s"${secCode("user_id % 60")} AS sec_code",
+    "CAST(floor(value * 100) AS DOUBLE) AS price",
+    "event_type AS source",
+    "CAST(event_id % 20 AS INT) AS yield",
+    "CAST(event_id % 7 AS INT) AS buy",
+    "CAST(event_id % 11 AS INT) AS sell"
+  )
+
+  def quotes(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/events.parquet").selectExpr(quoteCols: _*)
+
+  val quotesCte: String =
+    s"quotes AS (SELECT ${quoteCols.mkString(",\n  ")}\nFROM events)"
+
+  // =========================================================================
+  // secinfo_raw  (wire-shaped, dd.MM.yyyy date strings to parse; A14)
+  // =========================================================================
+
+  def secinfoRaw(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/supplier.parquet").selectExpr(
+      "CAST(s_suppkey % 60 + 1 AS INT) AS secid",
+      s"${secCode("s_suppkey % 60")} AS sec_code",
+      "s_name AS sec_name",
+      "1 AS market",
+      "date_format(date_add(DATE '2025-01-01', CAST(s_suppkey AS INT)), 'dd.MM.yyyy') AS mat_date",
+      "date_format(date_add(DATE '2024-06-01', CAST(s_suppkey % 30 AS INT)), 'dd.MM.yyyy') AS coupon_date",
+      "CAST(floor(s_acctbal) AS DOUBLE) AS facevalue",
+      "CAST(s_suppkey % 4 + 1 AS INT) AS coupon_period"
+    )
+
+  val secinfoRawCte: String =
+    s"""secinfo_raw AS (SELECT
+       |  CAST(s_suppkey % 60 + 1 AS INT) AS secid,
+       |  ${secCode("s_suppkey % 60")} AS sec_code,
+       |  s_name AS sec_name,
+       |  1 AS market,
+       |  strftime(DATE '2025-01-01' + CAST(s_suppkey AS INT), '%d.%m.%Y') AS mat_date,
+       |  strftime(DATE '2024-06-01' + CAST(s_suppkey % 30 AS INT), '%d.%m.%Y') AS coupon_date,
+       |  CAST(floor(s_acctbal) AS DOUBLE) AS facevalue,
+       |  CAST(s_suppkey % 4 + 1 AS INT) AS coupon_period
+       |FROM supplier)""".stripMargin
+
+  /** Prepend CTEs to a query body: `withCtes(body, tradesCte, ...)`. */
+  def withCtes(body: String, ctes: String*): String =
+    s"WITH ${ctes.mkString(",\n")}\n$body"
+
+  // ---- query-parameter constants shared by Spark queries and oracles ----
+
+  /** `$sec_code` selection (TQBR-board codes; sec_n % 10 < 6). */
+  val SelCodes = Seq("SEC03", "SEC12", "SEC21", "SEC45")
+  val SingleSec = "SEC03"
+
+  /** `$sec_code_etf` (all TQTF-board codes: sec_n % 10 ∈ 6..8). */
+  val EtfCodes: Seq[String] =
+    (0 until NumSecs).filter(n => n % 10 >= 6 && n % 10 <= 8)
+      .map(n => f"SEC$n%02d")
+
+  /** Dashboard `$__fromTime` / `$__toTime` analog (GD:113). */
+  val TimeFrom = "1996-01-01 00:00:00"
+  val TimeTo = "1999-01-01 00:00:00"
+
+  def sqlList(xs: Seq[String]): String = xs.map(s => s"'$s'").mkString("(", ",", ")")
+}
