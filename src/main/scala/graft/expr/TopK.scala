@@ -1,0 +1,137 @@
+package graft.expr
+
+import java.io.{ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SpaceSaving heavy-hitters state: at most `capacity` counters; evicting
+  * the minimum counter charges its count as the newcomer's error bound
+  * (Metwally et al., "Efficient Computation of Frequent and Top-k Elements
+  * in Data Streams"). While distinct values ≤ capacity the sketch is EXACT —
+  * which covers the reference's only use, ClickHouse `topK(10)(sec_code)`
+  * (grafana-dashboard-trades.json:374) over ≤60 instrument codes.
+  */
+final class TopKBuffer(val capacity: Int) {
+  // value -> (count, overestimation error)
+  val counters: mutable.HashMap[String, (Long, Long)] = mutable.HashMap.empty
+
+  def add(v: String): Unit = counters.get(v) match {
+    case Some((c, e)) => counters.update(v, (c + 1L, e))
+    case None if counters.size < capacity => counters.update(v, (1L, 0L))
+    case None =>
+      val (mv, (mc, _)) = counters.minBy { case (k, (c, _)) => (c, k) }
+      counters.remove(mv)
+      counters.update(v, (mc + 1L, mc))
+  }
+
+  /** Merge another sketch in (exact while combined cardinality ≤ capacity;
+    * otherwise keeps the top `capacity` counters — standard approximate
+    * SpaceSaving merge).
+    */
+  def merge(o: TopKBuffer): Unit = {
+    o.counters.foreach { case (v, (c, e)) =>
+      counters.get(v) match {
+        case Some((c0, e0)) => counters.update(v, (c0 + c, e0 + e))
+        case None => counters.update(v, (c, e))
+      }
+    }
+    if (counters.size > capacity) {
+      val keep = counters.toSeq
+        .sortBy { case (v, (c, _)) => (-c, v) }.take(capacity)
+      counters.clear()
+      counters ++= keep
+    }
+  }
+
+  /** Top k values by (count desc, value asc) — the value tiebreak keeps the
+    * result deterministic for the oracle compare.
+    */
+  def topK(k: Int): Array[String] =
+    counters.toSeq.sortBy { case (v, (c, _)) => (-c, v) }
+      .take(k).map(_._1).toArray
+}
+
+/** `graft_topk(col, k)` — approximate top-k heavy hitters as
+  * array&lt;string&gt;, the Spark-native port of ClickHouse `topK(k)(col)`.
+  * A [[TypedImperativeAggregate]] so it participates in partial/final
+  * aggregation (map-side combine) like any built-in — sketches merge across
+  * partitions, no row shuffle beyond the group keys.
+  */
+case class TopK(
+    child: Expression,
+    kExpr: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKBuffer] {
+
+  private lazy val k: Int = kExpr.eval().asInstanceOf[Number].intValue()
+  // ClickHouse reserves k*3 cells by default; round up for a wider exact regime
+  private def capacity: Int = math.max(k * 5, 64)
+
+  override def children: Seq[Expression] = Seq(child, kExpr)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(capacity)
+
+  override def update(b: TopKBuffer, input: InternalRow): TopKBuffer = {
+    val v = child.eval(input)
+    if (v != null) b.add(v.toString)
+    b
+  }
+
+  override def merge(b: TopKBuffer, o: TopKBuffer): TopKBuffer = { b.merge(o); b }
+
+  override def eval(b: TopKBuffer): Any =
+    new GenericArrayData(b.topK(k).map(UTF8String.fromString))
+
+  override def serialize(b: TopKBuffer): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(b.capacity)
+    out.writeInt(b.counters.size)
+    b.counters.foreach { case (v, (c, e)) =>
+      out.writeUTF(v); out.writeLong(c); out.writeLong(e)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKBuffer = {
+    val in = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val b = new TopKBuffer(in.readInt())
+    val n = in.readInt()
+    var i = 0
+    while (i < n) {
+      val v = in.readUTF(); val c = in.readLong(); val e = in.readLong()
+      b.counters.update(v, (c, e))
+      i += 1
+    }
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopK =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopK =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TopK =
+    copy(child = newChildren(0), kExpr = newChildren(1))
+
+  override def prettyName: String = "graft_topk"
+}
+
+/** Session-level registration of the custom function surface. */
+object GraftFunctions {
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_topk", exprs => TopK(exprs.head, exprs(1)), "built-in")
+}

@@ -12,18 +12,30 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * so the driver's hash-compare stays valid (FIXTURES.md). Rules that keep
   * the two sides bit-identical:
   *
-  *   1. Arithmetic only — `%`, `*`, `+`, `floor`, `lpad`, `concat`, CASE.
-  *      No engine hash functions, no RAND.
+  *   1. Arithmetic only — `%`, `*`, `+`, `floor`, `lpad`, `concat`, CASE,
+  *      and md5 (hex string, identical in both engines). No engine-specific
+  *      hash functions, no RAND.
   *   2. Every numeric that will be aggregated is an INTEGER-VALUED double or
   *      a bigint. Sums of integer-valued doubles below 2^53 are exact and
   *      order-independent, so Spark's partition-parallel sum and DuckDB's
   *      sequential sum agree bit-for-bit (SURVEY §7.5.3).
   *   3. Timestamps are whole seconds, TZ-naive UTC (SURVEY §7.5.2).
   *
-  * Shape mirrors the reference DDL (/root/reference/db.go:22-108): 60
-  * securities (prod subscribes 60 sec codes, service:19), boards TQBR/TQTF/
-  * FUT (main.go:106), each security on exactly one board so the fact⋈dim
-  * join on (secid,board) or (sec_code,board) always hits.
+  * Shape mirrors the reference deployment (/root/reference/db.go:22-108 DDL;
+  * etc/transaq-clickhouse-exporter.service:19 = 60 subscribed sec codes;
+  * main.go:106 boards): 60 securities, each on exactly one board so the
+  * fact⋈dim join on (secid,board) or (sec_code,board) always hits.
+  *
+  * Time model (round 2): the reference dashboard queries ONE trading day
+  * (GD:3888-3891, 2024-12-06 06:57:21 → 16:00:11) over a table holding
+  * multiple days — the `timestamp_add(day, 1, time)` queries (GD:794)
+  * compare yesterday against today. The fixture therefore spreads trades
+  * over THREE consecutive days (2024-12-04/05/06) with second-granular
+  * trade times inside 07:00-16:00, so that (a) raw-`time` groupings have
+  * real same-second collisions like a live feed, and (b) the +1-day shift
+  * moves 12-05 trades INTO the dashboard window. All lineitems of one order
+  * trade in the same second (one aggressor order sweeping the book), which
+  * is what makes Q4's same-second iceberg detection non-degenerate.
   */
 object Fixtures {
 
@@ -44,19 +56,22 @@ object Fixtures {
   // transaq_trades  (from lineitem; FIXTURES.md)
   // =========================================================================
 
-  /** Trade columns as (sparkExpr, duckdbExpr) — identical except noted. */
+  // second-of-day 07:00:00..15:59:59, one second per ORDER (all lineitems of
+  // an order share it — same-second multi-trade sweeps)
+  private val sodExprT = "(l_orderkey * 2741) % 32400 + 25200"
+  // trading day: 2024-12-04 + orderkey % 3 (dashboard window is 12-06)
+  private val dayOffT = "l_orderkey % 3"
+
   private val tradeColsSpark = Seq(
-    // second-granularity event time spread across the ship day
-    // (CAST AS TIMESTAMP: the parquet column is NTZ; session TZ is UTC so the
-    // cast is value-preserving and matches DuckDB's naive timestamp)
-    "timestampadd(SECOND, CAST((l_orderkey * 7 + l_linenumber * 13) % 86400 AS INT), CAST(l_shipdate AS TIMESTAMP)) AS time",
+    s"timestampadd(SECOND, CAST($sodExprT AS INT), CAST(date_add(DATE '2024-12-04', CAST($dayOffT AS INT)) AS TIMESTAMP)) AS time",
     "CAST(l_partkey % 60 + 1 AS INT) AS secid",
     s"${secCode("l_partkey % 60")} AS sec_code",
     "CAST(l_orderkey * 8 + l_linenumber AS BIGINT) AS trade_no",
     s"${board("l_partkey % 60")} AS board",
     // integer-valued double (rule 2): floor of the unit price
     "CAST(floor(l_extendedprice / l_quantity) AS DOUBLE) AS price",
-    "CAST(l_quantity AS BIGINT) AS quantity",
+    // 40% single-lot trades (iceberg slices for Q4), else the TPC-H quantity
+    "CASE WHEN l_quantity % 5 < 2 THEN CAST(1 AS BIGINT) ELSE CAST(l_quantity AS BIGINT) END AS quantity",
     "CASE WHEN l_orderkey % 2 = 0 THEN 'B' ELSE 'S' END AS buy_sell",
     "CAST(l_partkey % 100 AS INT) AS open_interest",
     "'T' AS period"
@@ -65,20 +80,45 @@ object Fixtures {
   def trades(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/lineitem.parquet").selectExpr(tradeColsSpark: _*)
 
-  /** DuckDB twin of [[trades]] (interval-add dialect differs). */
+  /** DuckDB twin of [[trades]] (date/interval dialect differs). */
   val tradesCte: String =
     s"""trades AS (SELECT
-       |  l_shipdate + ((l_orderkey * 7 + l_linenumber * 13) % 86400) * INTERVAL '1 second' AS time,
+       |  DATE '2024-12-04' + CAST($dayOffT AS INT) + ($sodExprT) * INTERVAL '1 second' AS time,
        |  CAST(l_partkey % 60 + 1 AS INT) AS secid,
        |  ${secCode("l_partkey % 60")} AS sec_code,
        |  CAST(l_orderkey * 8 + l_linenumber AS BIGINT) AS trade_no,
        |  ${board("l_partkey % 60")} AS board,
        |  CAST(floor(l_extendedprice / l_quantity) AS DOUBLE) AS price,
-       |  CAST(l_quantity AS BIGINT) AS quantity,
+       |  CASE WHEN l_quantity % 5 < 2 THEN CAST(1 AS BIGINT) ELSE CAST(l_quantity AS BIGINT) END AS quantity,
        |  CASE WHEN l_orderkey % 2 = 0 THEN 'B' ELSE 'S' END AS buy_sell,
        |  CAST(l_partkey % 100 AS INT) AS open_interest,
        |  'T' AS period
        |FROM lineitem)""".stripMargin
+
+  // =========================================================================
+  // versioned trades  (at-least-once re-delivery for the dedup read path):
+  // every 10th trade is re-inserted with a bumped price and a later
+  // ingest_seq — ReplacingMergeTree keeps the LAST row per key (db.go:61-62)
+  // =========================================================================
+
+  def tradesVersioned(spark: SparkSession, dir: String): DataFrame = {
+    val base = trades(spark, dir).selectExpr("*", "CAST(1 AS BIGINT) AS ingest_seq")
+    val redelivered = trades(spark, dir)
+      .filter("trade_no % 10 = 0")
+      .selectExpr("time", "secid", "sec_code", "trade_no", "board",
+        "price + 1 AS price", "quantity", "buy_sell", "open_interest", "period",
+        "CAST(2 AS BIGINT) AS ingest_seq")
+    base.unionByName(redelivered)
+  }
+
+  val tradesVersionedCte: String =
+    s"""trades_versioned AS (
+       |  SELECT *, CAST(1 AS BIGINT) AS ingest_seq FROM trades
+       |  UNION ALL
+       |  SELECT time, secid, sec_code, trade_no, board, price + 1 AS price,
+       |         quantity, buy_sell, open_interest, period,
+       |         CAST(2 AS BIGINT) AS ingest_seq
+       |  FROM trades WHERE trade_no % 10 = 0)""".stripMargin
 
   // =========================================================================
   // transaq_securities  (from part; one row per secid, single board)
@@ -100,10 +140,18 @@ object Fixtures {
     "CASE WHEN sec_n % 29 = 28 THEN 'false' ELSE 'true' END AS active"
   )
 
+  // The 60-row dim is built via a distinct() shuffle of `part`; memoize the
+  // cached plan per (session, dir) so repeated query invocations reuse one
+  // in-memory copy instead of rescanning (VERDICT perf note).
+  private val dimCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
   def securities(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/part.parquet")
-      .selectExpr("CAST(p_partkey % 60 AS INT) AS sec_n").distinct()
-      .selectExpr(securityCols: _*)
+    dimCache.computeIfAbsent(spark.sparkContext.applicationId + "#" + dir, _ =>
+      spark.read.parquet(s"$dir/part.parquet")
+        .selectExpr("CAST(p_partkey % 60 AS INT) AS sec_n").distinct()
+        .selectExpr(securityCols: _*)
+        .cache())
 
   val securitiesCte: String =
     s"""securities AS (SELECT ${securityCols.mkString(",\n  ")}
@@ -130,6 +178,8 @@ object Fixtures {
     "CAST(l_orderkey * 8 + l_linenumber AS BIGINT) AS tick_no",
     // zero `last` rows exercise the open/low guards (process.go:147,153)
     "CASE WHEN l_suppkey % 17 = 0 THEN CAST(0 AS DOUBLE) ELSE CAST(floor(l_extendedprice / l_quantity) AS DOUBLE) END AS last",
+    // `open` wire field: the session open (process.go:148 reads q.Open)
+    "CAST(floor(l_extendedprice / l_quantity) + 1 AS DOUBLE) AS open",
     "CAST(l_quantity AS BIGINT) AS quantity",
     "concat(lpad(CAST(CAST(floor(sod / 3600) AS INT) AS STRING), 2, '0'), ':', " +
       "lpad(CAST(CAST(floor((sod % 3600) / 60) AS INT) AS STRING), 2, '0'), ':', " +
@@ -206,16 +256,15 @@ object Fixtures {
 
   /** `$sec_code` selection (TQBR-board codes; sec_n % 10 < 6). */
   val SelCodes = Seq("SEC03", "SEC12", "SEC21", "SEC45")
-  val SingleSec = "SEC03"
 
   /** `$sec_code_etf` (all TQTF-board codes: sec_n % 10 ∈ 6..8). */
   val EtfCodes: Seq[String] =
     (0 until NumSecs).filter(n => n % 10 >= 6 && n % 10 <= 8)
       .map(n => f"SEC$n%02d")
 
-  /** Dashboard `$__fromTime` / `$__toTime` analog (GD:113). */
-  val TimeFrom = "1996-01-01 00:00:00"
-  val TimeTo = "1999-01-01 00:00:00"
+  /** Dashboard `$__fromTime` / `$__toTime` (GD:3888-3891, whole seconds). */
+  val TimeFrom = "2024-12-06 06:57:21"
+  val TimeTo = "2024-12-06 16:00:11"
 
   def sqlList(xs: Seq[String]): String = xs.map(s => s"'$s'").mkString("(", ",", ")")
 }

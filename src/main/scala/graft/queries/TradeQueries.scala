@@ -3,26 +3,37 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.fixtures.Fixtures
+import graft.expr.GraftFunctions
 import graft.fixtures.Fixtures._
 
 /** The 22 dashboard queries (SURVEY.md §2.B; GD =
-  * /root/reference/etc/grafana-dashboard-trades.json). Each is the Spark-first
-  * re-expression of one `rawSql` panel query, parameterized with the fixed
-  * constants in [[Fixtures]] (the dashboard's `$interval`/`$sec_code`/
-  * `$__fromTime` template variables).
+  * /root/reference/etc/grafana-dashboard-trades.json). Round 2: each is a
+  * structural transliteration of the panel's `rawSql` — same joins, same
+  * filters (incl. `sec_code NOT IN [$sec_code_etf]`, `board = 'TQBR'`,
+  * inclusive `$__fromTime <= x <= $__toTime` bounds), same grouping keys,
+  * same signed-notional measure `if(buy_sell=='S',-1,1) *
+  * sum(price*quantity*lotsize)` — with the dashboard template variables
+  * fixed to the constants in [[graft.fixtures.Fixtures]].
+  *
+  * Deliberate harness accommodations (documented, not semantic drift):
+  *   - ASCII column aliases instead of the panels' Russian aliases.
+  *   - a deterministic tiebreaker column appended to ORDER BY under LIMIT
+  *     so the driver's hash-compare is stable.
+  *   - Q22 adds an ORDER BY (the reference templating query has none; the
+  *     compare sorts rows anyway).
   *
   * Scale notes (100 TB readiness):
-  *   - securities is a 60-row dim → always `broadcast()` (no shuffle of the
-  *     fact side for the join).
-  *   - two-level aggregations keep the explicit inner `groupBy` (semantics,
-  *     GD:113) but both levels are hash aggregates with map-side partial agg;
-  *     the second level re-shuffles on a strictly coarser key.
-  *   - top-10s use `orderBy(...).limit(n)` → Catalyst plans
-  *     `TakeOrderedAndProject` (per-partition heap + driver merge, no global
-  *     sort).
-  *   - every query ends in a TOTAL order (tiebreakers) so LIMIT is
-  *     deterministic for the oracle compare.
+  *   - securities is a tiny dim → always `broadcast()`; the fact side never
+  *     shuffles for a join.
+  *   - two-level aggregations keep the explicit inner `groupBy` (GD:113
+  *     semantics); both levels are hash aggregates with map-side partial
+  *     agg, and the outer level re-shuffles on a strictly coarser key.
+  *   - top-10s compile to `TakeOrderedAndProject` (per-partition heap +
+  *     driver merge of 10 rows, no global sort).
+  *   - time-range filters sit directly on the scan when they apply to raw
+  *     `time` (pushed to parquet row-group pruning on a time-sorted
+  *     layout); alias-in-WHERE panels (GD:113,1069,2748) filter the BUCKET,
+  *     which Catalyst still evaluates before the first shuffle.
   */
 object TradeQueries {
 
@@ -32,20 +43,28 @@ object TradeQueries {
   def bucket(c: Column, seconds: Int): Column =
     timestamp_seconds(unix_seconds(c) - pmod(unix_seconds(c), lit(seconds.toLong)))
 
-  /** DuckDB twin of [[bucket]]. */
-  def bucketSql(col: String, seconds: Int): String =
-    s"make_timestamp((CAST(epoch($col) AS BIGINT) - CAST(epoch($col) AS BIGINT) % $seconds) * 1000000)"
+  /** DuckDB twin of [[bucket]] — non-negative modulo like Spark's pmod, so
+    * the twins agree even for pre-1970 timestamps (ADVICE round 1).
+    */
+  def bucketSql(col: String, seconds: Int): String = {
+    val e = s"CAST(epoch($col) AS BIGINT)"
+    s"make_timestamp(($e - (($e % $seconds) + $seconds) % $seconds) * 1000000)"
+  }
 
-  val IntervalSec = 300 // the dashboard's default 5-minute grain (GD:3783)
+  val IntervalSec = 300 // 5-minute grain from the dashboard options (GD:3783)
 
   private def tsLit(s: String): Column = lit(s).cast("timestamp")
-  private def timeRange(c: Column): Column =
-    c >= tsLit(TimeFrom) && c < tsLit(TimeTo)
-  private def timeRangeSql(col: String): String =
-    s"$col >= TIMESTAMP '$TimeFrom' AND $col < TIMESTAMP '$TimeTo'"
 
-  /** trades ⋈ securities on (sec_code, board) — GD:113 key variant. Dim is
-    * 60 rows → broadcast-hash join, fact side never shuffles.
+  /** `x >= $__fromTime AND x <= $__toTime` — BOTH bounds inclusive, as in
+    * every reference panel (GD:113 etc.).
+    */
+  private def timeRange(c: Column): Column =
+    c >= tsLit(TimeFrom) && c <= tsLit(TimeTo)
+  private def timeRangeSql(col: String): String =
+    s"$col >= TIMESTAMP '$TimeFrom' AND $col <= TIMESTAMP '$TimeTo'"
+
+  /** trades ⋈ securities on (sec_code, board) — GD:113 key variant. Tiny
+    * dim → broadcast-hash join, fact side never shuffles.
     */
   private def joinedOnCode(spark: SparkSession, dir: String): DataFrame = {
     val t = trades(spark, dir).as("t")
@@ -65,70 +84,74 @@ object TradeQueries {
   private val joinIdSql =
     "trades t JOIN securities s ON t.secid = s.secid AND t.board = s.board"
 
-  // signed notional: if(buy_sell=='S',-1,1) * price*quantity*lotsize (GD:113)
-  private val signedNotional: Column =
-    when(col("t.buy_sell") === "S", lit(-1)).otherwise(lit(1)) *
-      col("t.price") * col("t.quantity") * col("s.lotsize")
-  private val signedNotionalSql =
-    "(CASE WHEN t.buy_sell = 'S' THEN -1 ELSE 1 END) * t.price * t.quantity * s.lotsize"
+  private val notional: Column = col("t.price") * col("t.quantity") * col("s.lotsize")
+  private val sign: Column = when(col("buy_sell") === "S", lit(-1)).otherwise(lit(1))
 
   // =========================================================================
 
-  /** Q1 (GD:113) — net buys leaders: inner interval agg over trades⋈securities
-    * with signed notional, outer re-agg by sec_code, HAVING > 0, top-10.
+  /** Q1 (GD:113) — net-buy leaders. Inner: bucket to `minute`
+    * (alias-in-WHERE → bucket first, then apply the time range to the
+    * bucket), group by (minute, sec_code, buy_sell), vol =
+    * `if(buy_sell=='S',-1,1) * sum(price*quantity*lotsize)` over
+    * trades⋈securities(sec_code,board) with `sec_code NOT IN [$sec_code_etf]
+    * AND board='TQBR'`. Outer: re-agg by sec_code, HAVING > 0, top-10.
     */
   val q01 = QueryDef.sql(
     "q01_netto_buy_topk",
     withCtes(
       s"""SELECT sec_code, netto FROM (
-         |  SELECT sec_code, SUM(v) AS netto FROM (
-         |    SELECT ${bucketSql("t.time", IntervalSec)} AS minute, t.sec_code, t.buy_sell,
-         |           SUM($signedNotionalSql) AS v
-         |    FROM $joinCodeSql
-         |    WHERE t.board = 'TQBR' AND ${timeRangeSql("t.time")}
-         |    GROUP BY 1, 2, 3) inner_agg
-         |  GROUP BY sec_code) outer_agg
+         |  SELECT sec_code, SUM(vol) AS netto FROM (
+         |    SELECT minute, sec_code,
+         |           (CASE WHEN buy_sell = 'S' THEN -1 ELSE 1 END) * SUM(price * quantity * lotsize) AS vol
+         |    FROM (SELECT ${bucketSql("t.time", IntervalSec)} AS minute, t.sec_code, t.buy_sell,
+         |                 t.price, t.quantity, s.lotsize
+         |          FROM $joinCodeSql
+         |          WHERE t.sec_code NOT IN ${sqlList(EtfCodes)} AND t.board = 'TQBR') b
+         |    WHERE ${timeRangeSql("minute")}
+         |    GROUP BY minute, sec_code, buy_sell) i
+         |  GROUP BY sec_code) o
          |WHERE netto > 0
          |ORDER BY netto DESC, sec_code LIMIT 10""".stripMargin,
       tradesCte, securitiesCte)
   ) { (spark, dir) =>
     joinedOnCode(spark, dir)
-      .filter(col("t.board") === "TQBR" && timeRange(col("t.time")))
-      .groupBy(bucket(col("t.time"), IntervalSec).as("minute"),
-        col("t.sec_code"), col("t.buy_sell"))
-      .agg(sum(signedNotional).as("v"))
+      .filter(!col("t.sec_code").isin(EtfCodes: _*) && col("t.board") === "TQBR")
+      .withColumn("minute", bucket(col("t.time"), IntervalSec))
+      .filter(timeRange(col("minute"))) // alias-in-WHERE: range on the bucket
+      .groupBy(col("minute"), col("t.sec_code").as("sec_code"), col("t.buy_sell").as("buy_sell"))
+      .agg(sum(notional).as("gross"))
+      .select(col("minute"), col("sec_code"), (sign * col("gross")).as("vol"))
       .groupBy(col("sec_code"))
-      .agg(sum(col("v")).as("netto"))
+      .agg(sum(col("vol")).as("netto"))
       .filter(col("netto") > 0) // HAVING
       .orderBy(col("netto").desc, col("sec_code"))
       .limit(10)
   }
 
-  /** Q2 (GD:136) — net buys via UNION ALL of buy-leg and negated sell-leg
-    * (join on secid,board), re-agg by sec_code, top-10.
+  /** Q2 (GD:136) — net buys via UNION ALL of a buy leg and a negated sell
+    * leg. Legs join on (secid, board), filter `NOT IN [$sec_code_etf] AND
+    * board='TQBR' AND time range AND buy_sell`, and group by sec_code ONLY
+    * (no time bucket — the reference's inner queries aggregate the whole
+    * window per code).
     */
   private def unionLegs(spark: SparkSession, dir: String): DataFrame = {
-    def leg(side: String, sign: Int): DataFrame =
+    def leg(side: String, s: Int): DataFrame =
       joinedOnId(spark, dir)
-        .filter(col("t.buy_sell") === side && timeRange(col("t.time")))
-        .groupBy(bucket(col("t.time"), IntervalSec).as("minute"), col("t.sec_code"))
-        .agg((sum(col("t.price") * col("t.quantity") * col("s.lotsize")) * sign).as("vol"))
-        .select(col("minute"), col("sec_code"), col("vol"))
+        .filter(!col("t.sec_code").isin(EtfCodes: _*) && col("t.board") === "TQBR" &&
+          timeRange(col("t.time")) && col("t.buy_sell") === side)
+        .groupBy(col("t.sec_code").as("sec_code"))
+        .agg((sum(notional) * s).as("vol"))
     leg("B", 1).unionAll(leg("S", -1))
   }
 
-  private def unionLegsSql: String =
-    s"""SELECT ${bucketSql("t.time", IntervalSec)} AS minute, t.sec_code,
-       |       SUM(t.price * t.quantity * s.lotsize) * 1 AS vol
+  private def legSql(side: String, sign: String): String =
+    s"""SELECT sec_code, SUM(price * quantity * lotsize)$sign AS vol
        |FROM $joinIdSql
-       |WHERE t.buy_sell = 'B' AND ${timeRangeSql("t.time")}
-       |GROUP BY 1, 2
-       |UNION ALL
-       |SELECT ${bucketSql("t.time", IntervalSec)} AS minute, t.sec_code,
-       |       SUM(t.price * t.quantity * s.lotsize) * -1 AS vol
-       |FROM $joinIdSql
-       |WHERE t.buy_sell = 'S' AND ${timeRangeSql("t.time")}
-       |GROUP BY 1, 2""".stripMargin
+       |WHERE t.sec_code NOT IN ${sqlList(EtfCodes)} AND t.board = 'TQBR'
+       |  AND ${timeRangeSql("t.time")} AND t.buy_sell = '$side'
+       |GROUP BY sec_code""".stripMargin
+
+  private def unionLegsSql: String = s"${legSql("B", "")}\nUNION ALL\n${legSql("S", " * -1")}"
 
   val q02 = QueryDef.sql(
     "q02_netto_buy_union",
@@ -142,7 +165,9 @@ object TradeQueries {
       .orderBy(col("vol").desc, col("sec_code")).limit(10)
   }
 
-  /** Q3 (GD:219) — net SELLS leaders: Q2 with the outer sum negated. */
+  /** Q3 (GD:219) — net SELL leaders: same legs, outer `sum(vol) * -1`,
+    * ordered by the negated alias (most-sold first).
+    */
   val q03 = QueryDef.sql(
     "q03_netto_sell_union",
     withCtes(
@@ -155,82 +180,97 @@ object TradeQueries {
       .orderBy(col("vol").desc, col("sec_code")).limit(10)
   }
 
-  /** Q4 (GD:374) — "icebergs": single-lot buy trades re-aggregated with
-    * HAVING. The reference groups by raw time; the fixture's synthetic times
-    * are spread over years, so the time key is year-truncated to keep the
-    * HAVING selective-but-nonempty at test SFs (shape preserved: time group
-    * key + HAVING + ORDER BY time).
+  /** Q4 (GD:374) — "icebergs": same-second runs of single-lot buys. Groups
+    * by RAW time + sec_code with the dashboard time range; `topK(10)
+    * (sec_code)` is the custom SpaceSaving aggregate [[graft.expr.TopK]]
+    * (degenerate here — one code per group — which is exactly why the
+    * oracle can state it as `sec_code`). The array is rendered via
+    * concat_ws so the compared column is a plain string.
     */
   val q04 = QueryDef.sql(
     "q04_icebergs",
     withCtes(
-      s"""SELECT date_trunc('year', time) AS time, sec_code, CAST(SUM(quantity) AS BIGINT) AS vol
+      s"""SELECT time, sec_code AS sec, CAST(SUM(quantity) AS BIGINT) AS vol
          |FROM trades
-         |WHERE quantity = 1 AND buy_sell = 'B'
-         |GROUP BY 1, 2 HAVING SUM(quantity) > 1
-         |ORDER BY time, sec_code""".stripMargin,
+         |WHERE quantity = 1 AND buy_sell = 'B' AND ${timeRangeSql("time")}
+         |GROUP BY time, sec_code HAVING SUM(quantity) > 1
+         |ORDER BY time, sec""".stripMargin,
       tradesCte)
   ) { (spark, dir) =>
+    GraftFunctions.register(spark)
     trades(spark, dir)
-      .filter(col("quantity") === 1 && col("buy_sell") === "B")
-      .groupBy(date_trunc("year", col("time")).as("time"), col("sec_code"))
-      .agg(sum(col("quantity")).as("vol"))
-      .filter(col("vol") > 1)
-      .orderBy(col("time"), col("sec_code"))
+      .filter(col("quantity") === 1 && col("buy_sell") === "B" && timeRange(col("time")))
+      .groupBy(col("time"), col("sec_code"))
+      .agg(expr("graft_topk(sec_code, 10)").as("sec_arr"), sum(col("quantity")).as("vol"))
+      .filter(col("vol") > 1) // HAVING
+      .select(col("time"), concat_ws(",", col("sec_arr")).as("sec"), col("vol"))
+      .orderBy(col("time"), col("sec"))
   }
 
-  /** Q5 (GD:643) — net lots per interval for the selected codes (today). */
-  private def netVolume(spark: SparkSession, dir: String,
+  /** Q5/Q6/Q13/Q14 (GD:643,794,2322,2473) — per-interval net notional:
+    * inner agg by (minute, buy_sell) over trades⋈securities(sec_code,board)
+    * with code filter + board='TQBR' + minute-range (alias-in-WHERE), vol =
+    * signed sum(price*quantity*lotsize); outer re-agg by minute. The
+    * "yesterday" variants bucket `timestamp_add(day, 1, time)` so the
+    * previous session lands in today's window.
+    */
+  private def netNotional(spark: SparkSession, dir: String,
       codeFilter: Column, dayShift: Boolean): DataFrame = {
-    val t0 = trades(spark, dir)
-    val t = if (dayShift) t0.withColumn("time", col("time") + expr("INTERVAL 1 DAY")) else t0
-    t.filter(codeFilter)
-      .groupBy(bucket(col("time"), IntervalSec).as("minute"), col("buy_sell"))
-      .agg(sum(when(col("buy_sell") === "S", lit(-1)).otherwise(lit(1)) * col("quantity")).as("v"))
-      .groupBy(col("minute")).agg(sum(col("v")).as("net"))
+    val t = if (dayShift) col("t.time") + expr("INTERVAL 1 DAY") else col("t.time")
+    joinedOnCode(spark, dir)
+      .filter(codeFilter && col("t.board") === "TQBR")
+      .withColumn("minute", bucket(t, IntervalSec))
+      .filter(timeRange(col("minute")))
+      .groupBy(col("minute"), col("t.buy_sell").as("buy_sell"))
+      .agg(sum(notional).as("gross"))
+      .select(col("minute"), (sign * col("gross")).as("vol"))
+      .groupBy(col("minute")).agg(sum(col("vol")).as("net"))
       .orderBy(col("minute"))
   }
 
-  private def netVolumeSql(codePred: String, dayShift: Boolean): String = {
-    val timeExpr = if (dayShift) "(time + INTERVAL 1 DAY)" else "time"
-    s"""SELECT minute, CAST(SUM(v) AS BIGINT) AS net FROM (
-       |  SELECT ${bucketSql(timeExpr, IntervalSec)} AS minute, buy_sell,
-       |         CAST(SUM((CASE WHEN buy_sell = 'S' THEN -1 ELSE 1 END) * quantity) AS BIGINT) AS v
-       |  FROM trades WHERE $codePred
-       |  GROUP BY 1, 2) inner_agg
+  private def netNotionalSql(codePred: String, dayShift: Boolean): String = {
+    val timeExpr = if (dayShift) "(t.time + INTERVAL 1 DAY)" else "t.time"
+    s"""SELECT minute, SUM(vol) AS net FROM (
+       |  SELECT minute,
+       |         (CASE WHEN buy_sell = 'S' THEN -1 ELSE 1 END) * SUM(price * quantity * lotsize) AS vol
+       |  FROM (SELECT ${bucketSql(timeExpr, IntervalSec)} AS minute, t.buy_sell,
+       |               t.price, t.quantity, s.lotsize
+       |        FROM $joinCodeSql
+       |        WHERE t.$codePred AND t.board = 'TQBR') b
+       |  WHERE ${timeRangeSql("minute")}
+       |  GROUP BY minute, buy_sell) i
        |GROUP BY minute ORDER BY minute""".stripMargin
   }
 
   val q05 = QueryDef.sql("q05_net_vol_interval",
-    withCtes(netVolumeSql(s"sec_code IN ${sqlList(SelCodes)}", dayShift = false), tradesCte)
-  ) { (s, d) => netVolume(s, d, col("sec_code").isin(SelCodes: _*), dayShift = false) }
+    withCtes(netNotionalSql(s"sec_code IN ${sqlList(SelCodes)}", dayShift = false),
+      tradesCte, securitiesCte)
+  ) { (s, d) => netNotional(s, d, col("t.sec_code").isin(SelCodes: _*), dayShift = false) }
 
-  /** Q6 (GD:794) — yesterday variant: `timestamp_add(day, 1, time)` BEFORE
-    * bucketing (time-shifted self-comparison).
-    */
   val q06 = QueryDef.sql("q06_net_vol_interval_yday",
-    withCtes(netVolumeSql(s"sec_code IN ${sqlList(SelCodes)}", dayShift = true), tradesCte)
-  ) { (s, d) => netVolume(s, d, col("sec_code").isin(SelCodes: _*), dayShift = true) }
+    withCtes(netNotionalSql(s"sec_code IN ${sqlList(SelCodes)}", dayShift = true),
+      tradesCte, securitiesCte)
+  ) { (s, d) => netNotional(s, d, col("t.sec_code").isin(SelCodes: _*), dayShift = true) }
 
-  /** Q7 (GD:1069, FLAGSHIP) — per-interval buy turnover for selected codes.
-    * Note the alias-in-WHERE semantics (SURVEY §7.5.4): the time-range filter
-    * applies to the BUCKETED minute, so we bucket first, then filter.
+  /** Q7 (GD:1069, FLAGSHIP) / Q8 (GD:1220) — per-interval buy/sell turnover
+    * for the selected codes: join on (secid, board), `board='TQBR'`,
+    * minute-range on the bucket (alias-in-WHERE), signed for the sell leg.
     */
-  private def turnoverInterval(spark: SparkSession, dir: String, side: String, sign: Int): DataFrame =
-    joinedOnCode(spark, dir)
+  private def turnoverInterval(spark: SparkSession, dir: String, side: String, s: Int): DataFrame =
+    joinedOnId(spark, dir)
       .filter(col("t.sec_code").isin(SelCodes: _*) &&
         col("t.board") === "TQBR" && col("t.buy_sell") === side)
       .withColumn("minute", bucket(col("t.time"), IntervalSec))
-      .filter(timeRange(col("minute"))) // alias-in-WHERE: filter the bucket
+      .filter(timeRange(col("minute")))
       .groupBy(col("minute"))
-      .agg((sum(col("t.price") * col("t.quantity") * col("s.lotsize")) * sign).as("turnover"))
+      .agg((sum(notional) * s).as("turnover"))
       .orderBy(col("minute"))
 
   private def turnoverIntervalSql(side: String, sign: Int): String =
     s"""SELECT minute, SUM(price * quantity * lotsize) * $sign AS turnover FROM (
        |  SELECT ${bucketSql("t.time", IntervalSec)} AS minute,
        |         t.price, t.quantity, s.lotsize
-       |  FROM $joinCodeSql
+       |  FROM $joinIdSql
        |  WHERE t.sec_code IN ${sqlList(SelCodes)} AND t.board = 'TQBR'
        |    AND t.buy_sell = '$side') bucketed
        |WHERE ${timeRangeSql("minute")}
@@ -240,143 +280,157 @@ object TradeQueries {
     withCtes(turnoverIntervalSql("B", 1), tradesCte, securitiesCte)
   ) { (s, d) => turnoverInterval(s, d, "B", 1) }
 
-  /** Q8 (GD:1220) — sell leg, negated. */
   val q08 = QueryDef.sql("q08_sell_turnover_interval",
     withCtes(turnoverIntervalSql("S", -1), tradesCte, securitiesCte)
   ) { (s, d) => turnoverInterval(s, d, "S", -1) }
 
-  /** Q9/Q10 (GD:1477,1628) — lots at raw (second) time granularity. */
-  private def lotsByTime(spark: SparkSession, dir: String, side: String, sign: Int): DataFrame =
+  /** Q9/Q10 (GD:1477,1628) — lots at raw (second) granularity for the
+    * selected code list, inside the dashboard window.
+    */
+  private def lotsByTime(spark: SparkSession, dir: String, side: String, s: Int): DataFrame =
     trades(spark, dir)
-      .filter(col("sec_code") === SingleSec && col("buy_sell") === side)
+      .filter(col("sec_code").isin(SelCodes: _*) && timeRange(col("time")) &&
+        col("buy_sell") === side)
       .groupBy(col("time"))
-      .agg((sum(col("quantity")) * sign).as("lots"))
+      .agg((sum(col("quantity")) * s).as("lots"))
       .orderBy(col("time"))
 
   private def lotsByTimeSql(side: String, sign: Int): String =
     s"""SELECT time, CAST(SUM(quantity) * $sign AS BIGINT) AS lots FROM trades
-       |WHERE sec_code = '$SingleSec' AND buy_sell = '$side'
-       |GROUP BY time ORDER BY time""".stripMargin
+       |WHERE sec_code IN ${sqlList(SelCodes)} AND ${timeRangeSql("time")}
+       |  AND buy_sell = '$side'
+       |GROUP BY time ORDER BY time ASC""".stripMargin
 
   val q09 = QueryDef.sql("q09_buy_lots_by_time",
     withCtes(lotsByTimeSql("B", 1), tradesCte))((s, d) => lotsByTime(s, d, "B", 1))
   val q10 = QueryDef.sql("q10_sell_lots_by_time",
     withCtes(lotsByTimeSql("S", -1), tradesCte))((s, d) => lotsByTime(s, d, "S", -1))
 
-  /** Q11/Q12 (GD:1885,2036) — trade counts by raw time. */
-  private def countByTime(spark: SparkSession, dir: String, side: String, sign: Int): DataFrame =
+  /** Q11/Q12 (GD:1885,2036) — trade counts by raw time, same filters. */
+  private def countByTime(spark: SparkSession, dir: String, side: String, s: Int): DataFrame =
     trades(spark, dir)
-      .filter(col("sec_code") === SingleSec && col("buy_sell") === side)
+      .filter(col("sec_code").isin(SelCodes: _*) && timeRange(col("time")) &&
+        col("buy_sell") === side)
       .groupBy(col("time"))
-      .agg((count(col("price")) * sign).as("trades_cnt"))
+      .agg((count(col("price")) * s).as("trades_cnt"))
       .orderBy(col("time"))
 
   private def countByTimeSql(side: String, sign: Int): String =
     s"""SELECT time, CAST(COUNT(price) * $sign AS BIGINT) AS trades_cnt FROM trades
-       |WHERE sec_code = '$SingleSec' AND buy_sell = '$side'
-       |GROUP BY time ORDER BY time""".stripMargin
+       |WHERE sec_code IN ${sqlList(SelCodes)} AND ${timeRangeSql("time")}
+       |  AND buy_sell = '$side'
+       |GROUP BY time ORDER BY time ASC""".stripMargin
 
   val q11 = QueryDef.sql("q11_buy_count_by_time",
     withCtes(countByTimeSql("B", 1), tradesCte))((s, d) => countByTime(s, d, "B", 1))
   val q12 = QueryDef.sql("q12_sell_count_by_time",
     withCtes(countByTimeSql("S", -1), tradesCte))((s, d) => countByTime(s, d, "S", -1))
 
-  /** Q13/Q14 (GD:2322,2473) — IMOEX net interest: Q5/Q6 with NOT IN
-    * ETF-exclusion instead of single-sec selection.
-    */
+  /** Q13/Q14 — IMOEX net interest: the NOT-IN-ETF variants of Q5/Q6. */
   val q13 = QueryDef.sql("q13_imoex_net_interval",
-    withCtes(netVolumeSql(s"sec_code NOT IN ${sqlList(EtfCodes)}", dayShift = false), tradesCte)
-  ) { (s, d) => netVolume(s, d, !col("sec_code").isin(EtfCodes: _*), dayShift = false) }
+    withCtes(netNotionalSql(s"sec_code NOT IN ${sqlList(EtfCodes)}", dayShift = false),
+      tradesCte, securitiesCte)
+  ) { (s, d) => netNotional(s, d, !col("t.sec_code").isin(EtfCodes: _*), dayShift = false) }
 
   val q14 = QueryDef.sql("q14_imoex_net_interval_yday",
-    withCtes(netVolumeSql(s"sec_code NOT IN ${sqlList(EtfCodes)}", dayShift = true), tradesCte)
-  ) { (s, d) => netVolume(s, d, !col("sec_code").isin(EtfCodes: _*), dayShift = true) }
+    withCtes(netNotionalSql(s"sec_code NOT IN ${sqlList(EtfCodes)}", dayShift = true),
+      tradesCte, securitiesCte)
+  ) { (s, d) => netNotional(s, d, !col("t.sec_code").isin(EtfCodes: _*), dayShift = true) }
 
-  /** Q15-Q18 (GD:2748,2899,3174,3325) — interval turnover WITHOUT the
-    * securities join (`sum(price*quantity)`), IN/NOT IN ETF list, bucketed
-    * alias filtered in WHERE, LIMIT 10000.
+  /** Q15/Q16 (GD:2748,2899) — IMOEX interval turnover WITHOUT the
+    * securities join (`sum(price*quantity)`), NOT IN ETF + board='TQBR',
+    * minute-range on the bucket, LIMIT 10000. Q17/Q18 (GD:3174,3325) — the
+    * ETF variants: `sec_code IN [$sec_code_etf]`, NO board filter.
     */
   private def turnoverNoJoin(spark: SparkSession, dir: String,
-      side: String, sign: Int, codeFilter: Column): DataFrame =
+      side: String, s: Int, codeFilter: Column, boardF: Option[String]): DataFrame =
     trades(spark, dir)
-      .filter(codeFilter && col("buy_sell") === side)
+      .filter(codeFilter && col("buy_sell") === side &&
+        boardF.map(col("board") === _).getOrElse(lit(true)))
       .withColumn("minute", bucket(col("time"), IntervalSec))
       .filter(timeRange(col("minute")))
       .groupBy(col("minute"))
-      .agg((sum(col("price") * col("quantity")) * sign).as("turnover"))
+      .agg((sum(col("price") * col("quantity")) * s).as("turnover"))
       .orderBy(col("minute"))
       .limit(10000)
 
-  private def turnoverNoJoinSql(side: String, sign: Int, codePred: String): String =
+  private def turnoverNoJoinSql(side: String, sign: Int, codePred: String,
+      boardPred: String): String =
     s"""SELECT minute, SUM(price * quantity) * $sign AS turnover FROM (
        |  SELECT ${bucketSql("time", IntervalSec)} AS minute, price, quantity
-       |  FROM trades WHERE $codePred AND buy_sell = '$side') bucketed
+       |  FROM trades WHERE $codePred AND buy_sell = '$side'$boardPred) bucketed
        |WHERE ${timeRangeSql("minute")}
-       |GROUP BY minute ORDER BY minute LIMIT 10000""".stripMargin
+       |GROUP BY minute ORDER BY minute ASC LIMIT 10000""".stripMargin
 
   val q15 = QueryDef.sql("q15_imoex_turnover_b",
-    withCtes(turnoverNoJoinSql("B", 1, s"sec_code NOT IN ${sqlList(EtfCodes)}"), tradesCte)
-  ) { (s, d) => turnoverNoJoin(s, d, "B", 1, !col("sec_code").isin(EtfCodes: _*)) }
+    withCtes(turnoverNoJoinSql("B", 1, s"sec_code NOT IN ${sqlList(EtfCodes)}", " AND board = 'TQBR'"), tradesCte)
+  ) { (s, d) => turnoverNoJoin(s, d, "B", 1, !col("sec_code").isin(EtfCodes: _*), Some("TQBR")) }
 
   val q16 = QueryDef.sql("q16_imoex_turnover_s",
-    withCtes(turnoverNoJoinSql("S", -1, s"sec_code NOT IN ${sqlList(EtfCodes)}"), tradesCte)
-  ) { (s, d) => turnoverNoJoin(s, d, "S", -1, !col("sec_code").isin(EtfCodes: _*)) }
+    withCtes(turnoverNoJoinSql("S", -1, s"sec_code NOT IN ${sqlList(EtfCodes)}", " AND board = 'TQBR'"), tradesCte)
+  ) { (s, d) => turnoverNoJoin(s, d, "S", -1, !col("sec_code").isin(EtfCodes: _*), Some("TQBR")) }
 
   val q17 = QueryDef.sql("q17_etf_turnover_b",
-    withCtes(turnoverNoJoinSql("B", 1, s"sec_code IN ${sqlList(EtfCodes)}"), tradesCte)
-  ) { (s, d) => turnoverNoJoin(s, d, "B", 1, col("sec_code").isin(EtfCodes: _*)) }
+    withCtes(turnoverNoJoinSql("B", 1, s"sec_code IN ${sqlList(EtfCodes)}", ""), tradesCte)
+  ) { (s, d) => turnoverNoJoin(s, d, "B", 1, col("sec_code").isin(EtfCodes: _*), None) }
 
   val q18 = QueryDef.sql("q18_etf_turnover_s",
-    withCtes(turnoverNoJoinSql("S", -1, s"sec_code IN ${sqlList(EtfCodes)}"), tradesCte)
-  ) { (s, d) => turnoverNoJoin(s, d, "S", -1, col("sec_code").isin(EtfCodes: _*)) }
+    withCtes(turnoverNoJoinSql("S", -1, s"sec_code IN ${sqlList(EtfCodes)}", ""), tradesCte)
+  ) { (s, d) => turnoverNoJoin(s, d, "S", -1, col("sec_code").isin(EtfCodes: _*), None) }
 
-  /** Q19/Q20 (GD:3584,3735) — IMOEX turnover at raw time granularity. */
-  private def turnoverByTime(spark: SparkSession, dir: String, side: String, sign: Int): DataFrame =
+  /** Q19/Q20 (GD:3584,3735) — IMOEX turnover at raw time, window-filtered,
+    * NO LIMIT (the reference panel has none).
+    */
+  private def turnoverByTime(spark: SparkSession, dir: String, side: String, s: Int): DataFrame =
     trades(spark, dir)
-      .filter(!col("sec_code").isin(EtfCodes: _*) && col("buy_sell") === side)
+      .filter(timeRange(col("time")) && col("buy_sell") === side &&
+        !col("sec_code").isin(EtfCodes: _*))
       .groupBy(col("time"))
-      .agg((sum(col("price") * col("quantity")) * sign).as("turnover"))
+      .agg((sum(col("price") * col("quantity")) * s).as("vol"))
       .orderBy(col("time"))
-      .limit(10000)
 
   private def turnoverByTimeSql(side: String, sign: Int): String =
-    s"""SELECT time, SUM(price * quantity) * $sign AS turnover FROM trades
-       |WHERE sec_code NOT IN ${sqlList(EtfCodes)} AND buy_sell = '$side'
-       |GROUP BY time ORDER BY time LIMIT 10000""".stripMargin
+    s"""SELECT time, SUM(price * quantity) * $sign AS vol FROM trades
+       |WHERE ${timeRangeSql("time")} AND buy_sell = '$side'
+       |  AND sec_code NOT IN ${sqlList(EtfCodes)}
+       |GROUP BY time ORDER BY time ASC""".stripMargin
 
   val q19 = QueryDef.sql("q19_imoex_turnover_by_time_b",
     withCtes(turnoverByTimeSql("B", 1), tradesCte))((s, d) => turnoverByTime(s, d, "B", 1))
   val q20 = QueryDef.sql("q20_imoex_turnover_by_time_s",
     withCtes(turnoverByTimeSql("S", -1), tradesCte))((s, d) => turnoverByTime(s, d, "S", -1))
 
-  /** Q21 (GD:3766) — templating: distinct sec codes, sorted, LIMIT 1000. */
+  /** Q21 (GD:3767) — templating: window-filtered distinct sec codes,
+    * sorted, LIMIT 1000.
+    */
   val q21 = QueryDef.sql("q21_sec_codes",
     withCtes(
-      "SELECT sec_code FROM trades GROUP BY sec_code ORDER BY sec_code ASC LIMIT 1000",
+      s"""SELECT sec_code FROM trades WHERE ${timeRangeSql("time")}
+         |GROUP BY sec_code ORDER BY sec_code ASC LIMIT 1000""".stripMargin,
       tradesCte)
   ) { (s, d) =>
-    trades(s, d).groupBy(col("sec_code")).agg(Map.empty[String, String])
+    trades(s, d).filter(timeRange(col("time")))
+      .groupBy(col("sec_code")).agg(Map.empty[String, String])
       .orderBy(col("sec_code").asc).limit(1000)
   }
 
-  /** Q22 (GD:3879) — templating: distinct ETF codes via trades semi-joined to
-    * TQTF securities (semi-join-shaped distinct → `left_semi`).
+  /** Q22 (GD:3879) — templating: ETF codes via trades⋈securities on secid
+    * ONLY, `board = 'TQTF'` (unqualified in the reference → left/fact
+    * table's board, ClickHouse resolution) + time range, GROUP BY sec_code.
     */
   val q22 = QueryDef.sql("q22_etf_codes",
     withCtes(
-      """SELECT DISTINCT sec_code FROM trades t
-        |WHERE EXISTS (SELECT 1 FROM securities s
-        |              WHERE s.seccode = t.sec_code AND s.board = t.board
-        |                AND s.board = 'TQTF')
-        |ORDER BY sec_code""".stripMargin,
+      s"""SELECT sec_code FROM trades t
+         |JOIN securities s ON t.secid = s.secid
+         |WHERE t.board = 'TQTF' AND ${timeRangeSql("t.time")}
+         |GROUP BY sec_code ORDER BY sec_code""".stripMargin,
       tradesCte, securitiesCte)
   ) { (spark, dir) =>
     val t = trades(spark, dir).as("t")
-    val s = securities(spark, dir).filter(col("board") === "TQTF").as("s")
-    t.join(broadcast(s),
-        col("t.sec_code") === col("s.seccode") && col("t.board") === col("s.board"),
-        "left_semi")
-      .select(col("sec_code")).distinct()
+    val s = securities(spark, dir).as("s")
+    t.join(broadcast(s), col("t.secid") === col("s.secid"))
+      .filter(col("t.board") === "TQTF" && timeRange(col("t.time")))
+      .groupBy(col("t.sec_code").as("sec_code")).agg(Map.empty[String, String])
       .orderBy(col("sec_code"))
   }
 
