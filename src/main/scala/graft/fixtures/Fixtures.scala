@@ -1,6 +1,7 @@
 package graft.fixtures
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
 
 /** Deterministic transaq-shaped tables derived from the driver's TPC-H-ish
   * parquet (TESTDATA.md). The SAME derivation is expressed twice:
@@ -66,7 +67,9 @@ object Fixtures {
     s"timestampadd(SECOND, CAST($sodExprT AS INT), CAST(date_add(DATE '2024-12-04', CAST($dayOffT AS INT)) AS TIMESTAMP)) AS time",
     "CAST(l_partkey % 60 + 1 AS INT) AS secid",
     s"${secCode("l_partkey % 60")} AS sec_code",
-    "CAST(l_orderkey * 8 + l_linenumber AS BIGINT) AS trade_no",
+    // unique per row at every SF (verified): the generator DUPLICATES
+    // (orderkey, linenumber) pairs — price cents break the remaining ties
+    "CAST((l_orderkey * 8 + l_linenumber) * 10000000000 + (l_partkey % 100000) * 100000 + (CAST(floor(l_extendedprice * 100) AS BIGINT) + l_suppkey) % 100000 AS BIGINT) AS trade_no",
     s"${board("l_partkey % 60")} AS board",
     // integer-valued double (rule 2): floor of the unit price
     "CAST(floor(l_extendedprice / l_quantity) AS DOUBLE) AS price",
@@ -86,7 +89,7 @@ object Fixtures {
        |  DATE '2024-12-04' + CAST($dayOffT AS INT) + ($sodExprT) * INTERVAL '1 second' AS time,
        |  CAST(l_partkey % 60 + 1 AS INT) AS secid,
        |  ${secCode("l_partkey % 60")} AS sec_code,
-       |  CAST(l_orderkey * 8 + l_linenumber AS BIGINT) AS trade_no,
+       |  CAST((l_orderkey * 8 + l_linenumber) * 10000000000 + (l_partkey % 100000) * 100000 + (CAST(floor(l_extendedprice * 100) AS BIGINT) + l_suppkey) % 100000 AS BIGINT) AS trade_no,
        |  ${board("l_partkey % 60")} AS board,
        |  CAST(floor(l_extendedprice / l_quantity) AS DOUBLE) AS price,
        |  CASE WHEN l_quantity % 5 < 2 THEN CAST(1 AS BIGINT) ELSE CAST(l_quantity AS BIGINT) END AS quantity,
@@ -175,7 +178,7 @@ object Fixtures {
   private val tickCols = Seq(
     "CAST(l_partkey % 60 + 1 AS INT) AS secid",
     s"${secCode("l_partkey % 60")} AS sec_code",
-    "CAST(l_orderkey * 8 + l_linenumber AS BIGINT) AS tick_no",
+    "CAST((l_orderkey * 8 + l_linenumber) * 10000000000 + (l_partkey % 100000) * 100000 + (CAST(floor(l_extendedprice * 100) AS BIGINT) + l_suppkey) % 100000 AS BIGINT) AS tick_no",
     // zero `last` rows exercise the open/low guards (process.go:147,153)
     "CASE WHEN l_suppkey % 17 = 0 THEN CAST(0 AS DOUBLE) ELSE CAST(floor(l_extendedprice / l_quantity) AS DOUBLE) END AS last",
     // `open` wire field: the session open (process.go:148 reads q.Open)
@@ -211,11 +214,23 @@ object Fixtures {
     "event_type AS source",
     "CAST(event_id % 20 AS INT) AS yield",
     "CAST(event_id % 7 AS INT) AS buy",
-    "CAST(event_id % 11 AS INT) AS sell"
+    "CAST(event_id % 11 AS INT) AS sell",
+    // arrival-order analog (AsyncInsert has no ordering guarantee; the
+    // dedup read path needs a deterministic last-writer)
+    "CAST(event_id AS BIGINT) AS quote_seq"
   )
 
+  /** events.parquet stores ts as INT64 TIMESTAMP(NANOS) — Spark reads it as
+    * a long (see the `nanosAsLong` config in Verify/Bench/tests) and we
+    * rebuild a µs timestamp; DuckDB reads the ns type natively. Both floor
+    * to whole µs, so derived values agree.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+
   def quotes(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/events.parquet").selectExpr(quoteCols: _*)
+    events(spark, dir).selectExpr(quoteCols: _*)
 
   val quotesCte: String =
     s"quotes AS (SELECT ${quoteCols.mkString(",\n  ")}\nFROM events)"

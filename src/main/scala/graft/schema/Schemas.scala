@@ -89,6 +89,7 @@ case class Tick(
     ts: java.sql.Timestamp, // full event timestamp (batch harness)
     time: String,           // "HH:mm:ss" wire string (process.go:131 suffix test)
     last: Double,
+    open: Double,           // session-open wire field (process.go:148 reads q.Open)
     quantity: Long,
     tickNo: Long)
 
