@@ -263,6 +263,84 @@ object Fixtures {
        |  CAST(s_suppkey % 4 + 1 AS INT) AS coupon_period
        |FROM supplier)""".stripMargin
 
+  // =========================================================================
+  // candle_kinds  (CandleKind directory for A10; from nation — 25 kinds)
+  // =========================================================================
+
+  private val kindCols = Seq(
+    "CAST(n_nationkey + 1 AS INT) AS kind_id",
+    "n_name AS name",
+    "CAST((n_nationkey + 1) * 60 AS INT) AS period" // seconds, like main.go:185
+  )
+
+  def candleKinds(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/nation.parquet").selectExpr(kindCols: _*)
+
+  val candleKindsCte: String =
+    s"candle_kinds AS (SELECT ${kindCols.mkString(",\n  ")}\nFROM nation)"
+
+  // =========================================================================
+  // trades_wire  (A12: trades with the dd.MM.yyyy HH:mm:ss wire string)
+  // =========================================================================
+
+  def tradesWire(spark: SparkSession, dir: String): DataFrame =
+    trades(spark, dir).selectExpr(
+      "date_format(time, 'dd.MM.yyyy HH:mm:ss') AS time_str",
+      "secid", "sec_code", "trade_no", "board", "price", "quantity",
+      "buy_sell", "open_interest", "period")
+
+  val tradesWireCte: String =
+    """trades_wire AS (SELECT
+      |  strftime(time, '%d.%m.%Y %H:%M:%S') AS time_str,
+      |  secid, sec_code, trade_no, board, price, quantity,
+      |  buy_sell, open_interest, period
+      |FROM trades)""".stripMargin
+
+  // =========================================================================
+  // history_raw  (A15: history-candle wire items; from orders)
+  // =========================================================================
+
+  private val histCols = Seq(
+    "CAST(floor(o_totalprice / 100) AS DOUBLE) AS open",
+    "CAST(floor(o_totalprice / 100) + 2 AS DOUBLE) AS high",
+    "CAST(floor(o_totalprice / 200) AS DOUBLE) AS low",
+    "CAST(floor(o_totalprice / 120) AS DOUBLE) AS close",
+    "CAST(o_orderkey % 10000 AS BIGINT) AS volume"
+  )
+
+  def historyRaw(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/orders.parquet").selectExpr(
+      "date_format(o_orderdate, 'dd.MM.yyyy HH:mm:ss') AS date_str" +: histCols: _*)
+
+  val historyRawCte: String =
+    s"""history_raw AS (SELECT
+       |  strftime(o_orderdate, '%d.%m.%Y %H:%M:%S') AS date_str,
+       |  ${histCols.mkString(",\n  ")}
+       |FROM orders)""".stripMargin
+
+  // =========================================================================
+  // position_updates  (A17: sparse per-field updates; from events — each
+  // event type carries exactly one non-empty field, like the positions
+  // sub-lists of process.go:74-101)
+  // =========================================================================
+
+  private val posCols = Seq(
+    "CAST(user_id % 10 AS INT) AS account",
+    "ts",
+    "CAST(event_id AS BIGINT) AS event_id",
+    "CASE WHEN event_type = 'signup' THEN CAST(floor(value * 100) AS DOUBLE) END AS united_limits",
+    "CASE WHEN event_type = 'click' THEN CAST(floor(value * 10) AS DOUBLE) END AS sec_positions",
+    "CASE WHEN event_type = 'purchase' THEN CAST(floor(value) AS DOUBLE) END AS forts_money",
+    "CASE WHEN event_type = 'view' THEN CAST(floor(value * 2) AS DOUBLE) END AS money_position"
+  )
+
+  def positionUpdates(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir).selectExpr(posCols: _*)
+
+  val positionUpdatesCte: String =
+    s"""position_updates AS (SELECT ${posCols.mkString(",\n  ")}
+       |FROM (SELECT CAST(ts AS TIMESTAMP) AS ts, user_id, event_id, event_type, value FROM events) e)""".stripMargin
+
   /** Prepend CTEs to a query body: `withCtes(body, tradesCte, ...)`. */
   def withCtes(body: String, ctes: String*): String =
     s"WITH ${ctes.mkString(",\n")}\n$body"

@@ -1,7 +1,9 @@
 package graft.queries
 
+import org.apache.spark.sql.functions._
+
 import graft.fixtures.Fixtures._
-import graft.ingest.{CandleBuilder, Dedup}
+import graft.ingest.{CandleBuilder, Dedup, Filters, Parse, Positions}
 import graft.schema.Schemas
 
 /** Query registrations for the §2.A ingestion/transform layer — each
@@ -45,5 +47,123 @@ object IngestQueries {
     Dedup.lastWriteWins(quotes(spark, dir), Schemas.quotesKey, "quote_seq")
   }
 
-  val all: Seq[QueryDef] = Seq(a16CandlesBatch, dedupTrades, dedupQuotes)
+  // ---- A6-A10 filter cascade (fixed config standing in for the env vars) ----
+
+  /** EXPORT_SEC_BOARDS / EXPORT_SEC_CODES analog: one substring code, one
+    * shortname match, one exact code — exercising every A8 arm but "ALL".
+    */
+  private val CfgBoards = Seq("TQBR", "TQTF")
+  private val CfgCodes = Seq("SEC0", "SN-SEC21", "SEC45")
+
+  private def secCodeMatchSql(codes: Seq[String]): String =
+    if (codes.isEmpty) "FALSE"
+    else codes.map { c =>
+      val all = if (c == "ALL") " OR TRUE" else ""
+      s"(seccode = '$c' OR seccode LIKE '%$c%' OR shortname = '$c'$all)"
+    }.mkString("(", " OR ", ")")
+
+  private val validSql =
+    "secid != 0 AND active = 'true' AND length(seccode) <= 16"
+
+  /** A6+A7+A8(+A20) — the quotation-subscription cascade. */
+  val a06Cascade = QueryDef.sql(
+    "a06_subscription_cascade",
+    withCtes(
+      s"""SELECT secid, seccode, board FROM securities
+         |WHERE $validSql AND board IN ${sqlList(CfgBoards)}
+         |  AND ${secCodeMatchSql(CfgCodes)}
+         |ORDER BY secid""".stripMargin,
+      securitiesCte)
+  ) { (spark, dir) =>
+    securities(spark, dir)
+      .filter(Filters.subscriptionCascade(CfgBoards, CfgCodes))
+      .select(col("secid"), col("seccode"), col("board"))
+      .orderBy(col("secid"))
+  }
+
+  /** A7 — validity predicate alone (the securities-insert gate). */
+  val a07Valid = QueryDef.sql(
+    "a07_valid_securities",
+    withCtes(
+      s"""SELECT secid, seccode, board, sectype FROM securities
+         |WHERE $validSql ORDER BY secid""".stripMargin,
+      securitiesCte)
+  ) { (spark, dir) =>
+    securities(spark, dir).filter(Filters.validSecurity)
+      .select(col("secid"), col("seccode"), col("board"), col("sectype"))
+      .orderBy(col("secid"))
+  }
+
+  /** A9 — bond secinfo request targets (EXPORT_SEC_INFO_NAMES = "-OFZ"). */
+  val a09Bond = QueryDef.sql(
+    "a09_bond_secinfo_targets",
+    withCtes(
+      """SELECT secid, seccode, shortname FROM securities
+        |WHERE sectype = 'BOND' AND shortname LIKE '%-OFZ'
+        |ORDER BY secid""".stripMargin,
+      securitiesCte)
+  ) { (spark, dir) =>
+    securities(spark, dir).filter(Filters.bondSuffix(Seq("-OFZ")))
+      .select(col("secid"), col("seccode"), col("shortname"))
+      .orderBy(col("secid"))
+  }
+
+  /** A10 — candle-kind period whitelist (EXPORT_PERIOD_SECONDS=60,300,900). */
+  private val CfgPeriods = Seq(60, 300, 900)
+  val a10Periods = QueryDef.sql(
+    "a10_period_whitelist",
+    withCtes(
+      s"""SELECT kind_id, name, period FROM candle_kinds
+         |WHERE period IN (${CfgPeriods.mkString(",")}) ORDER BY kind_id""".stripMargin,
+      candleKindsCte)
+  ) { (spark, dir) =>
+    candleKinds(spark, dir).filter(Filters.periodWhitelist(CfgPeriods))
+      .orderBy(col("kind_id"))
+  }
+
+  /** A12 — trade wire-time parse (dd.MM.yyyy HH:mm:ss round-trip). */
+  val a12TradeParse = QueryDef.sql(
+    "a12_trade_time_parse",
+    withCtes(
+      """SELECT strptime(time_str, '%d.%m.%Y %H:%M:%S') AS time,
+        |       secid, sec_code, trade_no, board, price, quantity,
+        |       buy_sell, open_interest, period
+        |FROM trades_wire""".stripMargin,
+      tradesCte, tradesWireCte)
+  ) { (spark, dir) => Parse.trades(tradesWire(spark, dir)) }
+
+  /** A14 — secinfo dd.MM.yyyy date parse. */
+  val a14SecinfoParse = QueryDef.sql(
+    "a14_secinfo_parse",
+    withCtes(
+      """SELECT secid, sec_code, sec_name, market,
+        |       CAST(strptime(mat_date, '%d.%m.%Y') AS DATE) AS mat_date,
+        |       CAST(strptime(coupon_date, '%d.%m.%Y') AS DATE) AS coupon_date,
+        |       facevalue, coupon_period
+        |FROM secinfo_raw""".stripMargin,
+      secinfoRawCte)
+  ) { (spark, dir) => Parse.secInfo(secinfoRaw(spark, dir)) }
+
+  /** A15 — history-candle envelope projection + date parse. */
+  val a15HistoryParse = QueryDef.sql(
+    "a15_history_parse",
+    withCtes(
+      """SELECT strptime(date_str, '%d.%m.%Y %H:%M:%S') AS date,
+        |       'SECH' AS sec_code, 1 AS period, open, close, high, low, volume
+        |FROM history_raw""".stripMargin,
+      historyRawCte)
+  ) { (spark, dir) => Parse.historyCandles(historyRaw(spark, dir), "SECH", 1) }
+
+  /** A17 — positions merge (latest non-empty per field per account). */
+  val a17Positions = QueryDef.sql(
+    "a17_positions_merge",
+    withCtes(s"${Positions.mergeSql}\nORDER BY account", positionUpdatesCte)
+  ) { (spark, dir) =>
+    Positions.merge(positionUpdates(spark, dir)).orderBy(col("account"))
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    a16CandlesBatch, dedupTrades, dedupQuotes,
+    a06Cascade, a07Valid, a09Bond, a10Periods,
+    a12TradeParse, a14SecinfoParse, a15HistoryParse, a17Positions)
 }
