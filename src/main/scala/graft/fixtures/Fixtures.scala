@@ -341,6 +341,17 @@ object Fixtures {
     s"""position_updates AS (SELECT ${posCols.mkString(",\n  ")}
        |FROM (SELECT CAST(ts AS TIMESTAMP) AS ts, user_id, event_id, event_type, value FROM events) e)""".stripMargin
 
+  // =========================================================================
+  // documents / embeddings  (LLM-pipeline tables, read as-is; oracles query
+  // the raw parquet views directly — no CTE twin needed)
+  // =========================================================================
+
+  def documents(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+
   /** Prepend CTEs to a query body: `withCtes(body, tradesCte, ...)`. */
   def withCtes(body: String, ctes: String*): String =
     s"WITH ${ctes.mkString(",\n")}\n$body"

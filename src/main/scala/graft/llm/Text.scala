@@ -1,0 +1,77 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis building blocks for the large-scale training-data pipeline
+  * (builder brief): tokenization, shingling, MinHash, SimHash, rolling
+  * fingerprints. Everything is built from codegen'd built-in functions and
+  * higher-order array expressions — no UDFs — and every hash is md5-hex, so
+  * the DuckDB oracle can replay the exact computation.
+  *
+  * Scale notes: token/shingle explosion is linear in corpus bytes and
+  * map-side only; MinHash signatures reduce each document to k strings in
+  * ONE hash aggregation (k independent `min`s); LSH banding turns near-dup
+  * search into an equi-join on (band, bucket) — never an all-pairs product.
+  */
+object Text {
+
+  /** Whitespace tokens (documents are single-spaced). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Word n-gram shingles as a DISTINCT set; empty when fewer than n
+    * tokens (Spark's `sequence` would count DOWN on an empty range, so the
+    * size guard matters).
+    */
+  val bigramsExpr: String =
+    """CASE WHEN size(tk) >= 2 THEN array_distinct(
+      |  transform(sequence(1, size(tk) - 1),
+      |    i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1))))
+      |ELSE array() END""".stripMargin
+
+  /** DuckDB twin of [[bigramsExpr]] (range() is exclusive and never counts
+    * down, so no guard needed).
+    */
+  val bigramsSql: String =
+    "list_distinct(list_transform(range(1, len(tk)), i -> concat(tk[i], ' ', tk[i+1])))"
+
+  /** Char trigrams of a text column (for the language-ID profiles). */
+  val charTrigramsExpr: String =
+    """CASE WHEN length(text) >= 3 THEN
+      |  transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))
+      |ELSE array() END""".stripMargin
+
+  val charTrigramsSql: String =
+    "list_transform(range(1, length(text) - 1), i -> substr(text, i, 3))"
+
+  /** MinHash family: hash_i(shingle) = md5('<i>|' || shingle); the minimum
+    * hex string per document is a valid MinHash (md5 is uniform; hex
+    * compare = value compare). Identical in both engines.
+    */
+  def minhashAggs(numHashes: Int): Seq[Column] =
+    (0 until numHashes).map(i => min(md5(concat(lit(s"$i|"), col("sh")))).as(s"mh$i"))
+
+  def minhashAggsSql(numHashes: Int): Seq[String] =
+    (0 until numHashes).map(i => s"min(md5(concat('$i|', sh))) AS mh$i")
+
+  /** 16-bit token hash from the first 4 hex chars of md5 — plain
+    * instr/substr arithmetic, valid verbatim in BOTH engines.
+    */
+  val tokenHash16Sql: String = {
+    val digit = (p: Int) => s"(instr('0123456789abcdef', substr(md5(t), $p, 1)) - 1)"
+    s"(${digit(1)} * 4096 + ${digit(2)} * 256 + ${digit(3)} * 16 + ${digit(4)})"
+  }
+
+  /** SimHash bit-balance aggregates: s_i = Σ_tokens (bit_i(h) ? +1 : -1).
+    * `shift` is the dialect's right-shift spelling.
+    */
+  def simhashBalanceSql(bits: Int, shift: (String, Int) => String): Seq[String] =
+    (0 until bits).map { i =>
+      s"CAST(sum(CASE WHEN (${shift("h", i)}) % 2 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS s$i"
+    }
+
+  /** Assemble the fingerprint from the balances: bit set iff s_i >= 0. */
+  def simhashAssembleSql(bits: Int): String =
+    (0 until bits).map(i => s"(CASE WHEN s$i >= 0 THEN ${1L << i} ELSE 0 END)")
+      .mkString("(", " + ", ")")
+}

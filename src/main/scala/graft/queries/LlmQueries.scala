@@ -1,0 +1,332 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.fixtures.Fixtures.{documents, embeddings}
+import graft.llm.{Embed, Multimodal, RawMedia, Text}
+
+/** The LLM-training-data-pipeline operator surface (builder brief):
+  * deduplication (exact, MinHash-LSH, SimHash, n-gram Jaccard), similarity
+  * search (brute-force cosine + LSH-bucketed ANN), text analysis
+  * (stats, trigram language-ID, fingerprinting), and multimodal-column
+  * plumbing — all over the driver's `documents`/`embeddings` tables, each
+  * with a DuckDB oracle that replays the exact computation (md5-hex hashes
+  * and integer-quantized vector math keep both engines bit-identical).
+  */
+object LlmQueries {
+
+  private val Stopwords = Seq("the", "a")
+
+  /** Text statistics: token counts, distinct tokens, stopword hits, exact
+    * char length, mean token length. All integers + one deterministic
+    * double division.
+    */
+  val textStats = QueryDef.sql(
+    "llm_text_stats",
+    """SELECT doc_id,
+      |  len(tk) AS n_tokens,
+      |  len(list_distinct(tk)) AS n_uniq,
+      |  len(list_filter(tk, t -> t IN ('the', 'a'))) AS stop_cnt,
+      |  CAST(length(text) AS BIGINT) AS n_chars_m,
+      |  CAST(list_sum(list_transform(tk, t -> length(t))) AS DOUBLE) / len(tk) AS avg_tok_len
+      |FROM (SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents) d
+      |ORDER BY doc_id""".stripMargin
+  ) { (spark, dir) =>
+    documents(spark, dir)
+      .withColumn("tk", split(col("text"), " "))
+      .select(col("doc_id"),
+        expr("CAST(size(tk) AS BIGINT)").as("n_tokens"),
+        expr("CAST(size(array_distinct(tk)) AS BIGINT)").as("n_uniq"),
+        expr(s"CAST(size(filter(tk, t -> t IN ('the', 'a'))) AS BIGINT)").as("stop_cnt"),
+        expr("CAST(length(text) AS BIGINT)").as("n_chars_m"),
+        expr("CAST(aggregate(transform(tk, t -> length(t)), 0, (a, x) -> a + x) AS DOUBLE) / size(tk)").as("avg_tok_len"))
+      .orderBy("doc_id")
+  }
+
+  /** Language-ID: train char-trigram profiles (top-20 per language) from
+    * the corpus, classify each doc by profile overlap. Real n-gram
+    * lang-id architecture; the profile is tiny → broadcast join.
+    */
+  val langId = QueryDef.sql(
+    "llm_lang_id",
+    s"""WITH tri AS (SELECT lang, unnest(${Text.charTrigramsSql}) AS tri FROM documents),
+       |counts AS (SELECT lang, tri, count(*) AS cnt FROM tri GROUP BY lang, tri),
+       |profile AS (SELECT lang AS plang, tri FROM (
+       |    SELECT lang, tri, row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, tri) AS rn
+       |    FROM counts) p
+       |  WHERE rn <= 20),
+       |doctri AS (SELECT doc_id, unnest(list_distinct(${Text.charTrigramsSql})) AS tri FROM documents),
+       |scores AS (SELECT doc_id, plang, count(*) AS score
+       |           FROM doctri JOIN profile USING (tri) GROUP BY doc_id, plang),
+       |pred AS (SELECT doc_id,
+       |    arg_min(plang, concat(lpad(CAST(100000 - score AS VARCHAR), 6, '0'), plang)) AS pred_lang
+       |  FROM scores GROUP BY doc_id)
+       |SELECT d.doc_id, d.lang, p.pred_lang, d.lang = p.pred_lang AS hit
+       |FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  ) { (spark, dir) =>
+    val docs = documents(spark, dir)
+    val exploded = docs.select(col("lang"), explode(expr(Text.charTrigramsExpr)).as("tri"))
+    val profile = exploded.groupBy("lang", "tri").agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("lang").orderBy(col("cnt").desc, col("tri"))))
+      .filter(col("rn") <= 20)
+      .select(col("lang").as("plang"), col("tri"))
+    val docTri = docs.select(col("doc_id"),
+      explode(array_distinct(expr(Text.charTrigramsExpr))).as("tri"))
+    val scores = docTri.join(broadcast(profile), "tri")
+      .groupBy("doc_id", "plang").agg(count(lit(1)).as("score"))
+    // unique ordering key (score desc, plang asc) → deterministic argmax
+    val key = concat(lpad((lit(100000) - col("score")).cast("string"), 6, "0"), col("plang"))
+    val pred = scores.groupBy("doc_id").agg(min_by(col("plang"), key).as("pred_lang"))
+    docs.join(pred, Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("pred_lang"),
+        (col("lang") === col("pred_lang")).as("hit"))
+      .orderBy("doc_id")
+  }
+
+  /** Exact dedup: md5 content hash → canonical = min doc_id per hash.
+    * Hash-groupBy + hash-join back; no window/sort (the 100 TB shape).
+    */
+  val exactDedup = QueryDef.sql(
+    "llm_exact_dedup",
+    """SELECT doc_id, text_hash, canonical_id, doc_id != canonical_id AS is_dup FROM (
+      |  SELECT doc_id, md5(text) AS text_hash,
+      |         min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
+      |  FROM documents) d
+      |ORDER BY doc_id""".stripMargin
+  ) { (spark, dir) =>
+    val h = documents(spark, dir).select(col("doc_id"), md5(col("text")).as("text_hash"))
+    val canon = h.groupBy("text_hash").agg(min("doc_id").as("canonical_id"))
+    h.join(canon, "text_hash")
+      .select(col("doc_id"), col("text_hash"), col("canonical_id"),
+        (col("doc_id") =!= col("canonical_id")).as("is_dup"))
+      .orderBy("doc_id")
+  }
+
+  // ---- MinHash-LSH near-dup: 12 hashes, 6 bands × 2 rows, verify ≥ 0.5 ----
+
+  private val NumHashes = 12
+  private val NumBands = 6
+  private val JaccardThreshold = 0.5
+
+  /** Banded MinHash-LSH near-duplicate pairs over word-bigram shingles.
+    * Candidates come ONLY from band-bucket equi-joins (never an all-pairs
+    * product); survivors are verified with exact set Jaccard.
+    */
+  val minhashLsh = QueryDef.sql(
+    "llm_minhash_lsh", {
+      val bandsSql = (0 until NumBands)
+        .map(b => s"SELECT doc_id, $b AS band, md5(concat(mh${2 * b}, mh${2 * b + 1})) AS bkey FROM mh")
+        .mkString("\nUNION ALL\n")
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         |sh AS (SELECT doc_id, ${Text.bigramsSql} AS shset FROM toks),
+         |shx AS (SELECT doc_id, unnest(shset) AS sh FROM sh),
+         |mh AS (SELECT doc_id, ${Text.minhashAggsSql(NumHashes).mkString(",\n  ")}
+         |       FROM shx GROUP BY doc_id),
+         |bands AS ($bandsSql),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |         FROM bands x JOIN bands y
+         |           ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
+         |SELECT doc_a, doc_b, jaccard FROM (
+         |  SELECT doc_a, doc_b,
+         |    CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(a.shset, b.shset))) AS jaccard
+         |  FROM cand JOIN sh a ON a.doc_id = cand.doc_a
+         |            JOIN sh b ON b.doc_id = cand.doc_b) v
+         |WHERE jaccard >= $JaccardThreshold
+         |ORDER BY doc_a, doc_b""".stripMargin
+    }
+  ) { (spark, dir) =>
+    val shSets = documents(spark, dir)
+      .withColumn("tk", split(col("text"), " "))
+      .select(col("doc_id"), expr(Text.bigramsExpr).as("shset"))
+    val shx = shSets.select(col("doc_id"), explode(col("shset")).as("sh"))
+    val aggs = Text.minhashAggs(NumHashes)
+    val mh = shx.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    val bandCols = (0 until NumBands).map(b => struct(lit(b).as("band"),
+      md5(concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))).as("bkey")))
+    val bands = mh.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b")).distinct()
+    cand
+      .join(shSets.select(col("doc_id").as("doc_a"), col("shset").as("sa")), "doc_a")
+      .join(shSets.select(col("doc_id").as("doc_b"), col("shset").as("sb")), "doc_b")
+      .withColumn("jaccard",
+        expr("CAST(size(array_intersect(sa, sb)) AS DOUBLE) / size(array_union(sa, sb))"))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Exact n-gram Jaccard, blocked by `source` (bounded blocks → bounded
+    * pairs; the un-blocked form of this is exactly what LSH above avoids).
+    */
+  val ngramJaccard = QueryDef.sql(
+    "llm_ngram_jaccard",
+    s"""WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents),
+       |sh AS (SELECT doc_id, source, ${Text.bigramsSql} AS shset FROM toks)
+       |SELECT doc_a, doc_b, source, jaccard FROM (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.source AS source,
+       |    CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(a.shset, b.shset))) AS jaccard
+       |  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id) v
+       |WHERE jaccard >= 0.2
+       |ORDER BY doc_a, doc_b""".stripMargin
+  ) { (spark, dir) =>
+    val blocks = documents(spark, dir)
+      .withColumn("tk", split(col("text"), " "))
+      .select(col("doc_id"), col("source"), expr(Text.bigramsExpr).as("shset"))
+    blocks.as("a").join(blocks.as("b"),
+        col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+      .withColumn("jaccard",
+        expr("CAST(size(array_intersect(a.shset, b.shset)) AS DOUBLE) / size(array_union(a.shset, b.shset))"))
+      .filter(col("jaccard") >= 0.2)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.source").as("source"), col("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** 16-bit SimHash over distinct tokens (md5-derived bit votes). */
+  val simhash = QueryDef.sql(
+    "llm_simhash", {
+      val balances = Text.simhashBalanceSql(16, (c, i) => s"($c >> $i)")
+      s"""WITH tokh AS (SELECT doc_id, ${Text.tokenHash16Sql} AS h
+         |  FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+         |        FROM documents) u),
+         |sums AS (SELECT doc_id, ${balances.mkString(",\n  ")} FROM tokh GROUP BY doc_id)
+         |SELECT doc_id, CAST(${Text.simhashAssembleSql(16)} AS BIGINT) AS simhash
+         |FROM sums ORDER BY doc_id""".stripMargin
+    }
+  ) { (spark, dir) =>
+    val tokh = documents(spark, dir)
+      .withColumn("tk", split(col("text"), " "))
+      .select(col("doc_id"), explode(array_distinct(col("tk"))).as("t"))
+      .withColumn("h", expr(Text.tokenHash16Sql))
+    val balances = Text.simhashBalanceSql(16, (c, i) => s"shiftright($c, $i)").map(expr)
+    tokh.groupBy("doc_id").agg(balances.head, balances.tail: _*)
+      .select(col("doc_id"),
+        expr(s"CAST(${Text.simhashAssembleSql(16)} AS BIGINT)").as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  /** Rolling char-8-gram fingerprint (winnowing-style min hash + gram
+    * cardinality).
+    */
+  val fingerprint = QueryDef.sql(
+    "llm_doc_fingerprint",
+    """SELECT doc_id, min(md5(g)) AS fingerprint, count(DISTINCT g) AS n_grams
+      |FROM (SELECT doc_id, unnest(
+      |        CASE WHEN length(text) >= 8
+      |          THEN list_transform(range(1, length(text) - 6), i -> substr(text, i, 8))
+      |          ELSE [text] END) AS g
+      |      FROM documents) u
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  ) { (spark, dir) =>
+    documents(spark, dir)
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN length(text) >= 8
+          |  THEN transform(sequence(1, length(text) - 7), i -> substring(text, i, 8))
+          |ELSE array(text) END""".stripMargin)).as("g"))
+      .groupBy("doc_id")
+      .agg(min(md5(col("g"))).as("fingerprint"),
+        countDistinct(col("g")).as("n_grams"))
+      .orderBy("doc_id")
+  }
+
+  // ---- embedding similarity ----
+
+  private val NumQueries = 5
+
+  /** Brute-force cosine top-10 for the first 5 vectors as queries —
+    * broadcast the query set, one scan of the corpus, per-query heap
+    * (window rank) for the top-k.
+    */
+  val embedTopk = QueryDef.sql(
+    "llm_embed_topk",
+    s"""WITH emb AS (${Embed.preparedSql}),
+       |q AS (SELECT vec_id AS query_id, qv AS qqv, nrm AS qnrm FROM emb WHERE vec_id < $NumQueries),
+       |scored AS (SELECT query_id, vec_id,
+       |    ${Embed.cosineSql(Embed.dotSql("qqv", "qv"), "qnrm", "nrm")} AS cos_sim
+       |  FROM emb, q WHERE vec_id != query_id),
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rank
+       |           FROM scored)
+       |SELECT query_id, vec_id, cos_sim, rank FROM ranked
+       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+  ) { (spark, dir) =>
+    val emb = Embed.prepared(embeddings(spark, dir))
+    val q = emb.select(col("vec_id").as("query_id"), col("qv").as("qqv"),
+      col("nrm").as("qnrm")).filter(col("query_id") < NumQueries)
+    emb.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos_sim",
+        expr(Embed.cosineSql(Embed.dotExpr("qqv", "qv"), "qnrm", "nrm")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("vec_id"))))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("vec_id"), col("cos_sim"),
+        col("rank").cast("long").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** LSH-bucketed ANN: 8 deterministic hyperplanes → 256 sign buckets;
+    * candidates share the query's bucket (equi-join, no full scan per
+    * query); top-3 by exact cosine within the bucket.
+    */
+  val annLsh = QueryDef.sql(
+    "llm_ann_lsh", {
+      val dots = (0 until 8).map(j => s"${Embed.hyperplaneDotSql(j)} AS d$j").mkString(",\n  ")
+      s"""WITH emb AS (${Embed.preparedSql}),
+         |bucketed AS (SELECT vec_id, qv, nrm, ${Embed.bucketSql(8)} AS bucket FROM (
+         |  SELECT vec_id, qv, nrm, $dots FROM emb) d),
+         |q AS (SELECT vec_id AS query_id, qv AS qqv, nrm AS qnrm, bucket
+         |      FROM bucketed WHERE vec_id < $NumQueries),
+         |scored AS (SELECT query_id, vec_id,
+         |    ${Embed.cosineSql(Embed.dotSql("qqv", "qv"), "qnrm", "nrm")} AS cos_sim
+         |  FROM bucketed JOIN q USING (bucket) WHERE vec_id != query_id),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rank
+         |           FROM scored)
+         |SELECT query_id, vec_id, cos_sim, rank FROM ranked
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+    }
+  ) { (spark, dir) =>
+    val emb = Embed.prepared(embeddings(spark, dir))
+    val withDots = (0 until 8).foldLeft(emb)((df, j) =>
+      df.withColumn(s"d$j", expr(Embed.hyperplaneDotExpr(j))))
+    val bucketed = withDots.withColumn("bucket", expr(Embed.bucketSql(8)))
+      .select(col("vec_id"), col("qv"), col("nrm"), col("bucket"))
+    val q = bucketed.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("qv").as("qqv"),
+        col("nrm").as("qnrm"), col("bucket"))
+    bucketed.join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos_sim",
+        expr(Embed.cosineSql(Embed.dotExpr("qqv", "qv"), "qnrm", "nrm")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("vec_id"))))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("vec_id"), col("cos_sim"),
+        col("rank").cast("long").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Multimodal: binary media column → typed mapPartitions decode (stub
+    * codec, real plumbing — see [[graft.llm.Multimodal]]).
+    */
+  val imageMeta = QueryDef.sql(
+    "mm_image_meta",
+    s"${Multimodal.decodeMetaSql}\nORDER BY doc_id"
+  ) { (spark, dir) =>
+    import spark.implicits._
+    Multimodal.decodeMeta(
+        Multimodal.attachMedia(documents(spark, dir)).as[RawMedia])
+      .toDF().orderBy("doc_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    textStats, langId, exactDedup, minhashLsh, ngramJaccard, simhash,
+    fingerprint, embedTopk, annLsh, imageMeta)
+}
