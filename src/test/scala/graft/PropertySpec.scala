@@ -1,0 +1,114 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalacheck.{Gen, Prop}
+import org.scalacheck.Test.{check, Parameters}
+
+import graft.expr.TopKBuffer
+import graft.ingest.{CandleBuilder, Dedup}
+
+/** Property-based invariants (SURVEY §5.3): candle OHLC ordering, dedup
+  * idempotence / last-write-wins, TopK exactness in the small-cardinality
+  * regime.
+  */
+class PropertySpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private val params = Parameters.default.withMinSuccessfulTests(30)
+  private def assertProp(p: Prop): Unit = {
+    val r = check(params, p)
+    assert(r.passed, r.status.toString)
+  }
+
+  // ---- candle invariants -------------------------------------------------
+
+  private val tickGen: Gen[PT] = for {
+    sec <- Gen.oneOf("A", "B", "C")
+    no <- Gen.choose(1L, 1000000L)
+    last <- Gen.frequency(5 -> Gen.choose(1, 500).map(_.toDouble), 1 -> Gen.const(0.0))
+    qty <- Gen.choose(1L, 50L)
+    sec_off <- Gen.choose(0, 600) // ten minutes
+  } yield PT(sec, no, last, qty,
+    Timestamp.valueOf(s"2024-12-06 10:0${sec_off / 60 % 10}:${10 + sec_off % 50}"))
+
+  test("batchCandles: low <= open/close <= high; volume = sum of quantities") {
+    assertProp(Prop.forAll(Gen.listOfN(40, tickGen)) { ticks =>
+      val df = ticks.toDF()
+      val out = CandleBuilder.batchCandles(df).collect()
+      val volByGroup = ticks.groupBy(t =>
+        (t.sec_code, t.ts.getTime / 60000)).view.mapValues(_.map(_.quantity).sum)
+      out.forall { r =>
+        val (o, c, h, l, v) = (r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getDouble(6), r.getLong(7))
+        val key = (r.getString(1), r.getTimestamp(0).getTime / 60000)
+        l <= o && o <= h && l <= c && c <= h && volByGroup(key) == v
+      }
+    })
+  }
+
+  // ---- dedup -------------------------------------------------------------
+
+  private val verGen: Gen[PV] = for {
+    k1 <- Gen.choose(0, 5)
+    k2 <- Gen.oneOf("x", "y")
+    p <- Gen.choose(0, 1000).map(_.toDouble)
+    seq <- Gen.choose(1L, 100L)
+  } yield PV(k1, k2, p, seq)
+
+  test("dedup: idempotent, one row per key, winner has the max seq") {
+    assertProp(Prop.forAll(Gen.listOfN(30, verGen)) { rows0 =>
+      // make seq unique per key (the operator's documented precondition)
+      val rows = rows0.zipWithIndex.map { case (v, i) => v.copy(seq = v.seq * 1000 + i) }
+      val df = rows.toDF()
+      val once = Dedup.lastWriteWins(df, Seq("k1", "k2"), "seq")
+      val twice = Dedup.lastWriteWins(once, Seq("k1", "k2"), "seq")
+      val got = once.collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(3)).toMap
+      val want = rows.groupBy(v => (v.k1, v.k2)).view.mapValues(_.map(_.seq).max).toMap
+      got == want && twice.collect().length == once.collect().length
+    })
+  }
+
+  // ---- TopK sketch -------------------------------------------------------
+
+  test("TopKBuffer is exact while distinct values fit the capacity") {
+    assertProp(Prop.forAll(Gen.listOf(Gen.oneOf("a", "b", "c", "d", "e", "f"))) { vs =>
+      val buf = new TopKBuffer(64)
+      vs.foreach(buf.add)
+      val exact = vs.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+        .sortBy { case (v, c) => (-c, v) }.map(_._1).take(3)
+      buf.topK(3).toSeq == exact
+    })
+  }
+
+  test("TopKBuffer merge is exact in the small regime") {
+    assertProp(Prop.forAll(
+      Gen.listOf(Gen.oneOf("a", "b", "c")), Gen.listOf(Gen.oneOf("b", "c", "d"))) { (l, r) =>
+      val b1 = new TopKBuffer(64); l.foreach(b1.add)
+      val b2 = new TopKBuffer(64); r.foreach(b2.add)
+      b1.merge(b2)
+      val exact = (l ++ r).groupBy(identity).view.mapValues(_.size.toLong).toSeq
+        .sortBy { case (v, c) => (-c, v) }.map(_._1).take(2)
+      b1.topK(2).toSeq == exact
+    })
+  }
+
+  // ---- the dashboard's own internal redundancy (Q1 vs Q2) ----------------
+
+  test("Q1 and Q2 agree on net notional for shared leaders (sf0.001)") {
+    val dir = "/root/testdata/sf0.001"
+    val q1 = graft.queries.TradeQueries.q01.fn(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val q2 = graft.queries.TradeQueries.q02.fn(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val shared = q1.keySet intersect q2.keySet
+    assert(shared.nonEmpty)
+    shared.foreach { sec => assert(q1(sec) == q2(sec), s"sec $sec") }
+  }
+}
+
+/** Top-level for Spark encoder derivation. */
+case class PT(sec_code: String, tick_no: Long, last: Double,
+    quantity: Long, ts: Timestamp)
+case class PV(k1: Int, k2: String, payload: Double, seq: Long)
