@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan-audit utility: prints the formatted physical plan of the named
+  * queries (default: a representative set) against SPARK_GRAFT_SF_DIR.
+  * Used to keep the scale checklist honest: pushed filters reach the scan,
+  * dims broadcast, aggregates stay partial/final, sorts only where the
+  * query semantics demand order.
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val names = if (args.nonEmpty) args.toSeq else Seq(
+      "q01_netto_buy_topk", "q07_buy_turnover_interval", "q19_imoex_turnover_by_time_b",
+      "a16_candles_batch", "dedup_trades", "llm_minhash_lsh", "llm_embed_topk")
+    names.foreach { n =>
+      println(s"\n================ $n ================")
+      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}
