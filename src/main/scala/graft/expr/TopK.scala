@@ -129,9 +129,24 @@ case class TopK(
   override def prettyName: String = "graft_topk"
 }
 
-/** Session-level registration of the custom function surface. */
+/** Session-level registration of the custom function surface — the two
+  * non-ANSI constructs the reference SQL uses (SURVEY §2.C):
+  * `topK(k)(col)` (GD:374) and `toStartOfInterval(t, INTERVAL n)` (GD:113),
+  * exposed to Spark SQL as `graft_topk(col, k)` and
+  * `to_start_of_interval(t, seconds)`.
+  */
 object GraftFunctions {
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+  import org.apache.spark.sql.catalyst.expressions.{Cast, Pmod, SecondsToTimestamp, Subtract, UnixSeconds}
+  import org.apache.spark.sql.types.{LongType, TimestampType}
+
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    registry.createOrReplaceTempFunction(
       "graft_topk", exprs => TopK(exprs.head, exprs(1)), "built-in")
+    registry.createOrReplaceTempFunction(
+      "to_start_of_interval", { exprs =>
+        val us = UnixSeconds(Cast(exprs.head, TimestampType))
+        SecondsToTimestamp(Subtract(us, Pmod(us, Cast(exprs(1), LongType))))
+      }, "built-in")
+  }
 }

@@ -162,8 +162,28 @@ object IngestQueries {
     Positions.merge(positionUpdates(spark, dir)).orderBy(col("account"))
   }
 
+  /** A1/A5/A16 (stateful path) — the semantics-exact candle state machine
+    * run through the streaming operator (flatMapGroupsWithState executes
+    * identically over a batch Dataset). Not SQL-expressible (emit points
+    * depend on per-security arrival order), so the driver records a
+    * rows-only check; the semantics are pinned by CandleCoreSpec +
+    * StreamingSpec instead.
+    */
+  val a01StreamCandles = QueryDef.noOracle("a01_stream_candles") { (spark, dir) =>
+    import spark.implicits._
+    val tickDs = ticks(spark, dir).selectExpr(
+      "secid AS secId", "sec_code AS secCode", "ts", "time",
+      "last", "open", "quantity", "tick_no AS tickNo")
+      .as[graft.schema.Tick]
+    graft.streaming.CandleStream
+      .candles(tickDs, java.time.LocalDate.of(2024, 12, 6))
+      .toDF()
+      .orderBy("secId", "date", "close")
+  }
+
   val all: Seq[QueryDef] = Seq(
     a16CandlesBatch, dedupTrades, dedupQuotes,
     a06Cascade, a07Valid, a09Bond, a10Periods,
-    a12TradeParse, a14SecinfoParse, a15HistoryParse, a17Positions)
+    a12TradeParse, a14SecinfoParse, a15HistoryParse, a17Positions,
+    a01StreamCandles)
 }

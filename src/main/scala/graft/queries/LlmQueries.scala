@@ -365,7 +365,43 @@ object LlmQueries {
       .toDF().orderBy("doc_id")
   }
 
+  /** Quality scoring for corpus filtering: lexical-diversity +
+    * stopword-density + length prior, weighted into one score and a keep
+    * flag. All ratios are exact-integer divisions, the weighted sum is a
+    * fixed-order double expression — the SAME expression text runs in
+    * both engines.
+    */
+  private val qualityExpr =
+    """CAST(n_uniq AS DOUBLE) / n_tokens * 0.5
+      | + (1.0 - CAST(stop_cnt AS DOUBLE) / n_tokens) * 0.3
+      | + (CASE WHEN n_chars >= 200 THEN 1.0 WHEN n_chars >= 100 THEN 0.5 ELSE 0.0 END) * 0.2""".stripMargin.replace("\n", "")
+
+  val qualityScore = QueryDef.sql(
+    "llm_quality_score",
+    s"""SELECT doc_id, n_tokens, quality, quality >= 0.6 AS keep FROM (
+       |  SELECT doc_id, n_tokens, $qualityExpr AS quality FROM (
+       |    SELECT doc_id,
+       |      len(tk) AS n_tokens,
+       |      len(list_distinct(tk)) AS n_uniq,
+       |      len(list_filter(tk, t -> t IN ('the', 'a'))) AS stop_cnt,
+       |      length(text) AS n_chars
+       |    FROM (SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents) d) m) q
+       |ORDER BY doc_id""".stripMargin
+  ) { (spark, dir) =>
+    documents(spark, dir)
+      .withColumn("tk", split(col("text"), " "))
+      .select(col("doc_id"),
+        expr("CAST(size(tk) AS BIGINT)").as("n_tokens"),
+        expr("CAST(size(array_distinct(tk)) AS BIGINT)").as("n_uniq"),
+        expr("CAST(size(filter(tk, t -> t IN ('the', 'a'))) AS BIGINT)").as("stop_cnt"),
+        expr("CAST(length(text) AS BIGINT)").as("n_chars"))
+      .withColumn("quality", expr(qualityExpr))
+      .select(col("doc_id"), col("n_tokens"), col("quality"),
+        (col("quality") >= 0.6).as("keep"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     textStats, langId, exactDedup, minhashLsh, ngramJaccard, simhash,
-    fingerprint, embedTopk, annLsh, imageMeta)
+    fingerprint, embedTopk, annLsh, imageMeta, qualityScore)
 }

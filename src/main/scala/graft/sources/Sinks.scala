@@ -1,0 +1,40 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode}
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** A4/A5 — the sink surface.
+  *
+  * Reference behavior: candles/securities go through client-side batched
+  * inserts (`PrepareBatch`+`Send`, main.go:121-159,224-228); trades/
+  * quotes/secinfo are fire-and-forget async per-row inserts
+  * (`AsyncInsert` with wait=false, db.go:12,112) — i.e. at-least-once
+  * with server-side buffering, made consistent by ReplacingMergeTree
+  * dedup at merge time.
+  *
+  * Spark-first mapping: batch writes are plain `df.write` (A4); the
+  * streaming path appends micro-batches (A5) — the micro-batch IS the
+  * async-insert buffer — and exactly-once END STATE comes from the
+  * dedup-on-key read path ([[graft.ingest.Dedup]]), mirroring the
+  * reference's storage contract rather than trying to make the transport
+  * exactly-once.
+  *
+  * Scale notes: batch writes partition by the table's time column and
+  * sort within partitions by the ReplacingMergeTree key prefix, so parquet
+  * min/max row-group stats give the same range-pruning the ClickHouse
+  * ORDER BY clustering provides (db.go:62; SURVEY §4 row 1).
+  */
+object Sinks {
+
+  /** A4 — batch append with key-clustered layout for stat-based pruning. */
+  def batchAppend(df: DataFrame, path: String, sortCols: Seq[String]): Unit =
+    df.sortWithinPartitions(sortCols.head, sortCols.tail: _*)
+      .write.mode(SaveMode.Append).parquet(path)
+
+  /** A5 — streaming micro-batch append (at-least-once; pair with the
+    * dedup read path downstream).
+    */
+  def streamAppend[T](ds: Dataset[T], path: String, checkpoint: String): StreamingQuery =
+    ds.writeStream.outputMode("append").format("parquet")
+      .option("path", path).option("checkpointLocation", checkpoint).start()
+}
