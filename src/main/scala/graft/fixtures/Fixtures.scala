@@ -264,6 +264,24 @@ object Fixtures {
        |FROM supplier)""".stripMargin
 
   // =========================================================================
+  // securities_wire  (A11: wide wire-typed securities awaiting downcasts —
+  // the gRPC structs carry int/float64 fields that main.go:146-157 narrows)
+  // =========================================================================
+
+  private val secWireCols = Seq(
+    "CAST(secid AS BIGINT) AS secid", "seccode", "instrclass", "board",
+    "CAST(market AS BIGINT) AS market", "shortname",
+    "CAST(decimals AS BIGINT) AS decimals", "minstep",
+    "CAST(lotsize AS BIGINT) AS lotsize", "point_cost", "sectype",
+    "CAST(quotestype AS BIGINT) AS quotestype", "active")
+
+  def securitiesWire(spark: SparkSession, dir: String): DataFrame =
+    securities(spark, dir).selectExpr(secWireCols: _*)
+
+  val securitiesWireCte: String =
+    s"securities_wire AS (SELECT ${secWireCols.mkString(",\n  ")}\nFROM securities)"
+
+  // =========================================================================
   // candle_kinds  (CandleKind directory for A10; from nation — 25 kinds)
   // =========================================================================
 

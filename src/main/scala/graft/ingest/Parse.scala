@@ -21,6 +21,25 @@ object Parse {
       col("price"), col("quantity"), col("buy_sell"),
       col("open_interest"), col("period"))
 
+  /** A11 (main.go:146-158): the securities insert projection — 12
+    * positional columns with the reference's narrowing casts
+    * (uint16 secid, uint8 market/decimals/lotsize/quotestype, float32
+    * minstep/point_cost; SURVEY §1.4). `active` is a wire-only field the
+    * insert drops (it gates A7 instead).
+    */
+  def securities(wire: DataFrame): DataFrame =
+    wire.select(
+      col("secid").cast("int").as("secid"),
+      col("seccode"), col("instrclass"), col("board"),
+      col("market").cast("int").as("market"),
+      col("shortname"),
+      col("decimals").cast("int").as("decimals"),
+      col("minstep").cast("double").as("minstep"),
+      col("lotsize").cast("int").as("lotsize"),
+      col("point_cost").cast("double").as("point_cost"),
+      col("sectype"),
+      col("quotestype").cast("int").as("quotestype"))
+
   /** A14 (db.go:139-174): secinfo date parses (`dd.MM.yyyy`,
     * db.go:140-142). NOTE the reference's positional-append bug — it sends
     * CouponPeriod twice so FaceValue lands one slot off (db.go:161-163);

@@ -121,6 +121,21 @@ object IngestQueries {
       .orderBy(col("kind_id"))
   }
 
+  /** A11 — securities insert projection with narrowing casts. */
+  val a11Projection = QueryDef.sql(
+    "a11_securities_projection",
+    withCtes(
+      """SELECT CAST(secid AS INT) AS secid, seccode, instrclass, board,
+        |       CAST(market AS INT) AS market, shortname,
+        |       CAST(decimals AS INT) AS decimals, minstep,
+        |       CAST(lotsize AS INT) AS lotsize, point_cost, sectype,
+        |       CAST(quotestype AS INT) AS quotestype
+        |FROM securities_wire ORDER BY secid""".stripMargin,
+      securitiesCte, securitiesWireCte)
+  ) { (spark, dir) =>
+    Parse.securities(securitiesWire(spark, dir)).orderBy(col("secid"))
+  }
+
   /** A12 — trade wire-time parse (dd.MM.yyyy HH:mm:ss round-trip). */
   val a12TradeParse = QueryDef.sql(
     "a12_trade_time_parse",
@@ -184,6 +199,6 @@ object IngestQueries {
   val all: Seq[QueryDef] = Seq(
     a16CandlesBatch, dedupTrades, dedupQuotes,
     a06Cascade, a07Valid, a09Bond, a10Periods,
-    a12TradeParse, a14SecinfoParse, a15HistoryParse, a17Positions,
-    a01StreamCandles)
+    a11Projection, a12TradeParse, a14SecinfoParse, a15HistoryParse,
+    a17Positions, a01StreamCandles)
 }

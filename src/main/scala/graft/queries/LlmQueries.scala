@@ -352,6 +352,41 @@ object LlmQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Embedding-cosine NEAR-DUP (the dedup-shaped variant of similarity
+    * search): candidate pairs come only from shared sign-buckets
+    * (4 hyperplanes → 16 buckets), then exact quantized cosine ≥ 0.4.
+    * Same shape as MinHash-LSH: bucket equi-join, never all-pairs.
+    */
+  val embedNearDup = QueryDef.sql(
+    "llm_embed_neardup", {
+      val dots = (0 until 4).map(j => s"${Embed.hyperplaneDotSql(j)} AS d$j").mkString(",\n  ")
+      s"""WITH emb AS (${Embed.preparedSql}),
+         |bucketed AS (SELECT vec_id, qv, nrm, ${Embed.bucketSql(4)} AS bucket FROM (
+         |  SELECT vec_id, qv, nrm, $dots FROM emb) d)
+         |SELECT vec_a, vec_b, cos_sim FROM (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    ${Embed.cosineSql(Embed.dotSql("a.qv", "b.qv"), "a.nrm", "b.nrm")} AS cos_sim
+         |  FROM bucketed a JOIN bucketed b
+         |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id) p
+         |WHERE cos_sim >= 0.4
+         |ORDER BY vec_a, vec_b""".stripMargin
+    }
+  ) { (spark, dir) =>
+    val emb = Embed.prepared(embeddings(spark, dir))
+    val bucketed = (0 until 4).foldLeft(emb)((df, j) =>
+        df.withColumn(s"d$j", expr(Embed.hyperplaneDotExpr(j))))
+      .withColumn("bucket", expr(Embed.bucketSql(4)))
+      .select(col("vec_id"), col("qv"), col("nrm"), col("bucket"))
+      .cache()
+    bucketed.as("a").join(bucketed.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos_sim",
+        expr(Embed.cosineSql(Embed.dotExpr("a.qv", "b.qv"), "a.nrm", "b.nrm")))
+      .filter(col("cos_sim") >= 0.4)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos_sim"))
+      .orderBy("vec_a", "vec_b")
+  }
+
   /** Multimodal: binary media column → typed mapPartitions decode (stub
     * codec, real plumbing — see [[graft.llm.Multimodal]]).
     */
@@ -403,5 +438,5 @@ object LlmQueries {
 
   val all: Seq[QueryDef] = Seq(
     textStats, langId, exactDedup, minhashLsh, ngramJaccard, simhash,
-    fingerprint, embedTopk, annLsh, imageMeta, qualityScore)
+    fingerprint, embedTopk, annLsh, embedNearDup, imageMeta, qualityScore)
 }
