@@ -264,16 +264,18 @@ object LlmQueries {
       |      FROM documents) u
       |ORDER BY doc_id""".stripMargin
   ) { (spark, dir) =>
-    // no explode, no shuffle: the rolling min-hash folds inside one
-    // projection per document (map-side only at any scale)
+    // dedupe grams BEFORE hashing (min is dup-invariant), then hash inside
+    // a codegen'd aggregate projection — lambda bodies in higher-order
+    // functions run interpreted, so md5-per-gram belongs after the explode
     documents(spark, dir)
       .withColumn("grams", expr(
         """CASE WHEN length(text) >= 8
-          |  THEN transform(sequence(1, length(text) - 7), i -> substring(text, i, 8))
+          |  THEN array_distinct(transform(sequence(1, length(text) - 7), i -> substring(text, i, 8)))
           |ELSE array(text) END""".stripMargin))
-      .select(col("doc_id"),
-        expr("array_min(transform(grams, g -> md5(g)))").as("fingerprint"),
-        expr("CAST(size(array_distinct(grams)) AS BIGINT)").as("n_grams"))
+      .select(col("doc_id"), explode(col("grams")).as("g"))
+      .groupBy("doc_id")
+      .agg(min(md5(col("g"))).as("fingerprint"),
+        count(lit(1)).as("n_grams"))
       .orderBy("doc_id")
   }
 
