@@ -204,10 +204,12 @@ object Fixtures {
   )
 
   def ticks(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/lineitem.parquet")
-      .selectExpr(tickInner: _*)
-      .selectExpr(tickCols :+
-        "timestampadd(SECOND, sod, CAST(l_shipdate AS TIMESTAMP)) AS ts": _*)
+    memo(spark, dir, "ticks") {
+      spark.read.parquet(s"$dir/lineitem.parquet")
+        .selectExpr(tickInner: _*)
+        .selectExpr(tickCols :+
+          "timestampadd(SECOND, sod, CAST(l_shipdate AS TIMESTAMP)) AS ts": _*)
+    }
 
   val ticksCte: String =
     s"""ticks AS (SELECT ${tickCols.mkString(",\n  ")},

@@ -1,0 +1,42 @@
+package graft
+
+import graft.llm.Embed
+
+/** The unrolled quantized-vector expressions vs a naive Scala computation
+  * — protects the codegen-friendly rewrite from off-by-one/term drift.
+  */
+class EmbedSpec extends SparkSuite {
+
+  private val a = Array.tabulate(Embed.Dim)(i => (math.sin(i + 1) * 0.3).toFloat)
+  private val b = Array.tabulate(Embed.Dim)(i => (math.cos(i * 2 + 1) * 0.4).toFloat)
+
+  private def quant(v: Array[Float]): Array[Long] =
+    v.map(x => math.round(x.toDouble * 1000))
+
+  test("unrolled dot/norm match the naive quantized computation") {
+    import spark.implicits._
+    val df = Seq((a.toSeq, b.toSeq)).toDF("ea", "eb")
+      .selectExpr(
+        "transform(ea, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qa",
+        "transform(eb, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qb")
+      .withColumn("qv", org.apache.spark.sql.functions.col("qa"))
+      .selectExpr(s"${Embed.dotExpr("qa", "qb")} AS dot", s"${Embed.normExpr} AS na")
+    val r = df.collect().head
+    val (qa, qb) = (quant(a), quant(b))
+    assert(r.getLong(0) == qa.zip(qb).map { case (x, y) => x * y }.sum)
+    assert(r.getLong(1) == qa.map(x => x * x).sum)
+  }
+
+  test("unrolled hyperplane dots match explicit coefficients incl. zero terms") {
+    import spark.implicits._
+    val df = Seq(Tuple1(a.toSeq)).toDF("ea")
+      .selectExpr("transform(ea, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv")
+      .selectExpr((0 until 8).map(j => s"${Embed.hyperplaneDotExpr(j)} AS d$j"): _*)
+    val r = df.collect().head
+    val qa = quant(a)
+    (0 until 8).foreach { j =>
+      val want = (0 until Embed.Dim).map(i => (((i * 31 + j * 17) % 7) - 3) * qa(i)).sum
+      assert(r.getLong(j) == want, s"hyperplane $j")
+    }
+  }
+}
