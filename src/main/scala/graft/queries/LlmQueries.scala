@@ -67,14 +67,17 @@ object LlmQueries {
        |ORDER BY d.doc_id""".stripMargin
   ) { (spark, dir) =>
     val docs = documents(spark, dir)
-    val exploded = docs.select(col("lang"), explode(expr(Text.charTrigramsExpr)).as("tri"))
+    // one trigram explosion feeds BOTH the profile trainer and the
+    // classifier (the transform lambda is interpreted — don't run it twice)
+    val exploded = docs
+      .select(col("doc_id"), col("lang"), explode(expr(Text.charTrigramsExpr)).as("tri"))
+      .cache()
     val profile = exploded.groupBy("lang", "tri").agg(count(lit(1)).as("cnt"))
       .withColumn("rn", row_number().over(
         Window.partitionBy("lang").orderBy(col("cnt").desc, col("tri"))))
       .filter(col("rn") <= 20)
       .select(col("lang").as("plang"), col("tri"))
-    val docTri = docs.select(col("doc_id"),
-      explode(array_distinct(expr(Text.charTrigramsExpr))).as("tri"))
+    val docTri = exploded.select(col("doc_id"), col("tri")).distinct()
     val scores = docTri.join(broadcast(profile), "tri")
       .groupBy("doc_id", "plang").agg(count(lit(1)).as("score"))
     // unique ordering key (score desc, plang asc) → deterministic argmax
