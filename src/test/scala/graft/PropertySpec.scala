@@ -94,6 +94,22 @@ class PropertySpec extends SparkSuite {
     })
   }
 
+  // ---- salting -----------------------------------------------------------
+
+  test("salted two-stage sum equals direct groupBy sum for any distribution") {
+    assertProp(Prop.forAll(Gen.listOfN(60, verGen)) { rows =>
+      val df = rows.toDF()
+      val direct = df.groupBy("k1", "k2")
+        .agg(org.apache.spark.sql.functions.sum("payload").as("sum_payload"))
+        .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getDouble(2)).toMap
+      val salted = graft.ingest.Salt
+        .saltedSum(df, Seq("k1", "k2"), "payload",
+          org.apache.spark.sql.functions.col("seq"), buckets = 7)
+        .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getDouble(2)).toMap
+      salted == direct
+    })
+  }
+
   // ---- the dashboard's own internal redundancy (Q1 vs Q2) ----------------
 
   test("Q1 and Q2 agree on net notional for shared leaders (sf0.001)") {
