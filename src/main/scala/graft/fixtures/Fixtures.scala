@@ -255,28 +255,55 @@ object Fixtures {
   // secinfo_raw  (wire-shaped, dd.MM.yyyy date strings to parse; A14)
   // =========================================================================
 
-  def secinfoRaw(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/supplier.parquet").selectExpr(
+  /** All 28 wire fields of the secinfo callback (commands.SecInfo consumed
+    * at db.go:139-174), derived from supplier's 4 columns. Date fields are
+    * `dd.MM.yyyy` wire STRINGS (the parse under test, A14); everything
+    * else follows rules 1-2 (shared arithmetic, integer-valued doubles —
+    * s_acctbal floors are exact in both engines, sign included).
+    */
+  private def secinfoCols(duck: Boolean): Seq[String] = {
+    def dmy(base: String, off: String): String =
+      if (duck) s"strftime(DATE '$base' + CAST($off AS INT), '%d.%m.%Y')"
+      else s"date_format(date_add(DATE '$base', CAST($off AS INT)), 'dd.MM.yyyy')"
+    Seq(
       "CAST(s_suppkey % 60 + 1 AS INT) AS secid",
-      s"${secCode("s_suppkey % 60")} AS sec_code",
       "s_name AS sec_name",
-      "1 AS market",
-      "date_format(date_add(DATE '2025-01-01', CAST(s_suppkey AS INT)), 'dd.MM.yyyy') AS mat_date",
-      "date_format(date_add(DATE '2024-06-01', CAST(s_suppkey % 30 AS INT)), 'dd.MM.yyyy') AS coupon_date",
+      s"${secCode("s_suppkey % 60")} AS sec_code",
+      "CAST(s_suppkey % 3 + 1 AS INT) AS market",
+      "concat('pt. ', CAST(s_suppkey % 5 AS STRING)) AS pname",
+      s"${dmy("2025-01-01", "s_suppkey % 2000")} AS mat_date",
+      "CAST(floor(s_acctbal / 2) AS DOUBLE) AS clearing_price",
+      "CAST(floor(s_acctbal / 10) AS DOUBLE) AS minprice",
+      "CAST(floor(s_acctbal * 2) AS DOUBLE) AS maxprice",
+      "CAST(s_suppkey % 100 AS DOUBLE) AS buy_deposit",
+      "CAST(s_suppkey % 90 AS DOUBLE) AS sell_deposit",
+      "CAST(s_suppkey % 50 AS DOUBLE) AS bgo_c",
+      "CAST(s_suppkey % 40 AS DOUBLE) AS bgo_nc",
+      "CAST(s_suppkey % 30 AS DOUBLE) AS bgo_buy",
+      "CAST(s_suppkey % 20 AS DOUBLE) AS accruedint",
+      "CAST(floor(s_acctbal / 20) AS DOUBLE) AS coupon_value",
+      s"${dmy("2024-06-01", "s_suppkey % 30")} AS coupon_date",
+      "CAST(s_suppkey % 4 + 1 AS INT) AS coupon_period",
       "CAST(floor(s_acctbal) AS DOUBLE) AS facevalue",
-      "CAST(s_suppkey % 4 + 1 AS INT) AS coupon_period"
+      "CASE WHEN s_suppkey % 2 = 0 THEN 'P' ELSE 'C' END AS put_call",
+      "CAST(1.0 AS DOUBLE) AS point_cost",
+      "CASE WHEN s_suppkey % 3 = 0 THEN 'P' WHEN s_suppkey % 3 = 1 THEN 'C' ELSE 'M' END AS opt_type",
+      "CAST(s_suppkey % 10 + 1 AS INT) AS lot_volume",
+      "concat('RU000A', lpad(CAST(s_suppkey AS STRING), 4, '0')) AS isin",
+      "concat('1-0', CAST(s_suppkey % 9 + 1 AS STRING), '-', lpad(CAST(s_suppkey AS STRING), 5, '0')) AS regnumber",
+      "CAST(floor(s_acctbal / 3) AS DOUBLE) AS buybackprice",
+      s"${dmy("2026-03-01", "s_suppkey % 60")} AS buybackdate",
+      "CASE WHEN s_suppkey % 5 = 0 THEN 'USD' ELSE 'RUB' END AS currencyid"
     )
+  }
+
+  def secinfoRaw(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/supplier.parquet")
+      .selectExpr(secinfoCols(duck = false): _*)
 
   val secinfoRawCte: String =
     s"""secinfo_raw AS (SELECT
-       |  CAST(s_suppkey % 60 + 1 AS INT) AS secid,
-       |  ${secCode("s_suppkey % 60")} AS sec_code,
-       |  s_name AS sec_name,
-       |  1 AS market,
-       |  strftime(DATE '2025-01-01' + CAST(s_suppkey AS INT), '%d.%m.%Y') AS mat_date,
-       |  strftime(DATE '2024-06-01' + CAST(s_suppkey % 30 AS INT), '%d.%m.%Y') AS coupon_date,
-       |  CAST(floor(s_acctbal) AS DOUBLE) AS facevalue,
-       |  CAST(s_suppkey % 4 + 1 AS INT) AS coupon_period
+       |  ${secinfoCols(duck = true).mkString(",\n  ")}
        |FROM supplier)""".stripMargin
 
   // =========================================================================

@@ -40,17 +40,31 @@ object Parse {
       col("sectype"),
       col("quotestype").cast("int").as("quotestype"))
 
-  /** A14 (db.go:139-174): secinfo date parses (`dd.MM.yyyy`,
-    * db.go:140-142). NOTE the reference's positional-append bug — it sends
-    * CouponPeriod twice so FaceValue lands one slot off (db.go:161-163);
-    * we replicate the intended SCHEMA, not the bug (SURVEY §7.5.6).
+  /** A14 (db.go:139-174): the FULL 28-column secinfo projection in DDL
+    * order (db.go:64-94) with the three `dd.MM.yyyy` date parses
+    * (mat_date/coupon_date/buybackdate → midnight timestamps, matching
+    * the reference's DateTime columns, db.go:140-142). NOTE the
+    * reference's positional-append bug — it sends CouponPeriod twice so
+    * FaceValue and everything after land one slot off (db.go:160-162,
+    * against a 27-placeholder INSERT); we implement the intended SCHEMA,
+    * not the bug (SURVEY §7.5.6). Output types match
+    * [[graft.schema.Schemas.securitiesInfo]] exactly (schema-asserted in
+    * SchemasSpec).
     */
   def secInfo(wire: DataFrame): DataFrame =
     wire.select(
-      col("secid"), col("sec_code"), col("sec_name"), col("market"),
-      to_date(col("mat_date"), "dd.MM.yyyy").as("mat_date"),
-      to_date(col("coupon_date"), "dd.MM.yyyy").as("coupon_date"),
-      col("facevalue"), col("coupon_period"))
+      col("secid"), col("sec_name"), col("sec_code"), col("market"), col("pname"),
+      to_timestamp(col("mat_date"), "dd.MM.yyyy").as("mat_date"),
+      col("clearing_price"), col("minprice"), col("maxprice"),
+      col("buy_deposit"), col("sell_deposit"),
+      col("bgo_c"), col("bgo_nc"), col("bgo_buy"),
+      col("accruedint"), col("coupon_value"),
+      to_timestamp(col("coupon_date"), "dd.MM.yyyy").as("coupon_date"),
+      col("coupon_period"), col("facevalue"), col("put_call"), col("point_cost"),
+      col("opt_type"), col("lot_volume"), col("isin"), col("regnumber"),
+      col("buybackprice"),
+      to_timestamp(col("buybackdate"), "dd.MM.yyyy").as("buybackdate"),
+      col("currencyid"))
 
   /** A15 (process.go:108-122): history-candle batch — parse the item date
     * string and broadcast the batch ENVELOPE's (sec_code, period) onto

@@ -147,14 +147,21 @@ object IngestQueries {
       tradesCte, tradesWireCte)
   ) { (spark, dir) => Parse.trades(tradesWire(spark, dir)) }
 
-  /** A14 — secinfo dd.MM.yyyy date parse. */
+  /** A14 — the full 28-column secinfo projection (db.go:64-94) with its
+    * three dd.MM.yyyy date parses.
+    */
   val a14SecinfoParse = QueryDef.sql(
     "a14_secinfo_parse",
     withCtes(
-      """SELECT secid, sec_code, sec_name, market,
-        |       CAST(strptime(mat_date, '%d.%m.%Y') AS DATE) AS mat_date,
-        |       CAST(strptime(coupon_date, '%d.%m.%Y') AS DATE) AS coupon_date,
-        |       facevalue, coupon_period
+      """SELECT secid, sec_name, sec_code, market, pname,
+        |       strptime(mat_date, '%d.%m.%Y') AS mat_date,
+        |       clearing_price, minprice, maxprice, buy_deposit, sell_deposit,
+        |       bgo_c, bgo_nc, bgo_buy, accruedint, coupon_value,
+        |       strptime(coupon_date, '%d.%m.%Y') AS coupon_date,
+        |       coupon_period, facevalue, put_call, point_cost, opt_type,
+        |       lot_volume, isin, regnumber, buybackprice,
+        |       strptime(buybackdate, '%d.%m.%Y') AS buybackdate,
+        |       currencyid
         |FROM secinfo_raw""".stripMargin,
       secinfoRawCte)
   ) { (spark, dir) => Parse.secInfo(secinfoRaw(spark, dir)) }

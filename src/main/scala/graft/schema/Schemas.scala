@@ -80,6 +80,49 @@ object Schemas {
   ))
 
   val quotesKey: Seq[String] = Seq("sec_code", "board", "price", "source")
+
+  /** transaq_securities_info — full bond/derivative metadata surface
+    * (db.go:64-94). The DDL declares 28 columns; the reference's INSERT
+    * statement has only 27 placeholders and its Go append pushes 29 values
+    * (CouponPeriod is appended twice, db.go:160-162), so positional inserts
+    * land one slot off from accruedint onward. We implement the DDL's
+    * INTENDED schema (SURVEY §7.5.6) — the three DateTime columns are
+    * midnight timestamps parsed from `dd.MM.yyyy` wire strings
+    * (db.go:14,140-142).
+    */
+  val securitiesInfo: StructType = StructType(Seq(
+    StructField("secid", IntegerType, nullable = false), // UInt16
+    StructField("sec_name", StringType, nullable = false),
+    StructField("sec_code", StringType, nullable = false), // FixedString(16)
+    StructField("market", IntegerType, nullable = false), // UInt8
+    StructField("pname", StringType, nullable = false),
+    StructField("mat_date", TimestampType, nullable = false),
+    StructField("clearing_price", DoubleType, nullable = false), // Float32 at rest
+    StructField("minprice", DoubleType, nullable = false),
+    StructField("maxprice", DoubleType, nullable = false),
+    StructField("buy_deposit", DoubleType, nullable = false),
+    StructField("sell_deposit", DoubleType, nullable = false),
+    StructField("bgo_c", DoubleType, nullable = false),
+    StructField("bgo_nc", DoubleType, nullable = false),
+    StructField("bgo_buy", DoubleType, nullable = false),
+    StructField("accruedint", DoubleType, nullable = false),
+    StructField("coupon_value", DoubleType, nullable = false),
+    StructField("coupon_date", TimestampType, nullable = false),
+    StructField("coupon_period", IntegerType, nullable = false), // UInt8
+    StructField("facevalue", DoubleType, nullable = false),
+    StructField("put_call", StringType, nullable = false), // FixedString(1)
+    StructField("point_cost", DoubleType, nullable = false),
+    StructField("opt_type", StringType, nullable = false), // FixedString(1)
+    StructField("lot_volume", IntegerType, nullable = false), // UInt8
+    StructField("isin", StringType, nullable = false),
+    StructField("regnumber", StringType, nullable = false),
+    StructField("buybackprice", DoubleType, nullable = false),
+    StructField("buybackdate", TimestampType, nullable = false),
+    StructField("currencyid", StringType, nullable = false)
+  ))
+
+  /** ReplacingMergeTree ORDER BY key of transaq_securities_info (db.go:94). */
+  val securitiesInfoKey: Seq[String] = Seq("sec_code", "market", "regnumber", "isin")
 }
 
 /** Wire-side tick (commands.Quotation subset consumed at process.go:129-163). */
