@@ -413,6 +413,36 @@ object Fixtures {
   def embeddings(spark: SparkSession, dir: String): DataFrame =
     memo(spark, dir, "embeddings")(spark.read.parquet(s"$dir/embeddings.parquet"))
 
+  /** Base embeddings plus a deterministic perturbed TWIN of each vec_id<50
+    * (twin id = vec_id + 100000): component i gets ±0.02 additive noise
+    * `(((i*13 + vec_id) % 5) - 2) * 0.01` (components average |x| ≈ 0.1, so
+    * cos(v, twin) ≈ 0.99). The raw table has NO near-duplicates (max
+    * pairwise cosine 0.51), so the near-dup LSH operator would otherwise
+    * be vacuously testing random collisions; the twins give it real
+    * positives whose recall is measurable. Double arithmetic is identical
+    * expression text in both engines (IEEE-deterministic).
+    */
+  private val twinNoise = "(((i * 13 + vec_id) % 5) - 2) * 0.01"
+
+  def embeddingsNearDup(spark: SparkSession, dir: String): DataFrame =
+    memo(spark, dir, "embeddings_neardup") {
+      val base = spark.read.parquet(s"$dir/embeddings.parquet")
+      base.selectExpr("vec_id", "label",
+          "transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding")
+        .unionAll(base.where("vec_id < 50").selectExpr(
+          "vec_id + 100000 AS vec_id", "label",
+          s"transform(sequence(1, 64), i -> CAST(element_at(embedding, i) AS DOUBLE) + $twinNoise) AS embedding"))
+    }
+
+  val embeddingsNearDupCte: String =
+    s"""emb_nd AS (
+       |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+       |  FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 100000 AS vec_id, label,
+       |    list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) + $twinNoise) AS embedding
+       |  FROM embeddings WHERE vec_id < 50)""".stripMargin
+
   /** Prepend CTEs to a query body: `withCtes(body, tradesCte, ...)`. */
   def withCtes(body: String, ctes: String*): String =
     s"WITH ${ctes.mkString(",\n")}\n$body"

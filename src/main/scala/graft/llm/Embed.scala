@@ -60,20 +60,42 @@ object Embed {
   def cosineSql(dot: String, na: String, nb: String): String =
     s"CAST($dot AS DOUBLE) / (sqrt(CAST($na AS DOUBLE)) * sqrt(CAST($nb AS DOUBLE)))"
 
-  /** Deterministic integer hyperplane j: H_j[i] = ((i*31 + j*17) % 7) - 3
-    * for i in 0..63 — seed-free, identical in both engines.
+  /** Deterministic integer hyperplane j, generated in Scala and embedded
+    * as LITERALS in both dialects (trivially identical cross-engine).
+    *
+    * Why literals and not a modular formula: the round-2 formula
+    * `((i*31 + j*17) % 7) - 3` collapses — 31 ≡ 17 ≡ 3 (mod 7), so plane
+    * j depended only on (i + j) % 7 and there were only SEVEN distinct
+    * hyperplanes. Fine for one small sign-bucket, fatal for banded
+    * multi-bit signatures (bands built from duplicate planes carry no
+    * extra information). A murmur-style bit mix gives genuinely
+    * independent planes with entries in [-3, 3], mean ≈ 0.
     */
-  def hyperplaneDotExpr(j: Int): String =
-    s"aggregate(transform(sequence(0, ${Dim - 1}), i -> CAST(((i * 31 + $j * 17) % 7) - 3 AS BIGINT) * element_at(qv, i + 1)), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
-  def hyperplaneDotSql(j: Int): String =
-    s"CAST(list_sum(list_transform(range(0, $Dim), i -> (((i * 31 + $j * 17) % 7) - 3) * qv[i + 1])) AS BIGINT)"
+  def hyperplaneVec(j: Int): IndexedSeq[Long] =
+    (0 until Dim).map { i =>
+      var x = i.toLong * 2654435761L + (j + 1).toLong * 0x9E3779B97F4A7C15L
+      x ^= (x >>> 33); x *= 0xFF51AFD7ED558CCDL; x ^= (x >>> 33)
+      java.lang.Math.floorMod(x, 7L) - 3
+    }
 
-  /** Sign-bucket from `bits` hyperplane dots d0..d{bits-1} (columns already
-    * computed): bit j set iff d_j >= 0. Plain arithmetic — shared dialect.
+  private def hyperplaneLits(j: Int): String = hyperplaneVec(j).mkString(", ")
+
+  def hyperplaneDotExpr(j: Int): String =
+    s"aggregate(zip_with(array(${hyperplaneLits(j)}), qv, (h, x) -> h * x), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+  def hyperplaneDotSql(j: Int): String =
+    s"CAST(list_sum(list_transform(range(1, ${Dim + 1}), i -> ([${hyperplaneLits(j)}][i]) * qv[i])) AS BIGINT)"
+
+  /** Band b's signature from `bits` contiguous hyperplane dots
+    * d{b·bits}..d{b·bits+bits-1} (columns already computed): an integer in
+    * [0, 2^bits) — bit k set iff the dot against plane b·bits+k is >= 0.
+    * Plain arithmetic — shared dialect.
     */
-  def bucketSql(bits: Int): String =
-    (0 until bits).map(j => s"(CASE WHEN d$j >= 0 THEN ${1L << j} ELSE 0 END)")
+  def bandKeySql(b: Int, bits: Int): String =
+    (0 until bits).map(k => s"(CASE WHEN d${b * bits + k} >= 0 THEN ${1 << k} ELSE 0 END)")
       .mkString("(", " + ", ")")
+
+  /** Single sign-bucket from dots d0..d{bits-1} (= band 0's key). */
+  def bucketSql(bits: Int): String = bandKeySql(0, bits)
 
   /** Spark-side prepared embedding table: (vec_id, label, qv, nrm). */
   def prepared(embeddings: DataFrame): DataFrame =
@@ -82,8 +104,10 @@ object Embed {
       .withColumn("nrm", expr(normExpr))
       .select(col("vec_id"), col("label"), col("qv"), col("nrm"))
 
-  /** DuckDB twin of [[prepared]] as a CTE body. */
-  val preparedSql: String =
+  /** DuckDB twin of [[prepared]] as a CTE body over any embedding table. */
+  def preparedSqlFrom(table: String): String =
     s"""SELECT vec_id, label, qv, $normSql AS nrm
-       |FROM (SELECT vec_id, label, $quantizeSql AS qv FROM embeddings) q0""".stripMargin
+       |FROM (SELECT vec_id, label, $quantizeSql AS qv FROM $table) q0""".stripMargin
+
+  val preparedSql: String = preparedSqlFrom("embeddings")
 }

@@ -357,38 +357,75 @@ object LlmQueries {
       .orderBy("query_id", "rank")
   }
 
+  // ---- embedding near-dup: banded multi-bit hyperplane LSH ----
+
+  private val NdBands = 4
+  private val NdBits = 8
+
   /** Embedding-cosine NEAR-DUP (the dedup-shaped variant of similarity
-    * search): candidate pairs come only from shared sign-buckets
-    * (4 hyperplanes → 16 buckets), then exact quantized cosine ≥ 0.4.
-    * Same shape as MinHash-LSH: bucket equi-join, never all-pairs.
+    * search), run over [[graft.fixtures.Fixtures.embeddingsNearDup]] (base
+    * corpus + planted perturbed twins).
+    *
+    * Banded multi-bit signatures, same shape as MinHash-LSH: 32
+    * independent hyperplanes → 4 bands × 8 sign bits; a pair is a
+    * candidate iff it shares ANY band's full 8-bit key. Candidates come
+    * only from the (band, bkey) equi-join — never all-pairs — and are
+    * verified with exact quantized cosine ≥ 0.4.
+    *
+    * Scale: the round-2 form used ONE 4-bit bucket (16 values), so the
+    * self-join degenerated to ~N²/32 pairs — quadratic with a small
+    * constant. Per band, an 8-bit key spreads a random pair to 1/256;
+    * 4 bands ⇒ expected candidates ~N²/128 of all pairs from random
+    * collisions, while a true near-dup (cos ≈ 0.99, per-bit agreement
+    * ≈ 0.96) shares a band with p ≈ 1-(1-0.96⁸)⁴ ≈ 0.99. Banding buys
+    * recall concentrated on real dups instead of coarser buckets; more
+    * bands/bits tune recall vs candidate volume independently. The bands
+    * table carries only (vec_id, band, bkey) — vectors are joined back
+    * for verification from the cached prepared table, so the exploded
+    * shuffle payload stays 3 small integers per row.
     */
   val embedNearDup = QueryDef.sql(
     "llm_embed_neardup", {
-      val dots = (0 until 4).map(j => s"${Embed.hyperplaneDotSql(j)} AS d$j").mkString(",\n  ")
-      s"""WITH emb AS (${Embed.preparedSql}),
-         |bucketed AS (SELECT vec_id, qv, nrm, ${Embed.bucketSql(4)} AS bucket FROM (
-         |  SELECT vec_id, qv, nrm, $dots FROM emb) d)
+      val dots = (0 until NdBands * NdBits)
+        .map(j => s"${Embed.hyperplaneDotSql(j)} AS d$j").mkString(",\n  ")
+      val bandsSql = (0 until NdBands)
+        .map(b => s"SELECT vec_id, $b AS band, ${Embed.bandKeySql(b, NdBits)} AS bkey FROM dots")
+        .mkString("\nUNION ALL\n")
+      s"""WITH ${graft.fixtures.Fixtures.embeddingsNearDupCte},
+         |emb AS (${Embed.preparedSqlFrom("emb_nd")}),
+         |dots AS (SELECT vec_id, $dots FROM emb),
+         |bands AS ($bandsSql),
+         |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id)
          |SELECT vec_a, vec_b, cos_sim FROM (
-         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  SELECT vec_a, vec_b,
          |    ${Embed.cosineSql(Embed.dotSql("a.qv", "b.qv"), "a.nrm", "b.nrm")} AS cos_sim
-         |  FROM bucketed a JOIN bucketed b
-         |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id) p
+         |  FROM cand JOIN emb a ON a.vec_id = cand.vec_a
+         |            JOIN emb b ON b.vec_id = cand.vec_b) p
          |WHERE cos_sim >= 0.4
          |ORDER BY vec_a, vec_b""".stripMargin
     }
   ) { (spark, dir) =>
-    val emb = Embed.prepared(embeddings(spark, dir))
-    val bucketed = (0 until 4).foldLeft(emb)((df, j) =>
-        df.withColumn(s"d$j", expr(Embed.hyperplaneDotExpr(j))))
-      .withColumn("bucket", expr(Embed.bucketSql(4)))
-      .select(col("vec_id"), col("qv"), col("nrm"), col("bucket"))
-      .cache()
-    bucketed.as("a").join(bucketed.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cos_sim",
-        expr(Embed.cosineSql(Embed.dotExpr("a.qv", "b.qv"), "a.nrm", "b.nrm")))
+    val emb = Embed.prepared(
+      graft.fixtures.Fixtures.embeddingsNearDup(spark, dir)).cache()
+    val withDots = (0 until NdBands * NdBits).foldLeft(emb)((df, j) =>
+      df.withColumn(s"d$j", expr(Embed.hyperplaneDotExpr(j))))
+    val bandCols = (0 until NdBands).map(b => struct(lit(b).as("band"),
+      expr(Embed.bandKeySql(b, NdBits)).as("bkey")))
+    val bands = withDots
+      .select(col("vec_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b")).distinct()
+    cand
+      .join(emb.select(col("vec_id").as("vec_a"), col("qv").as("qa"), col("nrm").as("na")), "vec_a")
+      .join(emb.select(col("vec_id").as("vec_b"), col("qv").as("qb"), col("nrm").as("nb")), "vec_b")
+      .withColumn("cos_sim", expr(Embed.cosineSql(Embed.dotExpr("qa", "qb"), "na", "nb")))
       .filter(col("cos_sim") >= 0.4)
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos_sim"))
+      .select(col("vec_a"), col("vec_b"), col("cos_sim"))
       .orderBy("vec_a", "vec_b")
   }
 

@@ -27,7 +27,7 @@ class EmbedSpec extends SparkSuite {
     assert(r.getLong(1) == qa.map(x => x * x).sum)
   }
 
-  test("unrolled hyperplane dots match explicit coefficients incl. zero terms") {
+  test("hyperplane dot expressions match the literal matrix incl. zero terms") {
     import spark.implicits._
     val df = Seq(Tuple1(a.toSeq)).toDF("ea")
       .selectExpr("transform(ea, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv")
@@ -35,8 +35,20 @@ class EmbedSpec extends SparkSuite {
     val r = df.collect().head
     val qa = quant(a)
     (0 until 8).foreach { j =>
-      val want = (0 until Embed.Dim).map(i => (((i * 31 + j * 17) % 7) - 3) * qa(i)).sum
+      val want = Embed.hyperplaneVec(j).zip(qa).map { case (h, x) => h * x }.sum
       assert(r.getLong(j) == want, s"hyperplane $j")
+    }
+  }
+
+  test("hyperplane family: 32 genuinely distinct balanced planes") {
+    // the round-2 modular formula collapsed to 7 distinct planes (mod-7
+    // period in j) — banded signatures need independence
+    val planes = (0 until 32).map(Embed.hyperplaneVec)
+    assert(planes.distinct.size == 32)
+    planes.foreach { p =>
+      assert(p.forall(h => h >= -3 && h <= 3))
+      // roughly balanced: |mean| well inside one unit
+      assert(math.abs(p.sum.toDouble / p.size) < 1.0)
     }
   }
 }
