@@ -185,11 +185,12 @@ object IngestQueries {
   }
 
   /** A1/A5/A16 (stateful path) — the semantics-exact candle state machine
-    * run through the streaming operator (flatMapGroupsWithState executes
-    * identically over a batch Dataset). Not SQL-expressible (emit points
-    * depend on per-security arrival order), so the driver records a
-    * rows-only check; the semantics are pinned by CandleCoreSpec +
-    * StreamingSpec instead.
+    * in its batch replay form ([[graft.streaming.CandleStream.candlesBatch]]:
+    * external sort + lazy per-partition replay, no per-key history
+    * buffering). Not SQL-expressible (emit points depend on per-security
+    * arrival order), so the driver records a rows-only check; the
+    * semantics are pinned by CandleCoreSpec + StreamingSpec instead
+    * (including batch ≡ streaming-operator equivalence).
     */
   val a01StreamCandles = QueryDef.noOracle("a01_stream_candles") { (spark, dir) =>
     import spark.implicits._
@@ -198,7 +199,7 @@ object IngestQueries {
       "last", "open", "quantity", "tick_no AS tickNo")
       .as[graft.schema.Tick]
     graft.streaming.CandleStream
-      .candles(tickDs, java.time.LocalDate.of(2024, 12, 6))
+      .candlesBatch(tickDs, java.time.LocalDate.of(2024, 12, 6))
       .toDF()
       .orderBy("secId", "date", "close")
   }

@@ -46,6 +46,36 @@ object CandleStream {
       }
   }
 
+  /** The same state machine in BATCH form with streaming-shaped memory:
+    * co-locate each security's history (`repartition(secId)`), order it
+    * with a spillable external sort (`sortWithinPartitions`), then replay
+    * lazily per partition, resetting state at security boundaries. Peak
+    * task memory is one fixed-size CandleState + the current tick —
+    * independent of history length — where routing a batch through
+    * [[candles]] buffered one security's ENTIRE history in an in-memory
+    * Seq (fine for bounded micro-batches, OOM for a hot instrument's
+    * full-history replay at scale). Emissions are identical: same
+    * per-security (ts, tickNo) order, same step function, final open
+    * candles unemitted in both forms.
+    */
+  def candlesBatch(ticks: Dataset[Tick], today: java.time.LocalDate): Dataset[Candle] = {
+    import ticks.sparkSession.implicits._
+    import org.apache.spark.sql.functions.col
+    ticks
+      .repartition(col("secId"))
+      .sortWithinPartitions(col("secId"), col("ts"), col("tickNo"))
+      .mapPartitions { it =>
+        var curSec = Int.MinValue
+        var st: Option[CandleCore.CandleState] = None
+        it.flatMap { t =>
+          if (t.secId != curSec) { curSec = t.secId; st = None }
+          val (next, candle) = CandleCore.step(st, t, today)
+          st = Some(next)
+          candle
+        }
+      }
+  }
+
   /** A5 analog: micro-batch append sink. */
   def sinkToParquet(candles: Dataset[Candle], path: String,
       checkpoint: String): StreamingQuery =

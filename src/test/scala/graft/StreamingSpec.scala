@@ -79,4 +79,17 @@ class StreamingSpec extends SparkSuite {
     }.sortBy(c => (c.secId, c.date.getTime))
     assert(got == want)
   }
+
+  test("candlesBatch (lazy partition replay) ≡ stateful operator ≡ replay") {
+    import spark.implicits._
+    val ds = (batch1 ++ batch2).toDS()
+    val key = (c: graft.schema.Candle) => (c.secId, c.date.getTime, c.close)
+    val viaBatch = CandleStream.candlesBatch(ds, D).collect().sortBy(key).toSeq
+    val viaState = CandleStream.candles(ds, D).collect().sortBy(key).toSeq
+    val want = (batch1 ++ batch2).groupBy(_.secId).toSeq.flatMap { case (_, ts) =>
+      CandleCore.replay(ts.sortBy(t => (t.ts.getTime, t.tickNo)).iterator, D)
+    }.sortBy(key)
+    assert(viaBatch == want)
+    assert(viaState == want)
+  }
 }
