@@ -252,6 +252,45 @@ object Fixtures {
     s"quotes AS (SELECT ${quoteCols.mkString(",\n  ")}\nFROM events)"
 
   // =========================================================================
+  // quotes_wire  (envelope-shaped, A13: quote items + their batch
+  // envelope's timestamp, process.go:56-63)
+  // =========================================================================
+
+  /** One quote-batch ENVELOPE per minute of event time: every item in the
+    * minute shares the envelope timestamp, which carries deterministic
+    * seconds + sub-second millis (derived from the minute itself, so it is
+    * constant within an envelope) — making the projection's truncation to
+    * whole seconds (db.go:113 tableTimeLayout) a real operation.
+    */
+  private val envSecExpr = "(extract(minute FROM ts) * 59 + extract(hour FROM ts) * 13) % 53"
+  private val envMsExpr = "(extract(minute FROM ts) * 997 + extract(day FROM ts) * 31) % 1000"
+
+  private val quoteItemCols = Seq(
+    "CAST(user_id % 60 + 1 AS INT) AS secid",
+    s"${board("user_id % 60")} AS board",
+    s"${secCode("user_id % 60")} AS sec_code",
+    "CAST(floor(value * 100) AS DOUBLE) AS price",
+    "event_type AS source",
+    "CAST(event_id % 20 AS INT) AS yield",
+    "CAST(event_id % 7 AS INT) AS buy",
+    "CAST(event_id % 11 AS INT) AS sell")
+
+  def quotesWire(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir).selectExpr(
+      s"""timestampadd(MILLISECOND, CAST($envMsExpr AS INT),
+         |  timestampadd(SECOND, CAST($envSecExpr AS INT),
+         |    date_trunc('minute', ts))) AS envelope_ts""".stripMargin
+        +: quoteItemCols: _*)
+
+  val quotesWireCte: String =
+    s"""quotes_wire AS (SELECT
+       |  date_trunc('minute', ts)
+       |    + CAST($envSecExpr AS INT) * INTERVAL '1 second'
+       |    + CAST($envMsExpr AS INT) * INTERVAL '1 millisecond' AS envelope_ts,
+       |  ${quoteItemCols.mkString(",\n  ")}
+       |FROM (SELECT CAST(ts AS TIMESTAMP) AS ts, user_id, event_id, event_type, value FROM events) e)""".stripMargin
+
+  // =========================================================================
   // secinfo_raw  (wire-shaped, dd.MM.yyyy date strings to parse; A14)
   // =========================================================================
 

@@ -3,7 +3,7 @@ package graft.ingest
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** A12/A14/A15 — wire-format projections and time parses
+/** A12/A13/A14/A15 — wire-format projections and time parses
   * (/root/reference/db.go:111-174, process.go:103-125). The Go layouts
   * `"02.01.2006 15:04:05"` / `"02.01.2006"` (db.go:13-15) are
   * `dd.MM.yyyy HH:mm:ss` / `dd.MM.yyyy` in Spark's pattern dialect.
@@ -65,6 +65,19 @@ object Parse {
       col("buybackprice"),
       to_timestamp(col("buybackdate"), "dd.MM.yyyy").as("buybackdate"),
       col("currencyid"))
+
+  /** A13 (db.go:111-123, process.go:56-63): quote items inherit their
+    * batch ENVELOPE's timestamp — every item of a `QuotesChan` batch is
+    * inserted with the shared `quotes.Time`, formatted to whole seconds
+    * (tableTimeLayout, db.go:23,113) — alongside the wire downcasts
+    * (int8 yield, int16 buy/sell; SURVEY §1.4).
+    */
+  def quotesEnvelope(wire: DataFrame): DataFrame =
+    wire.select(
+      date_trunc("second", col("envelope_ts")).as("time"),
+      col("secid"), col("board"), col("sec_code"),
+      col("price"), col("source"),
+      col("yield"), col("buy"), col("sell"))
 
   /** A15 (process.go:108-122): history-candle batch — parse the item date
     * string and broadcast the batch ENVELOPE's (sec_code, period) onto

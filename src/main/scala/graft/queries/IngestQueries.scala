@@ -166,6 +166,18 @@ object IngestQueries {
       secinfoRawCte)
   ) { (spark, dir) => Parse.secInfo(secinfoRaw(spark, dir)) }
 
+  /** A13 — quote items inherit the batch envelope's timestamp, truncated
+    * to whole seconds, plus the wire downcasts.
+    */
+  val a13QuotesEnvelope = QueryDef.sql(
+    "a13_quotes_envelope",
+    withCtes(
+      """SELECT date_trunc('second', envelope_ts) AS time,
+        |       secid, board, sec_code, price, source, yield, buy, sell
+        |FROM quotes_wire""".stripMargin,
+      quotesWireCte)
+  ) { (spark, dir) => Parse.quotesEnvelope(quotesWire(spark, dir)) }
+
   /** A15 — history-candle envelope projection + date parse. */
   val a15HistoryParse = QueryDef.sql(
     "a15_history_parse",
@@ -207,6 +219,6 @@ object IngestQueries {
   val all: Seq[QueryDef] = Seq(
     a16CandlesBatch, dedupTrades, dedupQuotes,
     a06Cascade, a07Valid, a09Bond, a10Periods,
-    a11Projection, a12TradeParse, a14SecinfoParse, a15HistoryParse,
-    a17Positions, a01StreamCandles)
+    a11Projection, a12TradeParse, a13QuotesEnvelope, a14SecinfoParse,
+    a15HistoryParse, a17Positions, a01StreamCandles)
 }
