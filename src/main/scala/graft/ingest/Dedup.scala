@@ -8,11 +8,22 @@ import org.apache.spark.sql.functions._
   * 106) — rows with an equal key collapse to the LAST inserted at merge
   * time. The engine exposes that as an explicit read-path operator.
   *
-  * Scale design: a single hash aggregation with `max_by(struct(...), seq)`.
-  * max_by partial-aggregates, so map-side combine collapses local
-  * duplicates before the one shuffle (hash-partitioned on the key — the
-  * same layout a bucketed 100 TB table would already have, making the
-  * shuffle elidable). No window function, no sort, no global ordering.
+  * Scale design: one aggregation, partial-aggregated map-side (local
+  * duplicates collapse before the single exchange, hash-partitioned on
+  * the key — the layout a bucketed 100 TB table would already have,
+  * making the shuffle elidable). No window function, no GLOBAL sort.
+  *
+  * PLAN REALITY (verified via `graft.Explain dedup_trades`): the
+  * `max_by(struct(...), seq)` buffer holds a struct, which
+  * HashAggregateExec's fixed-width mutable-buffer rule rejects, so both
+  * aggregation levels compile to SortAggregate, each preceded by a
+  * per-partition external (spillable) Sort. Still linear, partial-
+  * aggregated, skew-free — but the sorts are the dominant cost of this
+  * entry. Where the table is MATERIALIZED, prefer collapsing duplicates
+  * at write time instead ([[graft.sources.Sinks.materializeTradesCompacted]]
+  * + [[compactKeyRuns]]): the layout job already pays a per-partition
+  * sort for parquet clustering, so last-write-wins becomes a free lazy
+  * scan there — the same place ClickHouse does it (merges, not reads).
   */
 object Dedup {
 
@@ -24,6 +35,26 @@ object Dedup {
     df.groupBy(keys.map(col): _*)
       .agg(max_by(struct(others.map(col): _*), col(seq)).as("_latest"))
       .select(keys.map(col) ++ others.map(o => col("_latest").getField(o).as(o)): _*)
+  }
+
+  /** Merge-time variant: last-write-wins over partition-local key runs.
+    * REQUIRES same-key rows co-located and contiguous, ordered with the
+    * version `seq` DESCENDING within each run (the materialized-layout
+    * write shape — repartitioned on a key-functional column and
+    * key-sorted within partitions). One lazy pass keeping each run's
+    * first row: no shuffle, no aggregate, no window, O(1) state.
+    */
+  def compactKeyRuns(df: DataFrame, keys: Seq[String]): DataFrame = {
+    val idx = keys.map(df.schema.fieldIndex)
+    df.mapPartitions { it =>
+      var prev: Seq[Any] = null
+      it.filter { r =>
+        val k = idx.map(r.get)
+        val keep = k != prev
+        prev = k
+        keep
+      }
+    }(org.apache.spark.sql.Encoders.row(df.schema))
   }
 
   /** DuckDB twin: row_number() over the key, latest first. */

@@ -51,6 +51,31 @@ object Sinks {
       .parquet(path)
   }
 
+  /** [[materializeTrades]] + ReplacingMergeTree merge-time dedup in one
+    * job: the layout write already co-locates every key inside its day
+    * (`time` is part of the key, so `trade_date` is key-functional) and
+    * pays a per-partition sort for parquet clustering; extending that
+    * sort with the remaining key columns and `seq` DESC makes
+    * last-write-wins a free lazy scan
+    * ([[graft.ingest.Dedup.compactKeyRuns]]) — no extra shuffle, no
+    * aggregate, no window. This is the scale path for materialized
+    * tables; [[graft.ingest.Dedup.lastWriteWins]] remains the read-path
+    * operator for data not yet compacted.
+    */
+  def materializeTradesCompacted(trades: DataFrame, seq: String, path: String): Unit = {
+    import org.apache.spark.sql.functions.{col, to_date}
+    val key = graft.schema.Schemas.tradesKey
+    val layoutSort = Seq("trade_date", "sec_code", "time")
+    val sortCols = (layoutSort ++ key.filterNot(layoutSort.contains)).map(col) :+ col(seq).desc
+    val compacted = graft.ingest.Dedup.compactKeyRuns(
+      trades
+        .withColumn("trade_date", to_date(col("time")))
+        .repartition(col("trade_date"))
+        .sortWithinPartitions(sortCols: _*),
+      "trade_date" +: key)
+    compacted.write.mode(SaveMode.Overwrite).partitionBy("trade_date").parquet(path)
+  }
+
   /** A5 — streaming micro-batch append (at-least-once; pair with the
     * dedup read path downstream).
     */
