@@ -434,7 +434,43 @@ object TradeQueries {
       .orderBy(col("sec_code"))
   }
 
+  /** §7.7 extension — the q19/q20-shaped whole-window turnover aggregation
+    * in its HOT-KEY form: per-sec_code totals via
+    * [[graft.ingest.Salt.saltedSum]]. Real trade flow concentrates on a
+    * few index heavyweights, so the plain `groupBy(sec_code)` lands those
+    * keys on single reducers; the salted two-stage form partial-aggregates
+    * each key across 32 sub-keys at full parallelism, then re-aggregates
+    * |keys|×32 tiny partials. The oracle is the UNSALTED plain GROUP BY —
+    * passing proves the salting is semantically invisible (sums are
+    * algebraic); SaltPlanSpec pins the two-stage plan shape.
+    */
+  val qxSaltedTurnover = QueryDef.sql(
+    "qx_salted_turnover",
+    withCtes(
+      s"""SELECT sec_code, SUM(price * quantity) AS turnover
+         |FROM trades
+         |WHERE board = 'TQBR' AND ${timeRangeSql("time")}
+         |GROUP BY sec_code
+         |ORDER BY sec_code""".stripMargin,
+      tradesCte)
+  ) { (spark, dir) =>
+    saltedTurnover(spark, dir).orderBy("sec_code")
+  }
+
+  /** The salted aggregation itself, pre-ORDER BY (plan-asserted in
+    * SaltPlanSpec).
+    */
+  def saltedTurnover(spark: SparkSession, dir: String): DataFrame =
+    graft.ingest.Salt.saltedSum(
+        trades(spark, dir)
+          .filter(col("board") === "TQBR" && timeRange(col("time")))
+          .withColumn("t_term", col("price") * col("quantity")),
+        keys = Seq("sec_code"), value = "t_term",
+        entropy = col("trade_no"), buckets = 32)
+      .select(col("sec_code"), col("sum_t_term").as("turnover"))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
-    q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22)
+    q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22,
+    qxSaltedTurnover)
 }
