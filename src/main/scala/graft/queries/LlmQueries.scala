@@ -186,18 +186,47 @@ object LlmQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Document-frequency cutoff for the Jaccard inverted index: shingles
+    * appearing in more than this many documents of a source are dropped
+    * from the index AND from set sizes (Jaccard is then computed over the
+    * pruned shingle space, consistently on both sides of the estimate).
+    * Chosen above the fixture's max df (33 at sf0.1), so results here are
+    * byte-identical to the uncut form — the cut exists for the 100 TB
+    * shape, where it matters twice: (a) a df-D shingle contributes D²/2
+    * rows to the index self-join, so stopword bigrams ("of the": df ~
+    * corpus size) dominate the join quadratically while contributing
+    * nothing to near-dup discrimination; (b) those same rows all hash to
+    * ONE (source, shid) join key — the definition of join skew. By Zipf,
+    * shingles above any high cutoff are a tiny set, so the cut is a cheap
+    * broadcast anti-join.
+    */
+  private val DfCutoff = 64
+
   /** Exact n-gram Jaccard, blocked by `source` (bounded blocks → bounded
-    * pairs; the un-blocked form of this is exactly what LSH above avoids).
+    * pairs; the un-blocked form of this is exactly what LSH above avoids),
+    * with the [[DfCutoff]] hot-shingle cut.
     */
   val ngramJaccard = QueryDef.sql(
     "llm_ngram_jaccard",
+    // independent formulation for the oracle: pairwise set intersection
+    // over the df-pruned shingle sets (the Spark side never materializes
+    // per-pair sets)
     s"""WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents),
-       |sh AS (SELECT doc_id, source, ${Text.bigramsSql} AS shset FROM toks)
+       |sh AS (SELECT doc_id, source, ${Text.bigramsSql} AS shset FROM toks),
+       |shx AS (SELECT doc_id, source, unnest(shset) AS sh FROM sh),
+       |hot AS (SELECT source, sh FROM (
+       |    SELECT source, sh, count(*) AS df FROM shx GROUP BY source, sh) h
+       |  WHERE df > $DfCutoff),
+       |pr AS (SELECT shx.doc_id, shx.source, list(shx.sh) AS shset
+       |       FROM shx
+       |       WHERE NOT EXISTS (SELECT 1 FROM hot
+       |                         WHERE hot.source = shx.source AND hot.sh = shx.sh)
+       |       GROUP BY shx.doc_id, shx.source)
        |SELECT doc_a, doc_b, source, jaccard FROM (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.source AS source,
        |    CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE)
        |      / len(list_distinct(list_concat(a.shset, b.shset))) AS jaccard
-       |  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id) v
+       |  FROM pr a JOIN pr b ON a.source = b.source AND a.doc_id < b.doc_id) v
        |WHERE jaccard >= 0.2
        |ORDER BY doc_a, doc_b""".stripMargin
   ) { (spark, dir) =>
@@ -213,8 +242,13 @@ object LlmQueries {
       .withColumn("shid", expr("CAST(conv(substr(md5(sh), 1, 15), 16, 10) AS BIGINT)"))
       .select(col("doc_id"), col("source"), col("shid"))
       .cache()
-    val sizes = shxi.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val common = shxi.as("a").join(shxi.as("b"),
+    // hot-shingle cut (see DfCutoff): the >cutoff set is tiny by Zipf →
+    // broadcast anti-join, removing the index join's skew keys up front
+    val hot = shxi.groupBy("source", "shid").agg(count(lit(1)).as("df"))
+      .filter(col("df") > DfCutoff).select("source", "shid")
+    val pruned = shxi.join(broadcast(hot), Seq("source", "shid"), "left_anti")
+    val sizes = pruned.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val common = pruned.as("a").join(pruned.as("b"),
         col("a.source") === col("b.source") && col("a.shid") === col("b.shid") &&
           col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("a.source").as("source"),
