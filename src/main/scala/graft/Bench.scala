@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Per-round benchmark: one JSON line
-  * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`.
+  * `{"metric":"total","value":N,"unit":"sec","queries":{...},
+  * "cold_total":N,"cold_queries":{...},"sf":...}`.
   *
   * Methodology (round 2):
   *   - a WARMUP pass runs every query once at the TARGET SF first: JIT/
@@ -15,6 +16,14 @@ import org.apache.spark.sql.SparkSession
   *     cannot let the optimizer drop ORDER BY stages, so sorts are paid;
   *   - failures are reported in an `errors` map and EXCLUDED from totals
   *     instead of masquerading as fast runs (round-1 advice).
+  *
+  * Cold lane (round 3): a second timed pass with ALL caches dropped
+  * before each query (memoized derived tables + Spark's plan-keyed block
+  * cache), so every query pays its full scan/derivation path. It runs
+  * after the warm lane, so JIT/codegen are warm: cold−warm isolates the
+  * DATA path, which is where layout/pruning work shows up. The warm
+  * total remains the headline `value` (the reference comparison is a
+  * loaded ClickHouse); the cold numbers ride along as `cold_*`.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -55,15 +64,28 @@ object Bench {
       }
     }
 
+    // cold lane: JIT-warm, data-cold — caches dropped before every query
+    val coldTimes = scala.collection.mutable.LinkedHashMap[String, Double]()
+    names.foreach { n =>
+      graft.fixtures.Fixtures.clearDerivedCache(spark)
+      val t0 = System.nanoTime()
+      try {
+        exec(SparkEntry.queries(n), sfDir)
+        coldTimes(n) = (System.nanoTime() - t0) / 1e9
+      } catch { case _: Throwable => () } // already reported in `errors`
+    }
+
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
     val qs = times.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    val cqs = coldTimes.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = times.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}""")
+    val coldTotal = coldTimes.values.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total":$coldTotal,"cold_queries":$cqs,"errors":$es,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -92,6 +92,16 @@ object Fixtures {
       spark.sparkContext.applicationId + "#" + dir + "#" + name,
       _ => build.cache())
 
+  /** Drop every memoized derived table AND Spark's block cache (which is
+    * keyed by canonicalized plan, so even non-memoized `.cache()` calls
+    * inside query builders are reused across invocations). Used by the
+    * bench's cold lane to measure the real scan path.
+    */
+  def clearDerivedCache(spark: SparkSession): Unit = {
+    tableCache.clear()
+    spark.catalog.clearCache()
+  }
+
   def trades(spark: SparkSession, dir: String): DataFrame =
     memo(spark, dir, "trades") {
       spark.read.parquet(s"$dir/lineitem.parquet").selectExpr(tradeColsSpark: _*)
