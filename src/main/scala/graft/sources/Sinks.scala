@@ -88,8 +88,9 @@ object Sinks {
     * the streaming variant appends each micro-batch over the same
     * connection properties — the micro-batch IS the reference's
     * async-insert buffer (db.go:12). `batchsize` tunes the client-side
-    * `PrepareBatch` analog. Untested in this harness (no database in the
-    * container); the parquet paths above carry the verified semantics.
+    * `PrepareBatch` analog. Verified end-to-end against embedded Derby
+    * (the jars Spark ships for the Hive metastore) in SinksSpec: batch
+    * round-trip and per-micro-batch streaming appends.
     */
   def jdbcAppend(df: DataFrame, url: String, table: String,
       props: java.util.Properties, batchSize: Int = 10000): Unit =
