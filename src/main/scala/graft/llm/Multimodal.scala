@@ -55,19 +55,58 @@ object Multimodal {
     }
   }
 
-  /** DuckDB twin: re-derive the stub's outputs from the md5 hex directly
-    * (instr/substr arithmetic — valid verbatim in both engines).
+  /** Byte k (1-indexed) of the blob, recovered from its md5 hex — shared
+    * instr/substr arithmetic, valid verbatim in both engines. `pos` may be
+    * any integer SQL expression.
     */
-  val decodeMetaSql: String = {
-    def hexByte(k: Int) = {
-      val hi = 2 * k - 1; val lo = 2 * k
-      s"((instr('0123456789abcdef', substr(h, $hi, 1)) - 1) * 16 + instr('0123456789abcdef', substr(h, $lo, 1)) - 1)"
-    }
+  private def hexByteAt(pos: String): String =
+    s"((instr('0123456789abcdef', substr(h, 2 * ($pos) - 1, 1)) - 1) * 16" +
+      s" + instr('0123456789abcdef', substr(h, 2 * ($pos), 1)) - 1)"
+
+  /** DuckDB twin of the decode stage. */
+  val decodeMetaSql: String =
     s"""SELECT doc_id,
-       |  CAST(${hexByte(1)} + 1 AS INT) AS width,
-       |  CAST(${hexByte(2)} + 1 AS INT) AS height,
-       |  CAST(${hexByte(3)} % 4 + 1 AS INT) AS channels,
+       |  CAST(${hexByteAt("1")} + 1 AS INT) AS width,
+       |  CAST(${hexByteAt("2")} + 1 AS INT) AS height,
+       |  CAST(${hexByteAt("3")} % 4 + 1 AS INT) AS channels,
        |  CAST(16 AS INT) AS byte_len
        |FROM (SELECT doc_id, md5(text) AS h FROM documents) m""".stripMargin
+
+  /** One sampled video frame: `offset_ms` into the container, `frame_sig`
+    * the (stub) decoded frame feature.
+    */
+  case class FrameSample(doc_id: Long, frame_idx: Int, offset_ms: Int, frame_sig: Int)
+
+  val FramesPerDoc = 4
+
+  /** Frame-sampling stage: treat the blob as a video container whose
+    * header declares a duration (first two bytes, big-endian ms), take
+    * [[FramesPerDoc]] evenly-spaced frames, and "decode" each at its byte
+    * offset. Same contract as [[decodeMeta]]: the per-partition iteration,
+    * the 1→N explode shape, and the typed schema are the real deliverable;
+    * a production build replaces the byte-poke with a demuxer/codec call
+    * whose init is amortized across the partition.
+    */
+  def sampleFrames(media: Dataset[RawMedia]): Dataset[FrameSample] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // per-partition demuxer init would go here
+      it.flatMap { m =>
+        val duration = ((m.media(0) & 0xFF) << 8) | (m.media(1) & 0xFF)
+        (0 until FramesPerDoc).iterator.map { i =>
+          val off = i * duration / FramesPerDoc
+          FrameSample(m.doc_id, i, off, m.media(off % 16) & 0xFF)
+        }
+      }
+    }
   }
+
+  /** DuckDB twin of [[sampleFrames]]. */
+  val sampleFramesSql: String =
+    s"""SELECT doc_id, CAST(i AS INT) AS frame_idx,
+       |  CAST((i * duration) // $FramesPerDoc AS INT) AS offset_ms,
+       |  CAST(${hexByteAt(s"((i * duration) // $FramesPerDoc) % 16 + 1")} AS INT) AS frame_sig
+       |FROM (SELECT doc_id, h, ${hexByteAt("1")} * 256 + ${hexByteAt("2")} AS duration
+       |      FROM (SELECT doc_id, md5(text) AS h FROM documents) m) d,
+       |     range(0, $FramesPerDoc) t(i)""".stripMargin
 }

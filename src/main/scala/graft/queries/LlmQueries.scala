@@ -319,6 +319,8 @@ object LlmQueries {
   // ---- embedding similarity ----
 
   private val NumQueries = 5
+  private val IvfK = 16
+  private val IvfProbes = 2
 
   /** Brute-force cosine top-10 for the first 5 vectors as queries —
     * broadcast the query set, one scan of the corpus, per-query heap
@@ -463,6 +465,112 @@ object LlmQueries {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** IVF-style ANN (the coarse-quantizer scale path alongside the LSH
+    * variant): K=16 centroids partition the corpus into inverted lists;
+    * a query probes only its nprobe=2 nearest lists, so the exact-scoring
+    * scan touches nprobe/K of the corpus instead of all of it.
+    *
+    * The centroids are the first K corpus vectors — a deterministic
+    * stand-in for a trained k-means codebook (training is offline and
+    * engine-agnostic; the partition/probe machinery is what the engine
+    * owns). Assignment is one scan against the BROADCAST codebook — a
+    * bounded N×K nested loop (K constant ⇒ linear), never vector-vector.
+    */
+  val annIvf = QueryDef.sql(
+    "llm_ann_ivf", {
+      val assignCos = Embed.cosineSql(Embed.dotSql("cqv", "qv"), "cnrm", "nrm")
+      val rescoreCos = Embed.cosineSql(Embed.dotSql("qq.qv", "cc.qv"), "qq.nrm", "cc.nrm")
+      s"""WITH emb AS (${Embed.preparedSql}),
+         |cent AS (SELECT vec_id AS cent_id, qv AS cqv, nrm AS cnrm FROM emb WHERE vec_id < $IvfK),
+         |scored AS (SELECT vec_id, cent_id, $assignCos AS ccos FROM emb, cent),
+         |assign AS (SELECT vec_id, cent_id FROM (
+         |    SELECT vec_id, cent_id,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS rn
+         |    FROM scored) r WHERE rn = 1),
+         |probes AS (SELECT vec_id AS query_id, cent_id FROM (
+         |    SELECT vec_id, cent_id,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS rn
+         |    FROM scored WHERE vec_id < $NumQueries) r WHERE rn <= $IvfProbes),
+         |cand AS (SELECT p.query_id, a.vec_id FROM probes p
+         |         JOIN assign a ON a.cent_id = p.cent_id
+         |         WHERE a.vec_id != p.query_id),
+         |rescored AS (SELECT c.query_id, c.vec_id, $rescoreCos AS cos_sim
+         |  FROM cand c JOIN emb qq ON qq.vec_id = c.query_id
+         |              JOIN emb cc ON cc.vec_id = c.vec_id),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rank
+         |           FROM rescored)
+         |SELECT query_id, vec_id, cos_sim, rank FROM ranked
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+    }
+  ) { (spark, dir) =>
+    val emb = Embed.prepared(embeddings(spark, dir)).cache()
+    val cent = emb.filter(col("vec_id") < IvfK)
+      .select(col("vec_id").as("cent_id"), col("qv").as("cqv"), col("nrm").as("cnrm"))
+    val scored = emb.join(broadcast(cent), lit(true))
+      .withColumn("ccos", expr(Embed.cosineSql(Embed.dotExpr("cqv", "qv"), "cnrm", "nrm")))
+      .select(col("vec_id"), col("cent_id"), col("ccos"))
+      .cache() // feeds both the assignment and the probe ranking
+    val byCos = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_id"))
+    val assign = scored.withColumn("rn", row_number().over(byCos))
+      .filter(col("rn") === 1).select(col("vec_id"), col("cent_id"))
+    val probes = scored.filter(col("vec_id") < NumQueries)
+      .withColumn("rn", row_number().over(byCos)).filter(col("rn") <= IvfProbes)
+      .select(col("vec_id").as("query_id"), col("cent_id"))
+    val cand = probes.join(assign, "cent_id")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+    cand
+      .join(emb.select(col("vec_id").as("query_id"), col("qv").as("qqv"), col("nrm").as("qnrm")), "query_id")
+      .join(emb.select(col("vec_id"), col("qv"), col("nrm")), "vec_id")
+      .withColumn("cos_sim", expr(Embed.cosineSql(Embed.dotExpr("qqv", "qv"), "qnrm", "nrm")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("vec_id"))))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("vec_id"), col("cos_sim"),
+        col("rank").cast("long").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  // ---- token counting: whitespace + a BPE-ish regex pre-tokenizer ----
+
+  /** GPT-2-style pre-tokenizer classes (optional leading space + letter
+    * run | digit run | punctuation run). Alternatives are disjoint on
+    * their first non-space character, so Java regex (Spark) and RE2
+    * (DuckDB) tokenize identically.
+    */
+  private val BpePattern = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+
+  /** The corpus is clean lowercase prose, so digits/punctuation — what
+    * separates a BPE-ish count from a whitespace count — are injected
+    * deterministically (a comma after every 'the', a numeric suffix).
+    */
+  private def richTextExpr(strTy: String): String =
+    s"concat(replace(text, ' the ', ' the, '), ' #', CAST(doc_id AS $strTy), ' v1.2!')"
+
+  /** Token counting both ways: whitespace tokens vs BPE-ish regex tokens,
+    * with the digit/punct sub-counts. Pure map-side projection; the regex
+    * runs inside codegen (`regexp_extract_all`), no UDF.
+    */
+  val tokenCount = QueryDef.sql(
+    "llm_token_count",
+    s"""SELECT doc_id,
+       |  CAST(len(string_split(rich, ' ')) AS BIGINT) AS n_ws_tokens,
+       |  CAST(len(regexp_extract_all(rich, '$BpePattern')) AS BIGINT) AS n_bpe_tokens,
+       |  CAST(len(regexp_extract_all(rich, ' ?[0-9]+')) AS BIGINT) AS n_num_tokens,
+       |  CAST(len(regexp_extract_all(rich, ' ?[^a-z0-9 ]+')) AS BIGINT) AS n_punct_tokens
+       |FROM (SELECT doc_id, ${richTextExpr("VARCHAR")} AS rich FROM documents) d
+       |ORDER BY doc_id""".stripMargin
+  ) { (spark, dir) =>
+    documents(spark, dir)
+      .selectExpr("doc_id", s"${richTextExpr("STRING")} AS rich")
+      .selectExpr("doc_id",
+        "CAST(size(split(rich, ' ')) AS BIGINT) AS n_ws_tokens",
+        s"CAST(size(regexp_extract_all(rich, '$BpePattern', 0)) AS BIGINT) AS n_bpe_tokens",
+        "CAST(size(regexp_extract_all(rich, ' ?[0-9]+', 0)) AS BIGINT) AS n_num_tokens",
+        "CAST(size(regexp_extract_all(rich, ' ?[^a-z0-9 ]+', 0)) AS BIGINT) AS n_punct_tokens")
+      .orderBy("doc_id")
+  }
+
   /** Multimodal: binary media column → typed mapPartitions decode (stub
     * codec, real plumbing — see [[graft.llm.Multimodal]]).
     */
@@ -474,6 +582,19 @@ object LlmQueries {
     Multimodal.decodeMeta(
         Multimodal.attachMedia(documents(spark, dir)).as[RawMedia])
       .toDF().orderBy("doc_id")
+  }
+
+  /** Multimodal: video-style frame sampling — the 1→N explode of a binary
+    * container into typed per-frame rows (stub demuxer, real plumbing).
+    */
+  val frameSample = QueryDef.sql(
+    "mm_frame_sample",
+    s"${Multimodal.sampleFramesSql}\nORDER BY doc_id, frame_idx"
+  ) { (spark, dir) =>
+    import spark.implicits._
+    Multimodal.sampleFrames(
+        Multimodal.attachMedia(documents(spark, dir)).as[RawMedia])
+      .toDF().orderBy("doc_id", "frame_idx")
   }
 
   /** Quality scoring for corpus filtering: lexical-diversity +
@@ -514,5 +635,6 @@ object LlmQueries {
 
   val all: Seq[QueryDef] = Seq(
     textStats, langId, exactDedup, minhashLsh, ngramJaccard, simhash,
-    fingerprint, embedTopk, annLsh, embedNearDup, imageMeta, qualityScore)
+    fingerprint, embedTopk, annLsh, annIvf, embedNearDup, tokenCount,
+    imageMeta, frameSample, qualityScore)
 }
