@@ -516,7 +516,9 @@ object LlmQueries {
     val probes = scored.filter(col("vec_id") < NumQueries)
       .withColumn("rn", row_number().over(byCos)).filter(col("rn") <= IvfProbes)
       .select(col("vec_id").as("query_id"), col("cent_id"))
-    val cand = probes.join(assign, "cent_id")
+    // probes is NumQueries×nprobe rows — broadcast it so the corpus-wide
+    // assignment table never shuffles
+    val cand = assign.join(broadcast(probes), "cent_id")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"))
     cand
