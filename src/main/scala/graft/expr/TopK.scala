@@ -148,5 +148,15 @@ object GraftFunctions {
         val us = UnixSeconds(Cast(exprs.head, TimestampType))
         SecondsToTimestamp(Subtract(us, Pmod(us, Cast(exprs(1), LongType))))
       }, "built-in")
+    // codegen'd shingling (see graft.expr.NgramUtil): n and dedup must be
+    // literals — they parameterize the generated code
+    def litInt(e: Expression): Int = e.eval().asInstanceOf[Number].intValue()
+    def litBool(e: Expression): Boolean = e.eval().asInstanceOf[Boolean]
+    registry.createOrReplaceTempFunction(
+      "char_ngrams", exprs =>
+        CharNgrams(exprs.head, litInt(exprs(1)), litBool(exprs(2))), "built-in")
+    registry.createOrReplaceTempFunction(
+      "word_ngrams", exprs =>
+        WordNgrams(exprs.head, litInt(exprs(1)), litBool(exprs(2))), "built-in")
   }
 }

@@ -19,15 +19,11 @@ object Text {
   /** Whitespace tokens (documents are single-spaced). */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** Word n-gram shingles as a DISTINCT set; empty when fewer than n
-    * tokens (Spark's `sequence` would count DOWN on an empty range, so the
-    * size guard matters).
+  /** Word bigram shingles as a DISTINCT set; empty when fewer than 2
+    * tokens. Codegen'd (see [[graft.expr.NgramUtil]]) — the interpreted
+    * `transform(sequence(...))` spelling was the shingling hot spot.
     */
-  val bigramsExpr: String =
-    """CASE WHEN size(tk) >= 2 THEN array_distinct(
-      |  transform(sequence(1, size(tk) - 1),
-      |    i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1))))
-      |ELSE array() END""".stripMargin
+  val bigramsExpr: String = "word_ngrams(tk, 2, true)"
 
   /** DuckDB twin of [[bigramsExpr]] (range() is exclusive and never counts
     * down, so no guard needed).
@@ -35,11 +31,10 @@ object Text {
   val bigramsSql: String =
     "list_distinct(list_transform(range(1, len(tk)), i -> concat(tk[i], ' ', tk[i+1])))"
 
-  /** Char trigrams of a text column (for the language-ID profiles). */
-  val charTrigramsExpr: String =
-    """CASE WHEN length(text) >= 3 THEN
-      |  transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))
-      |ELSE array() END""".stripMargin
+  /** Char trigrams of a text column (for the language-ID profiles);
+    * codegen'd, empty when shorter than 3 chars.
+    */
+  val charTrigramsExpr: String = "char_ngrams(text, 3, false)"
 
   val charTrigramsSql: String =
     "list_transform(range(1, length(text) - 1), i -> substr(text, i, 3))"

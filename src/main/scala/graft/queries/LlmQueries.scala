@@ -303,12 +303,11 @@ object LlmQueries {
   ) { (spark, dir) =>
     // dedupe grams BEFORE hashing (min is dup-invariant), then hash inside
     // a codegen'd aggregate projection — lambda bodies in higher-order
-    // functions run interpreted, so md5-per-gram belongs after the explode
+    // functions run interpreted, so md5-per-gram belongs after the explode;
+    // gram generation itself is the codegen'd char_ngrams expression
     documents(spark, dir)
       .withColumn("grams", expr(
-        """CASE WHEN length(text) >= 8
-          |  THEN array_distinct(transform(sequence(1, length(text) - 7), i -> substring(text, i, 8)))
-          |ELSE array(text) END""".stripMargin))
+        "CASE WHEN length(text) >= 8 THEN char_ngrams(text, 8, true) ELSE array(text) END"))
       .select(col("doc_id"), explode(col("grams")).as("g"))
       .groupBy("doc_id")
       .agg(min(md5(col("g"))).as("fingerprint"),

@@ -14,7 +14,12 @@ final case class QueryDef(
 
 object QueryDef {
   def sql(name: String, oracle: String)(fn: (SparkSession, String) => DataFrame): QueryDef =
-    QueryDef(name, fn, Some(oracle))
+    QueryDef(name, withFunctions(fn), Some(oracle))
   def noOracle(name: String)(fn: (SparkSession, String) => DataFrame): QueryDef =
-    QueryDef(name, fn, None)
+    QueryDef(name, withFunctions(fn), None)
+  // every query sees the engine's SQL function surface (registration is
+  // idempotent per session)
+  private def withFunctions(
+      fn: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
+    (spark, dir) => { graft.expr.GraftFunctions.register(spark); fn(spark, dir) }
 }

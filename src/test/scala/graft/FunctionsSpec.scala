@@ -37,4 +37,46 @@ class FunctionsSpec extends SparkSuite {
     val got = spark.sql("SELECT graft_topk(v, 5) FROM tkv2").collect().head.getSeq[String](0)
     assert(got == exact)
   }
+
+  // the interpreted higher-order spellings char_ngrams/word_ngrams replaced
+  private val charNgramsInterp = (n: Int) =>
+    s"""CASE WHEN length(text) >= $n THEN
+       |  transform(sequence(1, length(text) - ${n - 1}), i -> substring(text, i, $n))
+       |ELSE array() END""".stripMargin
+  private val bigramsInterp =
+    """CASE WHEN size(tk) >= 2 THEN array_distinct(
+      |  transform(sequence(1, size(tk) - 1),
+      |    i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1))))
+      |ELSE array() END""".stripMargin
+
+  test("char_ngrams matches the interpreted transform spelling incl. edges and unicode") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val texts = Seq("", "a", "ab", "abc", "abcd", "the quick brown fox",
+      "aaaaaa", "héllo wörld ünïcode ß", "日本語のテキスト", "x y")
+    texts.toDF("text").createOrReplaceTempView("ngt")
+    for (n <- Seq(2, 3, 8)) {
+      val rows = spark.sql(
+        s"""SELECT char_ngrams(text, $n, false) AS fast, ${charNgramsInterp(n)} AS slow,
+           |       char_ngrams(text, $n, true) AS fastd,
+           |       array_distinct(${charNgramsInterp(n)}) AS slowd
+           |FROM ngt""".stripMargin).collect()
+      rows.foreach { r =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1), s"n=$n plain")
+        assert(r.getSeq[String](2) == r.getSeq[String](3), s"n=$n dedup")
+      }
+    }
+  }
+
+  test("word_ngrams matches the interpreted bigram spelling") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val texts = Seq("", "one", "one two", "one two three",
+      "a b a b a", "the the the", "x y z x y z")
+    texts.toDF("text").createOrReplaceTempView("wgt")
+    val rows = spark.sql(
+      s"""SELECT word_ngrams(tk, 2, true) AS fast, $bigramsInterp AS slow
+         |FROM (SELECT split(text, ' ') AS tk FROM wgt)""".stripMargin).collect()
+    rows.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
+  }
 }
