@@ -247,6 +247,12 @@ object LlmQueries {
     val hot = shxi.groupBy("source", "shid").agg(count(lit(1)).as("df"))
       .filter(col("df") > DfCutoff).select("source", "shid")
     val pruned = shxi.join(broadcast(hot), Seq("source", "shid"), "left_anti")
+      // the index is corpus-sized: never let the optimizer broadcast it.
+      // shuffle-hash on (source, shid) is both the 100 TB plan and ~2×
+      // faster than the driver collect+broadcast Catalyst picks at sf0.1;
+      // the two join sides canonicalize identically, so ReuseExchange
+      // ships the index once
+      .hint("shuffle_hash")
     val sizes = pruned.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val common = pruned.as("a").join(pruned.as("b"),
         col("a.source") === col("b.source") && col("a.shid") === col("b.shid") &&
