@@ -41,10 +41,12 @@ object Embed {
     * and fall back to per-node interpreted eval, while the lambda loop is
     * one tight interpreted loop (measured 3× at sf0.1).
     */
-  val normExpr: String =
-    "aggregate(transform(qv, x -> x * x), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
-  val normSql: String =
-    "CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT)"
+  def normExprOf(v: String): String =
+    s"aggregate(transform($v, x -> x * x), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+  def normSqlOf(v: String): String =
+    s"CAST(list_sum(list_transform($v, x -> x * x)) AS BIGINT)"
+  val normExpr: String = normExprOf("qv")
+  val normSql: String = normSqlOf("qv")
 
   /** Exact integer dot product of two quantized vectors (see [[normExpr]]
     * note on why this is a fold, not an unrolled sum).

@@ -32,6 +32,28 @@ object IngestQueries {
     Dedup.lastWriteWins(tradesVersioned(spark, dir), Schemas.tradesKey, "ingest_seq")
   }
 
+  /** Merge-time compaction parity (the ClickHouse-merge analog):
+    * [[graft.sources.Sinks.materializeTradesCompacted]] writes the
+    * day-partitioned key-sorted layout with duplicates collapsed during
+    * the write (zero extra shuffle — [[Dedup.compactKeyRuns]] rides the
+    * layout sort), and reading it back must equal the read-path
+    * [[Dedup.lastWriteWins]] — same oracle as `dedup_trades`. This entry
+    * IS a write+read round-trip (the write is the operator under test);
+    * LayoutSpec pins the equivalence in-JVM, this registers it with the
+    * driver gate.
+    */
+  val dedupTradesCompacted = QueryDef.sql(
+    "dedup_trades_compacted",
+    withCtes(
+      Dedup.lastWriteWinsSql("trades_versioned", Schemas.tradesKey, "ingest_seq", tradeCols),
+      tradesCte, tradesVersionedCte)
+  ) { (spark, dir) =>
+    val out = java.nio.file.Files.createTempDirectory("graft_compacted_").toString
+    graft.sources.Sinks.materializeTradesCompacted(
+      tradesVersioned(spark, dir), "ingest_seq", out)
+    spark.read.parquet(out).select(tradeCols.map(col): _*)
+  }
+
   private val quoteCols = Seq("time", "secid", "board", "sec_code", "price",
     "source", "yield", "buy", "sell", "quote_seq")
 
@@ -217,7 +239,7 @@ object IngestQueries {
   }
 
   val all: Seq[QueryDef] = Seq(
-    a16CandlesBatch, dedupTrades, dedupQuotes,
+    a16CandlesBatch, dedupTrades, dedupTradesCompacted, dedupQuotes,
     a06Cascade, a07Valid, a09Bond, a10Periods,
     a11Projection, a12TradeParse, a13QuotesEnvelope, a14SecinfoParse,
     a15HistoryParse, a17Positions, a01StreamCandles)

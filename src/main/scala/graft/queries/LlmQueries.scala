@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.fixtures.Fixtures.{documents, embeddings}
-import graft.llm.{Embed, Multimodal, RawMedia, Text}
+import graft.llm.{Embed, Ivf, Multimodal, RawMedia, Text}
 
 /** The LLM-training-data-pipeline operator surface (builder brief):
   * deduplication (exact, MinHash-LSH, SimHash, n-gram Jaccard), similarity
@@ -475,67 +475,51 @@ object LlmQueries {
     * a query probes only its nprobe=2 nearest lists, so the exact-scoring
     * scan touches nprobe/K of the corpus instead of all of it.
     *
-    * The centroids are the first K corpus vectors — a deterministic
-    * stand-in for a trained k-means codebook (training is offline and
-    * engine-agnostic; the partition/probe machinery is what the engine
-    * owns). Assignment is one scan against the BROADCAST codebook — a
-    * bounded N×K nested loop (K constant ⇒ linear), never vector-vector.
+    * The centroids here are the first K NON-QUERY corpus vectors (the
+    * deterministic init — disjoint from the query block, see
+    * [[graft.llm.Ivf.initCent]]); [[annIvfTrained]] runs the same search
+    * over a codebook trained in-engine from the same init. Assignment is one scan against the BROADCAST codebook — a
+    * bounded N×K nested loop (K constant ⇒ linear), collapsed by a HASH
+    * aggregate before any exchange — see [[graft.llm.Ivf]] for the plan
+    * shape (no window over N×K, no N×K cache).
     */
   val annIvf = QueryDef.sql(
-    "llm_ann_ivf", {
-      val assignCos = Embed.cosineSql(Embed.dotSql("cqv", "qv"), "cnrm", "nrm")
-      val rescoreCos = Embed.cosineSql(Embed.dotSql("qq.qv", "cc.qv"), "qq.nrm", "cc.nrm")
+    "llm_ann_ivf",
+    s"""WITH emb AS (${Embed.preparedSql}),
+       |cent AS (${Ivf.initCentSql(IvfK, NumQueries)}),
+       |${Ivf.searchSql(IvfK, NumQueries, IvfProbes, 3)}""".stripMargin
+  ) { (spark, dir) =>
+    val emb = Embed.prepared(embeddings(spark, dir)).cache()
+    Ivf.search(emb, Ivf.initCent(emb, IvfK, NumQueries), IvfK, NumQueries, IvfProbes, 3)
+  }
+
+  /** Number of in-engine Lloyd iterations for the trained codebook. */
+  private val IvfIters = 2
+
+  /** [[annIvf]] with the codebook TRAINED in-engine: [[IvfIters]]
+    * deterministic Lloyd iterations (init = first K corpus vectors), each
+    * a pair of hash aggregations with integer-quantized centroid output so
+    * the DuckDB oracle replays training bit-identically
+    * ([[graft.llm.Ivf.lloydIter]]). Exercises iterative DataFrame
+    * aggregation — the codebook lineage chains through K-row broadcasts.
+    */
+  val annIvfTrained = QueryDef.sql(
+    "llm_ann_ivf_trained", {
+      val iterCtes = (1 to IvfIters).map { i =>
+        val prev = if (i == 1) "cent0" else s"cent${i - 1}"
+        val next = if (i == IvfIters) "cent" else s"cent$i"
+        Ivf.lloydIterSql(prev, next, IvfK)
+      }.mkString(",\n")
       s"""WITH emb AS (${Embed.preparedSql}),
-         |cent AS (SELECT vec_id AS cent_id, qv AS cqv, nrm AS cnrm FROM emb WHERE vec_id < $IvfK),
-         |scored AS (SELECT vec_id, cent_id, $assignCos AS ccos FROM emb, cent),
-         |assign AS (SELECT vec_id, cent_id FROM (
-         |    SELECT vec_id, cent_id,
-         |      row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS rn
-         |    FROM scored) r WHERE rn = 1),
-         |probes AS (SELECT vec_id AS query_id, cent_id FROM (
-         |    SELECT vec_id, cent_id,
-         |      row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS rn
-         |    FROM scored WHERE vec_id < $NumQueries) r WHERE rn <= $IvfProbes),
-         |cand AS (SELECT p.query_id, a.vec_id FROM probes p
-         |         JOIN assign a ON a.cent_id = p.cent_id
-         |         WHERE a.vec_id != p.query_id),
-         |rescored AS (SELECT c.query_id, c.vec_id, $rescoreCos AS cos_sim
-         |  FROM cand c JOIN emb qq ON qq.vec_id = c.query_id
-         |              JOIN emb cc ON cc.vec_id = c.vec_id),
-         |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rank
-         |           FROM rescored)
-         |SELECT query_id, vec_id, cos_sim, rank FROM ranked
-         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+         |cent0 AS (${Ivf.initCentSql(IvfK, NumQueries)}),
+         |$iterCtes,
+         |${Ivf.searchSql(IvfK, NumQueries, IvfProbes, 3)}""".stripMargin
     }
   ) { (spark, dir) =>
     val emb = Embed.prepared(embeddings(spark, dir)).cache()
-    val cent = emb.filter(col("vec_id") < IvfK)
-      .select(col("vec_id").as("cent_id"), col("qv").as("cqv"), col("nrm").as("cnrm"))
-    val scored = emb.join(broadcast(cent), lit(true))
-      .withColumn("ccos", expr(Embed.cosineSql(Embed.dotExpr("cqv", "qv"), "cnrm", "nrm")))
-      .select(col("vec_id"), col("cent_id"), col("ccos"))
-      .cache() // feeds both the assignment and the probe ranking
-    val byCos = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_id"))
-    val assign = scored.withColumn("rn", row_number().over(byCos))
-      .filter(col("rn") === 1).select(col("vec_id"), col("cent_id"))
-    val probes = scored.filter(col("vec_id") < NumQueries)
-      .withColumn("rn", row_number().over(byCos)).filter(col("rn") <= IvfProbes)
-      .select(col("vec_id").as("query_id"), col("cent_id"))
-    // probes is NumQueries×nprobe rows — broadcast it so the corpus-wide
-    // assignment table never shuffles
-    val cand = assign.join(broadcast(probes), "cent_id")
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"))
-    cand
-      .join(emb.select(col("vec_id").as("query_id"), col("qv").as("qqv"), col("nrm").as("qnrm")), "query_id")
-      .join(emb.select(col("vec_id"), col("qv"), col("nrm")), "vec_id")
-      .withColumn("cos_sim", expr(Embed.cosineSql(Embed.dotExpr("qqv", "qv"), "qnrm", "nrm")))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("vec_id"))))
-      .filter(col("rank") <= 3)
-      .select(col("query_id"), col("vec_id"), col("cos_sim"),
-        col("rank").cast("long").as("rank"))
-      .orderBy("query_id", "rank")
+    val trained = (1 to IvfIters).foldLeft(Ivf.initCent(emb, IvfK, NumQueries))(
+      (c, _) => Ivf.lloydIter(emb, c, IvfK))
+    Ivf.search(emb, trained, IvfK, NumQueries, IvfProbes, 3)
   }
 
   // ---- token counting: whitespace + a BPE-ish regex pre-tokenizer ----
@@ -642,6 +626,6 @@ object LlmQueries {
 
   val all: Seq[QueryDef] = Seq(
     textStats, langId, exactDedup, minhashLsh, ngramJaccard, simhash,
-    fingerprint, embedTopk, annLsh, annIvf, embedNearDup, tokenCount,
-    imageMeta, frameSample, qualityScore)
+    fingerprint, embedTopk, annLsh, annIvf, annIvfTrained, embedNearDup,
+    tokenCount, imageMeta, frameSample, qualityScore)
 }

@@ -25,6 +25,12 @@ object CandleStream {
   /** Exact port of the Go state machine as keyed streaming state. Works on
     * both a streaming and a batch `Dataset[Tick]` (Spark runs
     * flatMapGroupsWithState on batch with empty initial state).
+    *
+    * MEMORY BOUND: the `it.toSeq.sortBy` below buffers ONE security's slice
+    * of ONE micro-batch on the heap to restore (ts, tickNo) order — fine at
+    * micro-batch scale (the reference buffers the same way per gRPC batch),
+    * but do NOT route a full-history batch replay through this operator:
+    * that is what [[candlesBatch]]'s external-sort + lazy replay is for.
     */
   def candles(ticks: Dataset[Tick], today: java.time.LocalDate): Dataset[Candle] = {
     import ticks.sparkSession.implicits._

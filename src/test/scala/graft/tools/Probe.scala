@@ -1,10 +1,15 @@
-package graft
+package graft.tools
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-/** Ad-hoc timing probe (not part of the driver contract). */
+/** Ad-hoc timing probe (dev scaffolding, test scope — not part of the
+  * driver contract). Its round-3 measurements justified keeping
+  * `Dedup.lastWriteWins` as a single max_by aggregation: the window and
+  * join-back alternatives both measured slower at sf0.1. Run with
+  * `sbt "Test/runMain graft.tools.Probe"`.
+  */
 object Probe {
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
