@@ -33,23 +33,41 @@ object Multimodal {
   def attachMedia(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), expr("unhex(md5(text))").as("media"))
 
-  /** STUB image decoder — a real implementation would parse the container
-    * header (JPEG/PNG/WebP) here. The fake is a fixed deterministic
-    * function of the leading bytes so tests and the DuckDB oracle can
-    * verify the full pipeline shape.
+  /** STUB image decoder — a deterministic function of the leading bytes,
+    * kept so the DuckDB oracle (which cannot run a codec) can replay the
+    * pipeline bit-for-bit. Real deployments pass [[decodePng]] (or any
+    * other codec) through the same seam.
     */
   def decodeStub(b: Array[Byte]): DecodedMedia0 =
     DecodedMedia0((b(0) & 0xFF) + 1, (b(1) & 0xFF) + 1, ((b(2) & 0xFF) % 4) + 1, b.length)
 
+  /** REAL image decoder over the JDK-shipped `javax.imageio` (PNG/JPEG/
+    * GIF/BMP — no extra dependency): parses the actual container and
+    * reports true raster dimensions + color components. Runs inside the
+    * same partition-wise seam as the stub; MultimodalSpec drives genuine
+    * PNG bytes through it end-to-end.
+    */
+  def decodePng(b: Array[Byte]): DecodedMedia0 = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+    require(img != null, s"undecodable image container (${b.length} bytes)")
+    DecodedMedia0(img.getWidth, img.getHeight, img.getColorModel.getNumComponents, b.length)
+  }
+
   case class DecodedMedia0(width: Int, height: Int, channels: Int, byteLen: Int)
 
-  /** The decode stage: typed, partition-wise. */
-  def decodeMeta(media: Dataset[RawMedia]): Dataset[DecodedMedia] = {
+  /** The decode stage: typed, partition-wise, codec-pluggable. The codec
+    * default is the oracle-replayable [[decodeStub]]; the registered
+    * entry uses it, tests drive [[decodePng]] through the identical path.
+    */
+  def decodeMeta(media: Dataset[RawMedia],
+      codec: Array[Byte] => DecodedMedia0 = decodeStub): Dataset[DecodedMedia] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      // per-partition codec init would go here (amortized across rows)
+      // per-partition codec init, amortized across the partition's rows
+      // (ImageIO's disk-backed stream cache is pure overhead at blob size)
+      javax.imageio.ImageIO.setUseCache(false)
       it.map { m =>
-        val d = decodeStub(m.media)
+        val d = codec(m.media)
         DecodedMedia(m.doc_id, d.width, d.height, d.channels, d.byteLen)
       }
     }

@@ -82,6 +82,42 @@ object CandleStream {
       }
   }
 
+  /** Third A16 port (SURVEY §2.B streaming rows): the idiomatic
+    * Structured Streaming formulation — event-time WATERMARK + tumbling
+    * 1-minute window aggregation in APPEND mode. The reference has no
+    * explicit late-data policy: a tick arriving after its minute was
+    * emitted just pollutes the NEXT candle's state (process.go:146-156).
+    * This port makes the policy explicit and bounded: ticks more than
+    * `delay` behind the stream's max event time are DROPPED, and a window
+    * finalizes (appends downstream, state evicted) once the watermark
+    * passes its end — so state is O(open windows), not O(history).
+    *
+    * Measures mirror [[graft.ingest.CandleBuilder.batchCandles]] (the
+    * idiomatic batch port, boundary-bug-free): open/close via min/max of
+    * an (arrival-order, value) struct — all five aggregates are
+    * partial-aggregatable, map-side-combined before the keyed exchange.
+    * StreamingSpec pins: late ticks drop, on-time windows ≡ batchCandles.
+    */
+  def candlesWindowed(ticks: Dataset[Tick], delay: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val priced = when(col("last") > 0,
+      struct(col("ts").as("t"), col("tickNo").as("n"), col("last").as("v")))
+    ticks.toDF()
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), "1 minute"), col("secId"), col("secCode"))
+      .agg(
+        min(priced).getField("v").as("open"),
+        max(priced).getField("v").as("close"),
+        max(when(col("last") > 0, col("last"))).as("high"),
+        min(when(col("last") > 0, col("last"))).as("low"),
+        sum(col("quantity")).as("volume"))
+      .filter(col("open").isNotNull)
+      .select(col("window.start").as("date"), col("secId"), col("secCode"),
+        lit(1).as("period"), col("open"), col("close"), col("high"),
+        col("low"), col("volume"))
+  }
+
   /** A5 analog: micro-batch append sink. */
   def sinkToParquet(candles: Dataset[Candle], path: String,
       checkpoint: String): StreamingQuery =

@@ -67,6 +67,48 @@ class StreamingSpec extends SparkSuite {
     assert(c.open == 101.5 && c.close == 106.0 && c.volume == 1)
   }
 
+  test("watermarked window port: late ticks drop, on-time windows ≡ batchCandles") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val onTime = Seq(
+      tick(1, "10:00:10", 101.0, 5, 1),
+      tick(1, "10:00:20", 103.0, 2, 2),
+      tick(1, "10:01:05", 105.0, 3, 3))
+    val advance1 = Seq(tick(1, "10:02:10", 106.0, 4, 4))
+    // watermark is now 10:01:40 (max 10:02:10 − 30 s): this tick is LATE
+    val late = tick(1, "10:00:30", 999.0, 100, 5)
+    val advance2 = Seq(late, tick(1, "10:03:10", 107.0, 2, 6))
+    val flush = Seq(tick(1, "10:10:00", 110.0, 1, 7))
+
+    val ms = MemoryStream[Tick]
+    val query = CandleStream.candlesWindowed(ms.toDS(), "30 seconds")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("wm_candles").start()
+    Seq(onTime, advance1, advance2, flush).foreach { b =>
+      ms.addData(b); query.processAllAvailable()
+    }
+    query.stop()
+
+    // finalized windows: 10:00 .. 10:03 (10:10 still open). The late 999
+    // tick contributed NOTHING — compare against the batch port over the
+    // on-time ticks only.
+    val batchTicks = (onTime ++ advance1 ++ advance2.drop(1) ++ flush).toDS()
+      .selectExpr("secCode AS sec_code", "tickNo AS tick_no", "last", "quantity", "ts")
+    val want = graft.ingest.CandleBuilder.batchCandles(batchTicks)
+      .filter($"date" < java.sql.Timestamp.valueOf("2024-12-06 10:04:00"))
+      .collect().map(_.toSeq).toSet
+    val gotAligned = spark.table("wm_candles")
+      .selectExpr("date", "secCode AS sec_code", "period", "open", "close", "high", "low", "volume")
+      .collect().map(_.toSeq).toSet
+    assert(gotAligned == want, s"got=$gotAligned\nwant=$want")
+    // and the drop really happened: window 10:00 kept volume 7, high 103
+    val w0 = spark.table("wm_candles")
+      .filter($"date" === java.sql.Timestamp.valueOf("2024-12-06 10:00:00"))
+      .select("high", "volume").collect()
+    assert(w0.length == 1 && w0(0).getDouble(0) == 103.0 && w0(0).getLong(1) == 7L)
+  }
+
   test("batch Dataset runs through the same stateful operator") {
     import spark.implicits._
     val ds = (batch1 ++ batch2).toDS()
