@@ -26,8 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 24g: at sf0.1 the cached derived tables (trades/ticks/documents/
-  // trigram explosion/signatures) exceed the storage pool of an 8g heap;
-  // eviction churn was costing ~1.5-2s on each map-side text entry.
+  // Heap is headroom, not a dependency: the round-4 full bench at sf0.1
+  // completes at 8g with warm total 41.0s vs 41.3s at 24g (rc=0, zero
+  // errors both) — round 4 dropped the NxK IVF cache and shrank the
+  // Jaccard cache to vocabulary size, so eviction churn is gone. 24g
+  // stays the default only to keep cache behavior stable as entries are
+  // added; override with SPARK_DRIVER_MEM=8g to reproduce the bounded run.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -114,34 +114,36 @@ object LlmQueries {
   private val NumBands = 6
   private val JaccardThreshold = 0.5
 
-  /** Banded MinHash-LSH near-duplicate pairs over word-bigram shingles.
-    * Candidates come ONLY from band-bucket equi-joins (never an all-pairs
-    * product); survivors are verified with exact set Jaccard.
+  /** DuckDB CTE chain ending in `pairs` (doc_a < doc_b, exact jaccard ≥
+    * threshold) — shared by the pair entry and [[dedupClusters]].
     */
-  val minhashLsh = QueryDef.sql(
-    "llm_minhash_lsh", {
-      val bandsSql = (0 until NumBands)
-        .map(b => s"SELECT doc_id, $b AS band, md5(concat(mh${2 * b}, mh${2 * b + 1})) AS bkey FROM mh")
-        .mkString("\nUNION ALL\n")
-      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-         |sh AS (SELECT doc_id, ${Text.bigramsSql} AS shset FROM toks),
-         |shx AS (SELECT doc_id, unnest(shset) AS sh FROM sh),
-         |mh AS (SELECT doc_id, ${Text.minhashAggsSql(NumHashes).mkString(",\n  ")}
-         |       FROM shx GROUP BY doc_id),
-         |bands AS ($bandsSql),
-         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         |         FROM bands x JOIN bands y
-         |           ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
-         |SELECT doc_a, doc_b, jaccard FROM (
-         |  SELECT doc_a, doc_b,
-         |    CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE)
-         |      / len(list_distinct(list_concat(a.shset, b.shset))) AS jaccard
-         |  FROM cand JOIN sh a ON a.doc_id = cand.doc_a
-         |            JOIN sh b ON b.doc_id = cand.doc_b) v
-         |WHERE jaccard >= $JaccardThreshold
-         |ORDER BY doc_a, doc_b""".stripMargin
-    }
-  ) { (spark, dir) =>
+  private val minhashPairsCtes: String = {
+    val bandsSql = (0 until NumBands)
+      .map(b => s"SELECT doc_id, $b AS band, md5(concat(mh${2 * b}, mh${2 * b + 1})) AS bkey FROM mh")
+      .mkString("\nUNION ALL\n")
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |sh AS (SELECT doc_id, ${Text.bigramsSql} AS shset FROM toks),
+       |shx AS (SELECT doc_id, unnest(shset) AS sh FROM sh),
+       |mh AS (SELECT doc_id, ${Text.minhashAggsSql(NumHashes).mkString(",\n  ")}
+       |       FROM shx GROUP BY doc_id),
+       |bands AS ($bandsSql),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |         FROM bands x JOIN bands y
+       |           ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+       |pairs AS (SELECT doc_a, doc_b, jaccard FROM (
+       |  SELECT doc_a, doc_b,
+       |    CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(a.shset, b.shset))) AS jaccard
+       |  FROM cand JOIN sh a ON a.doc_id = cand.doc_a
+       |            JOIN sh b ON b.doc_id = cand.doc_b) v
+       |WHERE jaccard >= $JaccardThreshold)""".stripMargin
+  }
+
+  /** Spark side of the verified near-dup pair stream (no output order) —
+    * shared by [[minhashLsh]] and [[dedupClusters]].
+    */
+  private def minhashPairs(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
     val shx = documents(spark, dir)
       .withColumn("tk", split(col("text"), " "))
       .select(col("doc_id"), explode(expr(Text.bigramsExpr)).as("sh"))
@@ -183,8 +185,18 @@ object LlmQueries {
       .withColumn("jaccard", expr("CAST(i AS DOUBLE) / (za + zb - i)"))
       .filter(col("jaccard") >= JaccardThreshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      .orderBy("doc_a", "doc_b")
   }
+
+  /** Banded MinHash-LSH near-duplicate pairs over word-bigram shingles.
+    * Candidates come ONLY from band-bucket equi-joins (never an all-pairs
+    * product); survivors are verified with exact set Jaccard.
+    */
+  val minhashLsh = QueryDef.sql(
+    "llm_minhash_lsh",
+    s"""WITH $minhashPairsCtes
+       |SELECT doc_a, doc_b, jaccard FROM pairs
+       |ORDER BY doc_a, doc_b""".stripMargin
+  ) { (spark, dir) => minhashPairs(spark, dir).orderBy("doc_a", "doc_b") }
 
   /** Document-frequency cutoff for the Jaccard inverted index: shingles
     * appearing in more than this many documents of a source are dropped
@@ -625,8 +637,162 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  // ---- near-dup clustering: connected components over verified pairs ----
+
+  /** Iteration cap for the label-propagation loop — a safety bound far
+    * above any real dedup graph's diameter (near-dup components are
+    * star/chain shaped; the loop exits at the fixpoint).
+    */
+  private val MaxCcIters = 10
+
+  /** Canonicalization step of a dedup pipeline: group the verified
+    * MinHash-LSH pairs into CONNECTED COMPONENTS and elect min-doc_id as
+    * each cluster's canonical representative — the operator that turns
+    * pairwise near-dup hits into "keep one per cluster" decisions.
+    *
+    * Distributed shape (no graph library): min-label propagation. Labels
+    * start as each node's own id; each round propagates labels across
+    * edges and takes the per-node min (one partial-aggregated shuffle
+    * bounded by |edges|+|nodes|), converging in ≤ diameter rounds. The
+    * driver-side loop only CHECKS convergence (sum of labels strictly
+    * decreases until the fixpoint — one scalar action per round, same
+    * pattern as Lloyd training); all data movement is joins/aggregates.
+    * The DuckDB oracle computes the same fixpoint with a recursive CTE —
+    * engine-independent because min-reachable-id is a pure graph
+    * property.
+    */
+  val dedupClusters = QueryDef.sql(
+    "llm_dedup_clusters",
+    s"""WITH RECURSIVE $minhashPairsCtes,
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(node, label) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node),
+       |lab AS (SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node),
+       |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY cluster_id)
+       |SELECT l.doc_id, l.cluster_id, s.cluster_size,
+       |       s.cluster_size > 1 AS is_dup_cluster
+       |FROM lab l JOIN sz s USING (cluster_id)
+       |ORDER BY l.doc_id""".stripMargin
+  ) { (spark, dir) =>
+    val pairs = minhashPairs(spark, dir).select(col("doc_a"), col("doc_b")).cache()
+    val edges = pairs.unionByName(
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .toDF("src", "dst")
+    var labels = documents(spark, dir)
+      .select(col("doc_id").as("node"), col("doc_id").as("label")).cache()
+    var prevSum = Option.empty[Long]
+    var it = 0
+    var converged = false
+    while (!converged && it < MaxCcIters) {
+      val prop = edges.join(labels.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), col("label"))
+      val next = labels.unionByName(prop)
+        .groupBy("node").agg(min("label").as("label")).cache()
+      // min-propagation can only lower labels: equal sum ⇔ fixpoint
+      val s = next.agg(sum("label")).first().getLong(0)
+      converged = prevSum.contains(s)
+      prevSum = Some(s)
+      labels.unpersist()
+      labels = next
+      it += 1
+    }
+    val sz = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sz, "label")
+      .select(col("node").as("doc_id"), col("label").as("cluster_id"),
+        col("cluster_size"), (col("cluster_size") > 1).as("is_dup_cluster"))
+      .orderBy("doc_id")
+  }
+
+  // ---- PII scrubbing: detect + redact, counted and hash-verified ----
+
+  /** Deterministic PII injection (the corpus has no @/+/http literals, so
+    * detection counts are fully controlled): an email for 2 of 3 docs, a
+    * phone for every 2nd, a URL for every doc.
+    */
+  private def richPiiExpr(strTy: String): String =
+    s"concat(text," +
+      s" CASE WHEN doc_id % 3 > 0 THEN concat(' contact user', CAST(doc_id AS $strTy), '@example.com') ELSE '' END," +
+      s" CASE WHEN doc_id % 2 = 0 THEN concat(' call +1-555-', CAST(doc_id % 10000 AS $strTy)) ELSE '' END," +
+      s" ' see http://site', CAST(doc_id % 7 AS $strTy), '.example/p')"
+
+  // escape-free patterns (character classes only) — identical semantics
+  // under Java regex (Spark) and RE2 (DuckDB)
+  private val EmailPat = "[a-z0-9]+@[a-z0-9.]+[a-z]"
+  private val PhonePat = "[+][0-9][0-9-]+[0-9]"
+  private val UrlPat = "http://[a-z0-9./]+"
+
+  /** PII scrub for corpus cleaning: count emails/phones/URLs, redact all
+    * three (fixed order), emit the scrubbed text's md5 + length so the
+    * oracle verifies the REDACTED BYTES, not just the counts. Pure
+    * map-side codegen projection (regexp_* built-ins, no UDF).
+    */
+  val piiScrub = QueryDef.sql(
+    "llm_pii_scrub",
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all(rich, '$EmailPat')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(rich, '$PhonePat')) AS BIGINT) AS n_phones,
+       |  CAST(len(regexp_extract_all(rich, '$UrlPat')) AS BIGINT) AS n_urls,
+       |  md5(regexp_replace(regexp_replace(regexp_replace(rich,
+       |      '$EmailPat', '<EMAIL>', 'g'), '$PhonePat', '<PHONE>', 'g'),
+       |      '$UrlPat', '<URL>', 'g')) AS clean_hash,
+       |  CAST(length(regexp_replace(regexp_replace(regexp_replace(rich,
+       |      '$EmailPat', '<EMAIL>', 'g'), '$PhonePat', '<PHONE>', 'g'),
+       |      '$UrlPat', '<URL>', 'g')) AS BIGINT) AS clean_len
+       |FROM (SELECT doc_id, ${richPiiExpr("VARCHAR")} AS rich FROM documents) d
+       |ORDER BY doc_id""".stripMargin
+  ) { (spark, dir) =>
+    documents(spark, dir)
+      .selectExpr("doc_id", s"${richPiiExpr("STRING")} AS rich")
+      .selectExpr("doc_id",
+        s"CAST(size(regexp_extract_all(rich, '$EmailPat', 0)) AS BIGINT) AS n_emails",
+        s"CAST(size(regexp_extract_all(rich, '$PhonePat', 0)) AS BIGINT) AS n_phones",
+        s"CAST(size(regexp_extract_all(rich, '$UrlPat', 0)) AS BIGINT) AS n_urls",
+        s"md5(regexp_replace(regexp_replace(regexp_replace(rich, '$EmailPat', '<EMAIL>'), '$PhonePat', '<PHONE>'), '$UrlPat', '<URL>')) AS clean_hash",
+        s"CAST(length(regexp_replace(regexp_replace(regexp_replace(rich, '$EmailPat', '<EMAIL>'), '$PhonePat', '<PHONE>'), '$UrlPat', '<URL>')) AS BIGINT) AS clean_len")
+      .orderBy("doc_id")
+  }
+
+  // ---- repetition detection (Gopher-style duplicate-ngram fraction) ----
+
+  /** Repetition quality signal: fraction of duplicated word TRIGRAMS.
+    * Every 5th document is made repetitive by doubling its text (the
+    * corpus itself is near-repetition-free, so the signal is controlled).
+    * Map-side only: the codegen'd n-gram expression runs twice (dedup'd
+    * and not) — no explode, no shuffle.
+    */
+  val repetition = QueryDef.sql(
+    "llm_repetition",
+    s"""SELECT doc_id, n_tri, n_tri_uniq,
+       |  CASE WHEN n_tri = 0 THEN 0.0
+       |       ELSE 1.0 - CAST(n_tri_uniq AS DOUBLE) / n_tri END AS rep_ratio,
+       |  (CASE WHEN n_tri = 0 THEN 0.0
+       |        ELSE 1.0 - CAST(n_tri_uniq AS DOUBLE) / n_tri END) > 0.3 AS repetitive
+       |FROM (SELECT doc_id,
+       |    CAST(len(list_transform(range(1, len(tk) - 1), i -> concat(tk[i], ' ', tk[i+1], ' ', tk[i+2]))) AS BIGINT) AS n_tri,
+       |    CAST(len(list_distinct(list_transform(range(1, len(tk) - 1), i -> concat(tk[i], ' ', tk[i+1], ' ', tk[i+2])))) AS BIGINT) AS n_tri_uniq
+       |  FROM (SELECT doc_id, string_split(
+       |      CASE WHEN doc_id % 5 = 0 THEN concat(text, ' ', text) ELSE text END,
+       |      ' ') AS tk FROM documents) t) m
+       |ORDER BY doc_id""".stripMargin
+  ) { (spark, dir) =>
+    documents(spark, dir)
+      .selectExpr("doc_id",
+        "split(CASE WHEN doc_id % 5 = 0 THEN concat(text, ' ', text) ELSE text END, ' ') AS tk")
+      .selectExpr("doc_id",
+        "CAST(size(word_ngrams(tk, 3, false)) AS BIGINT) AS n_tri",
+        "CAST(size(word_ngrams(tk, 3, true)) AS BIGINT) AS n_tri_uniq")
+      .selectExpr("doc_id", "n_tri", "n_tri_uniq",
+        "CASE WHEN n_tri = 0 THEN 0.0 ELSE 1.0 - CAST(n_tri_uniq AS DOUBLE) / n_tri END AS rep_ratio",
+        "(CASE WHEN n_tri = 0 THEN 0.0 ELSE 1.0 - CAST(n_tri_uniq AS DOUBLE) / n_tri END) > 0.3 AS repetitive")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
-    textStats, langId, exactDedup, minhashLsh, ngramJaccard, simhash,
-    fingerprint, embedTopk, annLsh, annIvf, annIvfTrained, embedNearDup,
-    tokenCount, imageMeta, frameSample, qualityScore)
+    textStats, langId, exactDedup, minhashLsh, dedupClusters, ngramJaccard,
+    simhash, fingerprint, embedTopk, annLsh, annIvf, annIvfTrained,
+    embedNearDup, tokenCount, imageMeta, frameSample, qualityScore,
+    piiScrub, repetition)
 }
