@@ -158,5 +158,13 @@ object GraftFunctions {
     registry.createOrReplaceTempFunction(
       "word_ngrams", exprs =>
         WordNgrams(exprs.head, litInt(exprs(1)), litBool(exprs(2))), "built-in")
+    // codegen'd quantized-vector kernels (see graft.expr.VecOps)
+    registry.createOrReplaceTempFunction(
+      "vec_normsq", exprs => VecNormSq(exprs.head), "built-in")
+    registry.createOrReplaceTempFunction(
+      "vec_dot", exprs => VecDot(exprs.head, exprs(1)), "built-in")
+    registry.createOrReplaceTempFunction(
+      "hyperplane_dots", exprs =>
+        HyperplaneDots(exprs.head, litInt(exprs(1))), "built-in")
   }
 }

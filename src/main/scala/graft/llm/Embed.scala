@@ -35,24 +35,24 @@ object Embed {
   val quantizeSql: String =
     "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
 
-  /** Squared norm of a quantized vector (exact bigint). NOTE: the
-    * fold/zip_with forms measure FASTER than 64-term unrolled
-    * expressions — the giant flat Add trees blow codegen method limits
-    * and fall back to per-node interpreted eval, while the lambda loop is
-    * one tight interpreted loop (measured 3× at sf0.1).
+  /** Squared norm of a quantized vector (exact bigint). History of this
+    * spelling: 64-term unrolled Add trees blow codegen method limits
+    * (fall back to per-node interpreted eval, 3× slower than the lambda
+    * fold at sf0.1); the fold itself still walks an expression tree per
+    * element. Round 4 moved the integer kernels into the codegen'd
+    * [[graft.expr.VecOps]] expressions — bit-identical (exact integer
+    * sums are order-independent), one tight static loop per row.
     */
-  def normExprOf(v: String): String =
-    s"aggregate(transform($v, x -> x * x), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+  def normExprOf(v: String): String = s"vec_normsq($v)"
   def normSqlOf(v: String): String =
     s"CAST(list_sum(list_transform($v, x -> x * x)) AS BIGINT)"
   val normExpr: String = normExprOf("qv")
   val normSql: String = normSqlOf("qv")
 
-  /** Exact integer dot product of two quantized vectors (see [[normExpr]]
-    * note on why this is a fold, not an unrolled sum).
+  /** Exact integer dot product of two quantized vectors (codegen'd — see
+    * [[normExprOf]] note).
     */
-  def dotExpr(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+  def dotExpr(a: String, b: String): String = s"vec_dot($a, $b)"
   def dotSql(a: String, b: String): String =
     s"CAST(list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])) AS BIGINT)"
 
@@ -74,11 +74,7 @@ object Embed {
     * independent planes with entries in [-3, 3], mean ≈ 0.
     */
   def hyperplaneVec(j: Int): IndexedSeq[Long] =
-    (0 until Dim).map { i =>
-      var x = i.toLong * 2654435761L + (j + 1).toLong * 0x9E3779B97F4A7C15L
-      x ^= (x >>> 33); x *= 0xFF51AFD7ED558CCDL; x ^= (x >>> 33)
-      java.lang.Math.floorMod(x, 7L) - 3
-    }
+    graft.expr.VecOps.hyperplaneVec(j, Dim)
 
   private def hyperplaneLits(j: Int): String = hyperplaneVec(j).mkString(", ")
 
@@ -94,6 +90,14 @@ object Embed {
     */
   def bandKeySql(b: Int, bits: Int): String =
     (0 until bits).map(k => s"(CASE WHEN d${b * bits + k} >= 0 THEN ${1 << k} ELSE 0 END)")
+      .mkString("(", " + ", ")")
+
+  /** Spark-side band key reading a `dots` ARRAY column (the codegen'd
+    * `hyperplane_dots` output; element_at is 1-based).
+    */
+  def bandKeyDotsExpr(b: Int, bits: Int): String =
+    (0 until bits)
+      .map(k => s"(CASE WHEN element_at(dots, ${b * bits + k + 1}) >= 0 THEN ${1 << k} ELSE 0 END)")
       .mkString("(", " + ", ")")
 
   /** Single sign-bucket from dots d0..d{bits-1} (= band 0's key). */

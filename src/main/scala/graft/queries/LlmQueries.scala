@@ -392,9 +392,9 @@ object LlmQueries {
     }
   ) { (spark, dir) =>
     val emb = Embed.prepared(embeddings(spark, dir))
-    val withDots = (0 until 8).foldLeft(emb)((df, j) =>
-      df.withColumn(s"d$j", expr(Embed.hyperplaneDotExpr(j))))
-    val bucketed = withDots.withColumn("bucket", expr(Embed.bucketSql(8)))
+    val bucketed = emb
+      .withColumn("dots", expr("hyperplane_dots(qv, 8)"))
+      .withColumn("bucket", expr(Embed.bandKeyDotsExpr(0, 8)))
       .select(col("vec_id"), col("qv"), col("nrm"), col("bucket"))
     val q = bucketed.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("qv").as("qqv"),
@@ -463,11 +463,10 @@ object LlmQueries {
   ) { (spark, dir) =>
     val emb = Embed.prepared(
       graft.fixtures.Fixtures.embeddingsNearDup(spark, dir)).cache()
-    val withDots = (0 until NdBands * NdBits).foldLeft(emb)((df, j) =>
-      df.withColumn(s"d$j", expr(Embed.hyperplaneDotExpr(j))))
     val bandCols = (0 until NdBands).map(b => struct(lit(b).as("band"),
-      expr(Embed.bandKeySql(b, NdBits)).as("bkey")))
-    val bands = withDots
+      expr(Embed.bandKeyDotsExpr(b, NdBits)).as("bkey")))
+    val bands = emb
+      .withColumn("dots", expr(s"hyperplane_dots(qv, ${NdBands * NdBits})"))
       .select(col("vec_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("vec_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
     val cand = bands.as("a").join(bands.as("b"),
@@ -532,6 +531,7 @@ object LlmQueries {
     val emb = Embed.prepared(embeddings(spark, dir)).cache()
     val trained = (1 to IvfIters).foldLeft(Ivf.initCent(emb, IvfK, NumQueries))(
       (c, _) => Ivf.lloydIter(emb, c, IvfK))
+      .cache() // K rows — stops the search's two broadcasts re-running Lloyd
     Ivf.search(emb, trained, IvfK, NumQueries, IvfProbes, 3)
   }
 

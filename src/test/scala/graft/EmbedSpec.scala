@@ -15,6 +15,7 @@ class EmbedSpec extends SparkSuite {
 
   test("unrolled dot/norm match the naive quantized computation") {
     import spark.implicits._
+    graft.expr.GraftFunctions.register(spark)
     val df = Seq((a.toSeq, b.toSeq)).toDF("ea", "eb")
       .selectExpr(
         "transform(ea, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qa",
@@ -38,6 +39,26 @@ class EmbedSpec extends SparkSuite {
       val want = Embed.hyperplaneVec(j).zip(qa).map { case (h, x) => h * x }.sum
       assert(r.getLong(j) == want, s"hyperplane $j")
     }
+  }
+
+  test("codegen'd vec kernels ≡ the interpreted lambda folds") {
+    import spark.implicits._
+    graft.expr.GraftFunctions.register(spark)
+    val df = Seq((a.toSeq, b.toSeq)).toDF("ea", "eb")
+      .selectExpr(
+        "transform(ea, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv",
+        "transform(eb, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qb")
+      .selectExpr(
+        "vec_dot(qv, qb) AS dot",
+        "aggregate(zip_with(qv, qb, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, x) -> acc + x) AS dot0",
+        "vec_normsq(qv) AS nrm",
+        "aggregate(transform(qv, x -> x * x), CAST(0 AS BIGINT), (acc, x) -> acc + x) AS nrm0",
+        "hyperplane_dots(qv, 32) AS hd",
+        (0 until 32).map(j => s"${Embed.hyperplaneDotExpr(j)}").mkString("array(", ", ", ") AS hd0"))
+    val r = df.collect().head
+    assert(r.getLong(0) == r.getLong(1), "vec_dot")
+    assert(r.getLong(2) == r.getLong(3), "vec_normsq")
+    assert(r.getSeq[Long](4) == r.getSeq[Long](5), "hyperplane_dots")
   }
 
   test("hyperplane family: 32 genuinely distinct balanced planes") {
