@@ -38,17 +38,25 @@ object CandleBuilder {
     * (sec_code, tick_no, last, quantity, ts). Guards mirror process.go:
     * open/low consider only nonzero prices (147-155); volume sums every
     * tick's quantity (156); minutes with no priced tick are dropped.
-    * Arrival order = (ts, tick_no) — expressed as lexicographic struct
-    * comparison so open/close stay partial-aggregatable min/max.
+    *
+    * Arrival order = (ts, tick_no), PACKED into one DECIMAL(38,0) — the
+    * same `epoch·10^17 + tick_no` packing the DuckDB twin uses as
+    * HUGEINT (tick_no < 10^17 by construction, so it is collision-free
+    * and order-preserving). Why packed and not a struct: min/max of a
+    * struct pushes the whole aggregate onto SortAggregate (struct
+    * buffers aren't fixed-width — the [[graft.ingest.Dedup]] lesson),
+    * while min_by/max_by over a decimal ordering keeps every measure on
+    * the partial-aggregated HASH path (null ordering rows — unpriced
+    * ticks — are skipped by max_by/min_by semantics).
     */
   def batchCandles(ticks: DataFrame): DataFrame = {
-    val priced = when(col("last") > 0,
-      struct(col("ts").as("t"), col("tick_no").as("n"), col("last").as("v")))
+    val ord = when(col("last") > 0, expr(
+      "CAST(CAST(unix_seconds(ts) AS DECIMAL(38,0)) * 100000000000000000 + tick_no AS DECIMAL(38,0))"))
     ticks
       .groupBy(minuteFloor(col("ts")).as("date"), col("sec_code"))
       .agg(
-        min(priced).getField("v").as("open"),
-        max(priced).getField("v").as("close"),
+        min_by(col("last"), ord).as("open"),
+        max_by(col("last"), ord).as("close"),
         max(when(col("last") > 0, col("last"))).as("high"),
         min(when(col("last") > 0, col("last"))).as("low"),
         sum(col("quantity")).as("volume"))

@@ -77,7 +77,12 @@ object LlmQueries {
         Window.partitionBy("lang").orderBy(col("cnt").desc, col("tri"))))
       .filter(col("rn") <= 20)
       .select(col("lang").as("plang"), col("tri"))
-    val docTri = exploded.select(col("doc_id"), col("tri")).distinct()
+    // per-doc DISTINCT trigrams via the dedup'd codegen explode — a
+    // map-side set-build per row, replacing a corpus-wide distinct()
+    // SHUFFLE of the occurrence stream (dedup is per-document, so no
+    // cross-partition coordination is needed to begin with)
+    val docTri = docs.select(col("doc_id"),
+      explode(expr("char_ngrams(text, 3, true)")).as("tri"))
     val scores = docTri.join(broadcast(profile), "tri")
       .groupBy("doc_id", "plang").agg(count(lit(1)).as("score"))
     // unique ordering key (score desc, plang asc) → deterministic argmax
