@@ -139,15 +139,20 @@ object GraftFunctions {
   import org.apache.spark.sql.catalyst.expressions.{Cast, Pmod, SecondsToTimestamp, Subtract, UnixSeconds}
   import org.apache.spark.sql.types.{LongType, TimestampType}
 
+  /** `toStartOfInterval(t, seconds)` as a Catalyst tree (shared by the
+    * per-session registry and [[graft.GraftExtensions]]).
+    */
+  def toStartOfInterval(exprs: Seq[Expression]): Expression = {
+    val us = UnixSeconds(Cast(exprs.head, TimestampType))
+    SecondsToTimestamp(Subtract(us, Pmod(us, Cast(exprs(1), LongType))))
+  }
+
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     registry.createOrReplaceTempFunction(
       "graft_topk", exprs => TopK(exprs.head, exprs(1)), "built-in")
     registry.createOrReplaceTempFunction(
-      "to_start_of_interval", { exprs =>
-        val us = UnixSeconds(Cast(exprs.head, TimestampType))
-        SecondsToTimestamp(Subtract(us, Pmod(us, Cast(exprs(1), LongType))))
-      }, "built-in")
+      "to_start_of_interval", exprs => toStartOfInterval(exprs), "built-in")
     // codegen'd shingling (see graft.expr.NgramUtil): n and dedup must be
     // literals — they parameterize the generated code
     def litInt(e: Expression): Int = e.eval().asInstanceOf[Number].intValue()
