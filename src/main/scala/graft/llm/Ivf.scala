@@ -68,7 +68,13 @@ object Ivf {
 
   private def scored(emb: DataFrame, cent: DataFrame, numCent: Int,
       carryQv: Boolean): DataFrame = {
-    val base = emb.join(broadcast(cent), lit(true))
+    // zero-norm guard: a vector (or centroid) that quantizes to all-zeros
+    // makes the cosine NaN, and CAST(floor(NaN) AS BIGINT) silently
+    // yields 0 in Spark but ERRORS in the DuckDB oracle — exclude such
+    // rows from assignment in BOTH engines (the SQL twins carry the same
+    // predicates); a zero vector has no meaningful cosine neighbors.
+    val base = emb.filter(col("nrm") > 0)
+      .join(broadcast(cent.filter(col("cnrm") > 0)), lit(true))
       .withColumn("ccos",
         expr(Embed.cosineSql(Embed.dotExpr("cqv", "qv"), "cnrm", "nrm")))
       .withColumn("ck", expr(packedKeySqlOf("ccos", numCent)))
@@ -121,7 +127,8 @@ object Ivf {
     val assignCos = Embed.cosineSql(Embed.dotSql("cqv", "qv"), "cnrm", "nrm")
     val rescoreCos = Embed.cosineSql(Embed.dotSql("qq.qv", "cc.qv"), "qq.nrm", "cc.nrm")
     s"""keyed AS (SELECT vec_id, cent_id, ${packedKeySqlOf("ccos", numCent)} AS ck FROM (
-       |    SELECT vec_id, cent_id, $assignCos AS ccos FROM emb, cent) s0),
+       |    SELECT vec_id, cent_id, $assignCos AS ccos FROM emb, cent
+       |    WHERE nrm > 0 AND cnrm > 0) s0),
        |assign AS (SELECT vec_id, arg_max(cent_id, ck) AS cent_id FROM keyed GROUP BY vec_id),
        |probes AS (SELECT vec_id AS query_id, cent_id FROM (
        |    SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY ck DESC) AS rn
@@ -166,7 +173,8 @@ object Ivf {
   def lloydIterSql(prev: String, next: String, numCent: Int): String = {
     val assignCos = Embed.cosineSql(Embed.dotSql("cqv", "qv"), "cnrm", "nrm")
     s"""keyed_$next AS (SELECT vec_id, cent_id, ${packedKeySqlOf("ccos", numCent)} AS ck FROM (
-       |    SELECT e.vec_id, c.cent_id, $assignCos AS ccos FROM emb e, $prev c) s0),
+       |    SELECT e.vec_id, c.cent_id, $assignCos AS ccos FROM emb e, $prev c
+       |    WHERE e.nrm > 0 AND c.cnrm > 0) s0),
        |comp_$next AS (SELECT a.cent_id, i.i AS pos, e.qv[i.i] AS x
        |  FROM (SELECT vec_id, arg_max(cent_id, ck) AS cent_id
        |        FROM keyed_$next GROUP BY vec_id) a

@@ -67,11 +67,11 @@ object LlmQueries {
        |ORDER BY d.doc_id""".stripMargin
   ) { (spark, dir) =>
     val docs = documents(spark, dir)
-    // one trigram explosion feeds BOTH the profile trainer and the
-    // classifier (the transform lambda is interpreted — don't run it twice)
+    // occurrence-stream explosion feeds the profile trainer only (the
+    // classifier gets its per-doc distinct trigrams from a separate
+    // dedup'd map-side explode below) — single consumer, so no cache
     val exploded = docs
       .select(col("doc_id"), col("lang"), explode(expr(Text.charTrigramsExpr)).as("tri"))
-      .cache()
     val profile = exploded.groupBy("lang", "tri").agg(count(lit(1)).as("cnt"))
       .withColumn("rn", row_number().over(
         Window.partitionBy("lang").orderBy(col("cnt").desc, col("tri"))))
@@ -213,10 +213,11 @@ object LlmQueries {
     * rows to the index self-join, so stopword bigrams ("of the": df ~
     * corpus size) dominate the join quadratically while contributing
     * nothing to near-dup discrimination; (b) those same rows all hash to
-    * ONE (source, shid) posting list — the definition of skew. Since
-    * round 4 the index is a posting-list aggregate, so the cut is a plain
-    * filter on the aggregated df column (no anti-join needed), and a hot
-    * shingle's pair explosion is skipped before it is ever generated.
+    * ONE (source, shid) posting list — the definition of skew. The cut is
+    * a count-only pre-aggregation (hash, partial-aggregated) feeding a
+    * tiny broadcast anti-join, applied BEFORE posting lists are
+    * collected — so neither the hot pair explosion nor the hot posting
+    * list itself is ever materialized.
     */
   private val DfCutoff = 64
 
@@ -248,28 +249,34 @@ object LlmQueries {
        |WHERE jaccard >= 0.2
        |ORDER BY doc_a, doc_b""".stripMargin
   ) { (spark, dir) =>
-    // inverted-index formulation, ONE aggregation pass (round-3 verdict
-    // item): the (source, shingle)-keyed posting list `dfx` is built by a
-    // single hash aggregate and cached at VOCABULARY size. Everything else
-    // derives from it map-side: the df-cut becomes a plain filter (no
-    // anti-join, no broadcast of the hot set), per-doc pruned sizes are a
-    // re-aggregation of the exploded cold postings, and candidate pairs
-    // are generated directly from each posting list (sorted doc list ->
-    // ordered pairs), so the old index self-join and its shuffle
-    // disappear entirely. The pair stream partial-aggregates map-side
-    // before the one remaining exchange on (doc_a, source, doc_b). Pair
-    // volume is identical to the self-join form: sum_cold d*(d-1)/2,
-    // kept quadratic-safe by the df-cut.
+    // POSTING-LIST formulation (round-3 verdict item reworked): after the
+    // df-cut, each surviving (source, shingle) key aggregates its sorted
+    // doc list (bounded ≤ DfCutoff elements per buffer — the cut runs
+    // BEFORE list collection precisely so a stopword shingle never
+    // materializes a corpus-sized aggregation row), cached at VOCABULARY
+    // size. Candidate pairs are then generated map-side from each list
+    // (sorted list → ordered pairs), so the old index SELF-JOIN and its
+    // shuffle disappear; per-doc pruned sizes re-aggregate the exploded
+    // cold postings from the same cache. The pair stream partial-
+    // aggregates before the one remaining exchange on (doc_a, source,
+    // doc_b). Pair volume is identical to the self-join form:
+    // sum_cold d*(d-1)/2, kept quadratic-safe by the df-cut.
     val shxi = documents(spark, dir)
       .withColumn("tk", split(col("text"), " "))
       .select(col("doc_id"), col("source"), explode(expr(Text.bigramsExpr)).as("sh"))
       .withColumn("shid", expr("CAST(conv(substr(md5(sh), 1, 15), 16, 10) AS BIGINT)"))
       .select(col("doc_id"), col("source"), col("shid"))
-    val dfx = shxi.groupBy("source", "shid")
-      .agg(sort_array(collect_list(col("doc_id"))).as("docs"), count(lit(1)).as("df"))
+    // hot-shingle cut FIRST (count-only hash aggregate → tiny broadcast
+    // anti-join): a stopword shingle's posting list must never be
+    // materialized — at corpus scale it is one aggregation-buffer row the
+    // size of the corpus. Only the surviving (bounded ≤ DfCutoff) lists
+    // are collected below.
+    val hot = shxi.groupBy("source", "shid").agg(count(lit(1)).as("df"))
+      .filter(col("df") > DfCutoff).select("source", "shid")
+    val cold = shxi.join(broadcast(hot), Seq("source", "shid"), "left_anti")
+      .groupBy("source", "shid")
+      .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
       .cache()
-    // hot-shingle cut (see DfCutoff) — now a filter on the aggregate
-    val cold = dfx.filter(col("df") <= DfCutoff)
     val sizes = cold.select(explode(col("docs")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val common = cold
@@ -704,6 +711,11 @@ object LlmQueries {
       labels = next
       it += 1
     }
+    // a silent cap overrun would return non-minimal labels that LOOK like
+    // clusters — fail loudly instead (the cap is far above any real
+    // dedup graph's diameter, so hitting it means pathological input)
+    require(converged,
+      s"label propagation did not converge within $MaxCcIters rounds")
     val sz = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
     labels.join(sz, "label")
       .select(col("node").as("doc_id"), col("label").as("cluster_id"),

@@ -93,22 +93,23 @@ object CandleStream {
     * passes its end — so state is O(open windows), not O(history).
     *
     * Measures mirror [[graft.ingest.CandleBuilder.batchCandles]] (the
-    * idiomatic batch port, boundary-bug-free): open/close via min/max of
-    * an (arrival-order, value) struct — all five aggregates are
-    * partial-aggregatable, map-side-combined before the keyed exchange.
+    * idiomatic batch port, boundary-bug-free), including its packed
+    * DECIMAL(38,0) arrival order for open/close min_by/max_by — all five
+    * aggregates stay on the fixed-width HASH fast path, partial-
+    * aggregated per micro-batch before the keyed state store update.
     * StreamingSpec pins: late ticks drop, on-time windows ≡ batchCandles.
     */
   def candlesWindowed(ticks: Dataset[Tick], delay: String)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
-    val priced = when(col("last") > 0,
-      struct(col("ts").as("t"), col("tickNo").as("n"), col("last").as("v")))
+    val ord = when(col("last") > 0, expr(
+      "CAST(CAST(unix_seconds(ts) AS DECIMAL(38,0)) * 100000000000000000 + tickNo AS DECIMAL(38,0))"))
     ticks.toDF()
       .withWatermark("ts", delay)
       .groupBy(window(col("ts"), "1 minute"), col("secId"), col("secCode"))
       .agg(
-        min(priced).getField("v").as("open"),
-        max(priced).getField("v").as("close"),
+        min_by(col("last"), ord).as("open"),
+        max_by(col("last"), ord).as("close"),
         max(when(col("last") > 0, col("last"))).as("high"),
         min(when(col("last") > 0, col("last"))).as("low"),
         sum(col("quantity")).as("volume"))

@@ -13,6 +13,13 @@ import org.scalatest.funsuite.AnyFunSuite
 class ExtensionsSpec extends AnyFunSuite {
 
   test("a session built with GraftExtensions resolves the whole function surface") {
+    // getOrCreate() would silently return an existing default session and
+    // never apply withExtensions — clear both slots so a REAL extensions
+    // session is built (sharing the JVM's SparkContext), and restore the
+    // shared suite session afterwards.
+    val prevDefault = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
     val spark = SparkSession.builder()
       .master("local[2]")
       .appName("graft-ext-spec")
@@ -21,6 +28,8 @@ class ExtensionsSpec extends AnyFunSuite {
       .config("spark.ui.enabled", "false")
       .withExtensions(new GraftExtensions)
       .getOrCreate()
+    // prove the extensions really took: this must NOT be a reused session
+    assert(SparkSession.getDefaultSession.contains(spark))
     try {
       val r = spark.sql(
         """SELECT
@@ -43,8 +52,10 @@ class ExtensionsSpec extends AnyFunSuite {
     } finally {
       // the shared SparkSuite session and this one coexist (same JVM,
       // different SparkSessions over one SparkContext); don't stop the
-      // context other suites are using — just clear the active session
+      // context other suites are using — restore the previous default
       SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      prevDefault.foreach(SparkSession.setDefaultSession)
     }
   }
 }

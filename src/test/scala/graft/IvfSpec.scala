@@ -20,8 +20,10 @@ class IvfSpec extends SparkSuite {
   private val K = 16
   private val NQ = 50
 
-  private lazy val emb = Embed.prepared(
-    graft.fixtures.Fixtures.embeddings(spark, dir)).cache()
+  private lazy val emb = {
+    graft.expr.GraftFunctions.register(spark) // vec_* kernels in Embed.prepared
+    Embed.prepared(graft.fixtures.Fixtures.embeddings(spark, dir)).cache()
+  }
 
   private def recallAt3(cent: DataFrame): Double = {
     val truth = bruteTop3

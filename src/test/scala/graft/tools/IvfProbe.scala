@@ -18,6 +18,7 @@ object IvfProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    graft.expr.GraftFunctions.register(spark) // vec_* kernels in Embed.prepared
 
     val emb = Embed.prepared(graft.fixtures.Fixtures.embeddings(spark, dir)).cache()
     val numQueries = 50
