@@ -76,6 +76,25 @@ object Sinks {
     compacted.write.mode(SaveMode.Overwrite).partitionBy("trade_date").parquet(path)
   }
 
+  /** Bucketed materialization (SURVEY §7.7 / builder brief "bucketing
+    * for co-located joins"): persist a table hash-bucketed AND
+    * bucket-sorted on the join key. Two tables bucketed the same way
+    * join with ZERO exchange — the scan's output partitioning already
+    * satisfies the join's distribution requirement — which is the 100 TB
+    * lever for repeated fact⋈fact joins (e.g. trades⋈quotes on
+    * sec_code): the shuffle is paid ONCE at write time, then amortized
+    * over every subsequent join. Requires the session catalog
+    * (`saveAsTable` — bucket metadata lives in the metastore);
+    * BucketingSpec asserts the exchange-free join plan.
+    */
+  def materializeBucketed(df: DataFrame, table: String, buckets: Int,
+      key: String): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** A5 — streaming micro-batch append (at-least-once; pair with the
     * dedup read path downstream).
     */
