@@ -49,6 +49,17 @@ object Text {
   def minhashAggsSql(numHashes: Int): Seq[String] =
     (0 until numHashes).map(i => s"min(md5(concat('$i|', sh))) AS mh$i")
 
+  /** 60-bit integer from the first 15 hex chars of an md5 expression —
+    * the DuckDB-side twin of Spark's `conv(substr(h, 1, 15), 16, 10)`
+    * (DuckDB has no conv; plain instr/substr arithmetic is valid in both
+    * dialects). 16^14 · 15 < 2^63, so the sum is overflow-free.
+    */
+  def hexPrefixInt60Sql(hex: String): String =
+    (0 until 15).map { p =>
+      val pow = math.pow(16, 14 - p).toLong
+      s"(instr('0123456789abcdef', substr($hex, ${p + 1}, 1)) - 1) * $pow"
+    }.mkString("(", " + ", ")")
+
   /** 16-bit token hash from the first 4 hex chars of md5 — plain
     * instr/substr arithmetic, valid verbatim in BOTH engines.
     */

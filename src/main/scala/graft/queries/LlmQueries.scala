@@ -318,19 +318,25 @@ object LlmQueries {
   }
 
   /** Rolling char-8-gram fingerprint (winnowing-style min hash + gram
-    * cardinality).
+    * cardinality). The fingerprint is the minimum 60-bit integer hash
+    * (md5 prefix) over the doc's gram set — an INTEGER min keeps the
+    * per-doc aggregation on the partial-aggregated HASH path, where the
+    * round-3 min-over-hex-string form compiled to SortAggregate (string
+    * buffers aren't fixed-width) with an external sort on both sides of
+    * the exchange. DuckDB has no conv(); its twin computes the same
+    * integer with instr/substr arithmetic ([[Text.hexPrefixInt60Sql]]).
     */
   val fingerprint = QueryDef.sql(
     "llm_doc_fingerprint",
-    """SELECT doc_id,
-      |  list_aggregate(list_transform(grams, g -> md5(g)), 'min') AS fingerprint,
-      |  CAST(len(list_distinct(grams)) AS BIGINT) AS n_grams
-      |FROM (SELECT doc_id,
-      |        CASE WHEN length(text) >= 8
-      |          THEN list_transform(range(1, length(text) - 6), i -> substr(text, i, 8))
-      |          ELSE [text] END AS grams
-      |      FROM documents) u
-      |ORDER BY doc_id""".stripMargin
+    s"""SELECT doc_id,
+       |  list_aggregate(list_transform(grams, g -> ${Text.hexPrefixInt60Sql("md5(g)")}), 'min') AS fingerprint,
+       |  CAST(len(list_distinct(grams)) AS BIGINT) AS n_grams
+       |FROM (SELECT doc_id,
+       |        CASE WHEN length(text) >= 8
+       |          THEN list_transform(range(1, length(text) - 6), i -> substr(text, i, 8))
+       |          ELSE [text] END AS grams
+       |      FROM documents) u
+       |ORDER BY doc_id""".stripMargin
   ) { (spark, dir) =>
     // dedupe grams BEFORE hashing (min is dup-invariant), then hash inside
     // a codegen'd aggregate projection — lambda bodies in higher-order
@@ -341,7 +347,7 @@ object LlmQueries {
         "CASE WHEN length(text) >= 8 THEN char_ngrams(text, 8, true) ELSE array(text) END"))
       .select(col("doc_id"), explode(col("grams")).as("g"))
       .groupBy("doc_id")
-      .agg(min(md5(col("g"))).as("fingerprint"),
+      .agg(min(expr("CAST(conv(substr(md5(g), 1, 15), 16, 10) AS BIGINT)")).as("fingerprint"),
         count(lit(1)).as("n_grams"))
       .orderBy("doc_id")
   }
