@@ -19,9 +19,13 @@ import org.apache.spark.sql.functions._
   * aggregation levels compile to SortAggregate, each preceded by a
   * per-partition external (spillable) Sort. Still linear, partial-
   * aggregated, skew-free — but the sorts are the dominant cost of this
-  * entry. Where the table is MATERIALIZED, prefer collapsing duplicates
-  * at write time instead ([[graft.sources.Sinks.materializeTradesCompacted]]
-  * + [[compactKeyRuns]]): the layout job already pays a per-partition
+  * entry. Two faster shapes exist and both ship here:
+  * [[lastWriteWinsColumnar]] (per-column max_by — all-hash plan when
+  * every payload column is fixed-width; ~2× faster on trades, where
+  * the one string column is a single char), and, where the table is
+  * MATERIALIZED, collapsing duplicates at write time
+  * ([[graft.sources.Sinks.materializeTradesCompacted]] +
+  * [[compactKeyRuns]]): the layout job already pays a per-partition
   * sort for parquet clustering, so last-write-wins becomes a free lazy
   * scan there — the same place ClickHouse does it (merges, not reads).
   */
@@ -35,6 +39,29 @@ object Dedup {
     df.groupBy(keys.map(col): _*)
       .agg(max_by(struct(others.map(col): _*), col(seq)).as("_latest"))
       .select(keys.map(col) ++ others.map(o => col("_latest").getField(o).as(o)): _*)
+  }
+
+  /** Hash-path variant of [[lastWriteWins]] for tables whose payload
+    * columns are all FIXED-WIDTH (plus single-char strings, encoded
+    * through ascii/char): one `max_by(column, seq)` PER COLUMN — every
+    * max_by picks the same winning row because `seq` is unique within a
+    * key — so each buffer slot is a fixed-width (value, ord) pair and
+    * the whole aggregate stays on partial/final HashAggregateExec, where
+    * the generic struct-valued form falls back to SortAggregate with an
+    * external sort on both sides of the exchange (see the PLAN REALITY
+    * note above). `charCols` names the single-char string columns to
+    * round-trip through ascii(); any other string column would push the
+    * buffer off the fixed-width path — keep those on [[lastWriteWins]].
+    */
+  def lastWriteWinsColumnar(df: DataFrame, keys: Seq[String], seq: String,
+      charCols: Set[String]): DataFrame = {
+    val others = df.columns.filterNot(keys.contains).filterNot(_ == seq).toSeq
+    val aggs = others.map { o =>
+      if (charCols(o)) expr(s"char(max_by(ascii($o), $seq))").as(o)
+      else max_by(col(o), col(seq)).as(o)
+    } :+ max(col(seq)).as(seq)
+    df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      .select(df.columns.map(col).toSeq: _*)
   }
 
   /** Merge-time variant: last-write-wins over partition-local key runs.

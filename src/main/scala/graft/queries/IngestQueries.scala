@@ -32,6 +32,21 @@ object IngestQueries {
     Dedup.lastWriteWins(tradesVersioned(spark, dir), Schemas.tradesKey, "ingest_seq")
   }
 
+  /** [[Dedup.lastWriteWinsColumnar]] over the same versioned table —
+    * trades' one string payload column (`period`, FixedString(1) in the
+    * reference DDL, db.go:60) ascii-encodes, so the whole dedup runs as
+    * one partial/final HASH aggregate. Same oracle as `dedup_trades`.
+    */
+  val dedupTradesColumnar = QueryDef.sql(
+    "dedup_trades_columnar",
+    withCtes(
+      Dedup.lastWriteWinsSql("trades_versioned", Schemas.tradesKey, "ingest_seq", tradeCols),
+      tradesCte, tradesVersionedCte)
+  ) { (spark, dir) =>
+    Dedup.lastWriteWinsColumnar(tradesVersioned(spark, dir), Schemas.tradesKey,
+      "ingest_seq", charCols = Set("period"))
+  }
+
   /** Merge-time compaction parity (the ClickHouse-merge analog):
     * [[graft.sources.Sinks.materializeTradesCompacted]] writes the
     * day-partitioned key-sorted layout with duplicates collapsed during
@@ -243,7 +258,8 @@ object IngestQueries {
   }
 
   val all: Seq[QueryDef] = Seq(
-    a16CandlesBatch, dedupTrades, dedupTradesCompacted, dedupQuotes,
+    a16CandlesBatch, dedupTrades, dedupTradesColumnar, dedupTradesCompacted,
+    dedupQuotes,
     a06Cascade, a07Valid, a09Bond, a10Periods,
     a11Projection, a12TradeParse, a13QuotesEnvelope, a14SecinfoParse,
     a15HistoryParse, a17Positions, a01StreamCandles)

@@ -16,8 +16,6 @@ import graft.llm.{Embed, Ivf, Multimodal, RawMedia, Text}
   */
 object LlmQueries {
 
-  private val Stopwords = Seq("the", "a")
-
   /** Text statistics: token counts, distinct tokens, stopword hits, exact
     * char length, mean token length. All integers + one deterministic
     * double division.
