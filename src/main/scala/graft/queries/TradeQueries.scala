@@ -469,8 +469,62 @@ object TradeQueries {
         entropy = col("trade_no"), buckets = 32)
       .select(col("sec_code"), col("sum_t_term").as("turnover"))
 
+  /** AS-OF JOIN (beyond-reference, SURVEY §2.D round 4): each trade
+    * joined to the PREVAILING quote — the latest order-book update for
+    * its security at-or-before the trade's time (trade-vs-quote analysis
+    * is the canonical consumer of the reference's trades+quotes tables).
+    *
+    * Spark-first shape (guide preference (a): compose built-ins): no
+    * per-pair product and no range join — UNION both streams tagged
+    * quote=0/trade=1, then one window per security ordered by
+    * (time, tag, seq) carries the last non-null quote price forward
+    * (`last(..., ignoreNulls)` over ROWS UNBOUNDED PRECEDING). One
+    * shuffle on secid, linear scan per partition, state = one value per
+    * security — the same shape at 100 TB (day-partition first if the
+    * history is unbounded). The ROWS frame + unique (tag, seq)
+    * tie-break make equal-timestamp resolution deterministic and
+    * engine-identical (quotes' envelope times collide by construction,
+    * so the tie-break is genuinely exercised).
+    */
+  val qxAsofTradeQuote = QueryDef.sql(
+    "qx_asof_trade_quote",
+    withCtes(
+      """SELECT secid, trade_no, time, tprice, quote_price FROM (
+        |  SELECT secid, m, trade_no, time, tprice,
+        |    last_value(qprice IGNORE NULLS) OVER (
+        |      PARTITION BY secid ORDER BY time, m, sk
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS quote_price
+        |  FROM (
+        |    SELECT secid, time, 0 AS m, quote_seq AS sk, price AS qprice,
+        |           CAST(NULL AS BIGINT) AS trade_no, CAST(NULL AS DOUBLE) AS tprice
+        |    FROM quotes
+        |    UNION ALL
+        |    SELECT secid, time, 1 AS m, trade_no AS sk, CAST(NULL AS DOUBLE) AS qprice,
+        |           trade_no, price AS tprice
+        |    FROM trades) u) v
+        |WHERE m = 1
+        |ORDER BY trade_no""".stripMargin,
+      tradesCte, quotesCte)
+  ) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val q = quotes(spark, dir).selectExpr("secid", "time", "0 AS m",
+      "quote_seq AS sk", "price AS qprice",
+      "CAST(NULL AS BIGINT) AS trade_no", "CAST(NULL AS DOUBLE) AS tprice")
+    val t = trades(spark, dir).selectExpr("secid", "time", "1 AS m",
+      "trade_no AS sk", "CAST(NULL AS DOUBLE) AS qprice",
+      "trade_no", "price AS tprice")
+    val w = Window.partitionBy("secid").orderBy(col("time"), col("m"), col("sk"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    q.unionByName(t)
+      .withColumn("quote_price", last(col("qprice"), ignoreNulls = true).over(w))
+      .filter(col("m") === 1)
+      .select(col("secid"), col("trade_no"), col("time"), col("tprice"),
+        col("quote_price"))
+      .orderBy("trade_no")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22,
-    qxSaltedTurnover)
+    qxSaltedTurnover, qxAsofTradeQuote)
 }
