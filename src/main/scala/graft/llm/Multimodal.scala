@@ -90,6 +90,57 @@ object Multimodal {
        |  CAST(16 AS INT) AS byte_len
        |FROM (SELECT doc_id, md5(text) AS h FROM documents) m""".stripMargin
 
+  /** Typed output of the audio-metadata stage. */
+  case class AudioMeta(doc_id: Long, sample_rate: Int, channels: Int,
+      frames: Long)
+
+  case class AudioMeta0(sampleRate: Int, channels: Int, frames: Long)
+
+  /** STUB audio "decoder" — deterministic function of the blob bytes so
+    * the DuckDB oracle replays it; same role as [[decodeStub]].
+    */
+  def audioStub(b: Array[Byte]): AudioMeta0 =
+    AudioMeta0(8000 + (b(3) & 0xFF) * 100, (b(4) & 1) + 1,
+      ((b(5) & 0xFF) << 8 | (b(6) & 0xFF)).toLong)
+
+  /** REAL audio decoder over the JDK-shipped `javax.sound.sampled`
+    * (WAV/AIFF/AU container parsing, no extra dependency): true sample
+    * rate, channel count and frame length from the actual header.
+    * MultimodalSpec drives genuine WAV bytes through the same
+    * partition-wise seam.
+    */
+  def decodeWav(b: Array[Byte]): AudioMeta0 = {
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(b))
+    try {
+      val f = in.getFormat
+      AudioMeta0(f.getSampleRate.toInt, f.getChannels, in.getFrameLength)
+    } finally in.close()
+  }
+
+  /** Audio-metadata stage: typed, partition-wise, codec-pluggable —
+    * identical contract to [[decodeMeta]].
+    */
+  def decodeAudioMeta(media: Dataset[RawMedia],
+      codec: Array[Byte] => AudioMeta0 = audioStub): Dataset[AudioMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // per-partition codec init amortized across rows
+      it.map { m =>
+        val a = codec(m.media)
+        AudioMeta(m.doc_id, a.sampleRate, a.channels, a.frames)
+      }
+    }
+  }
+
+  /** DuckDB twin of the stub audio-metadata stage. */
+  val audioMetaSql: String =
+    s"""SELECT doc_id,
+       |  CAST(8000 + ${hexByteAt("4")} * 100 AS INT) AS sample_rate,
+       |  CAST(${hexByteAt("5")} % 2 + 1 AS INT) AS channels,
+       |  CAST(${hexByteAt("6")} * 256 + ${hexByteAt("7")} AS BIGINT) AS frames
+       |FROM (SELECT doc_id, md5(text) AS h FROM documents) m""".stripMargin
+
   /** One sampled video frame: `offset_ms` into the container, `frame_sig`
     * the (stub) decoded frame feature.
     */

@@ -604,6 +604,20 @@ object LlmQueries {
       .toDF().orderBy("doc_id")
   }
 
+  /** Multimodal: audio metadata through the same codec-pluggable seam
+    * (stub for the oracle; `javax.sound.sampled` parses real WAV bytes in
+    * MultimodalSpec).
+    */
+  val audioMeta = QueryDef.sql(
+    "mm_audio_meta",
+    s"${Multimodal.audioMetaSql}\nORDER BY doc_id"
+  ) { (spark, dir) =>
+    import spark.implicits._
+    Multimodal.decodeAudioMeta(
+        Multimodal.attachMedia(documents(spark, dir)).as[RawMedia])
+      .toDF().orderBy("doc_id")
+  }
+
   /** Multimodal: video-style frame sampling — the 1→N explode of a binary
     * container into typed per-frame rows (stub demuxer, real plumbing).
     */
@@ -814,6 +828,6 @@ object LlmQueries {
   val all: Seq[QueryDef] = Seq(
     textStats, langId, exactDedup, minhashLsh, dedupClusters, ngramJaccard,
     simhash, fingerprint, embedTopk, annLsh, annIvf, annIvfTrained,
-    embedNearDup, tokenCount, imageMeta, frameSample, qualityScore,
-    piiScrub, repetition)
+    embedNearDup, tokenCount, imageMeta, audioMeta, frameSample,
+    qualityScore, piiScrub, repetition)
 }

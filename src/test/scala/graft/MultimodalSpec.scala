@@ -48,6 +48,38 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("decodeAudioMeta with the javax.sound codec recovers true WAV header facts") {
+    import spark.implicits._
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    def wav(id: Long): (Array[Byte], Int, Int, Long) = {
+      val rate = 8000 + (id % 4).toInt * 4000
+      val channels = 1 + (id % 2).toInt
+      val frames = 100L + id * 7
+      val fmt = new AudioFormat(rate.toFloat, 16, channels, true, false)
+      val pcm = new Array[Byte](frames.toInt * fmt.getFrameSize)
+      var i = 0
+      while (i < pcm.length) { pcm(i) = ((id * 31 + i * 7) & 0xFF).toByte; i += 1 }
+      val ais = new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, frames)
+      val bos = new ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      (bos.toByteArray, rate, channels, frames)
+    }
+    val fixtures = (0L until 24L).map(id => (id, wav(id)))
+    val ds = fixtures.map { case (id, (bytes, _, _, _)) => RawMedia(id, bytes) }
+      .toDS().repartition(3)
+    val got = Multimodal.decodeAudioMeta(ds, Multimodal.decodeWav _)
+      .collect().map(a => a.doc_id -> a).toMap
+    fixtures.foreach { case (id, (bytes, rate, ch, frames)) =>
+      val a = got(id)
+      assert(a.sample_rate == rate, s"doc $id rate")
+      assert(a.channels == ch, s"doc $id channels")
+      assert(a.frames == frames, s"doc $id frames")
+      // genuinely a RIFF/WAVE container
+      assert(new String(bytes.take(4), "US-ASCII") == "RIFF")
+      assert(new String(bytes.slice(8, 12), "US-ASCII") == "WAVE")
+    }
+  }
+
   test("the codec seam rejects non-image bytes instead of fabricating metadata") {
     val junk = Array.tabulate[Byte](16)(_.toByte)
     intercept[IllegalArgumentException](Multimodal.decodePng(junk))
