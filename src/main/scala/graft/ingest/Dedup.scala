@@ -49,15 +49,21 @@ object Dedup {
     * the whole aggregate stays on partial/final HashAggregateExec, where
     * the generic struct-valued form falls back to SortAggregate with an
     * external sort on both sides of the exchange (see the PLAN REALITY
-    * note above). `charCols` names the single-char string columns to
-    * round-trip through ascii(); any other string column would push the
-    * buffer off the fixed-width path — keep those on [[lastWriteWins]].
+    * note above). `packCols` names short string columns (non-empty,
+    * ≤ 8 ASCII bytes — e.g. trades' FixedString(1) `period`, quotes'
+    * LowCardinality `source`) to round-trip through an invertible BIGINT
+    * packing (`conv(hex(utf8 bytes))` — any reversible fixed-width
+    * encoding works, the value is carried, never ordered); longer or
+    * non-ASCII string columns would push the buffer off the fixed-width
+    * path — keep those on [[lastWriteWins]].
     */
   def lastWriteWinsColumnar(df: DataFrame, keys: Seq[String], seq: String,
-      charCols: Set[String]): DataFrame = {
+      packCols: Set[String]): DataFrame = {
     val others = df.columns.filterNot(keys.contains).filterNot(_ == seq).toSeq
     val aggs = others.map { o =>
-      if (charCols(o)) expr(s"char(max_by(ascii($o), $seq))").as(o)
+      if (packCols(o))
+        expr(s"decode(unhex(hex(max_by(" +
+          s"CAST(conv(hex(encode($o, 'UTF-8')), 16, 10) AS BIGINT), $seq))), 'UTF-8')").as(o)
       else max_by(col(o), col(seq)).as(o)
     } :+ max(col(seq)).as(seq)
     df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)

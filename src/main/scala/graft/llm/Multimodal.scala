@@ -148,23 +148,72 @@ object Multimodal {
 
   val FramesPerDoc = 4
 
-  /** Frame-sampling stage: treat the blob as a video container whose
-    * header declares a duration (first two bytes, big-endian ms), take
-    * [[FramesPerDoc]] evenly-spaced frames, and "decode" each at its byte
-    * offset. Same contract as [[decodeMeta]]: the per-partition iteration,
-    * the 1→N explode shape, and the typed schema are the real deliverable;
-    * a production build replaces the byte-poke with a demuxer/codec call
-    * whose init is amortized across the partition.
+  /** One demuxed frame pre-indexing: millisecond offset + decoded
+    * feature.
     */
-  def sampleFrames(media: Dataset[RawMedia]): Dataset[FrameSample] = {
+  case class Frame0(offsetMs: Int, sig: Int)
+
+  /** STUB demuxer: the blob's header declares a duration (first two
+    * bytes, big-endian ms); [[FramesPerDoc]] evenly-spaced frames are
+    * "decoded" at their byte offsets. Oracle-replayable, like
+    * [[decodeStub]]/[[audioStub]].
+    */
+  def demuxStub(b: Array[Byte]): Iterator[Frame0] = {
+    val duration = ((b(0) & 0xFF) << 8) | (b(1) & 0xFF)
+    (0 until FramesPerDoc).iterator.map { i =>
+      val off = i * duration / FramesPerDoc
+      Frame0(off, b(off % 16) & 0xFF)
+    }
+  }
+
+  /** REAL demuxer over JDK ImageIO's GIF plugin: every frame of an
+    * ANIMATED GIF, offsets accumulated from each frame's
+    * GraphicControlExtension delay (centiseconds → ms), feature = low
+    * byte of the frame's first pixel. MultimodalSpec drives genuine
+    * multi-frame GIFs through the same partition-wise seam.
+    */
+  def demuxGif(b: Array[Byte]): Iterator[Frame0] = {
+    val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(b))
+    try {
+      reader.setInput(iis)
+      val n = reader.getNumImages(true)
+      var offset = 0
+      (0 until n).map { i =>
+        val delayMs = gifDelayMs(reader.getImageMetadata(i)) // this frame shows for delayMs
+        val sig = reader.read(i).getRGB(0, 0) & 0xFF
+        val f = Frame0(offset, sig)
+        offset += delayMs
+        f
+      }.iterator
+    } finally { reader.dispose(); iis.close() }
+  }
+
+  private def gifDelayMs(meta: javax.imageio.metadata.IIOMetadata): Int = {
+    val root = meta.getAsTree("javax_imageio_gif_image_1.0")
+    val kids = root.getChildNodes
+    (0 until kids.getLength).collectFirst {
+      case i if kids.item(i).getNodeName == "GraphicControlExtension" =>
+        kids.item(i).getAttributes.getNamedItem("delayTime")
+          .getNodeValue.toInt * 10
+    }.getOrElse(0)
+  }
+
+  /** Frame-sampling stage: 1→N explode of a binary container into typed
+    * per-frame rows. Same contract as [[decodeMeta]]: per-partition
+    * iteration, demuxer-pluggable — the registered entry keeps the
+    * oracle-replayable [[demuxStub]]; tests run [[demuxGif]] (a real
+    * container parser) through the identical path.
+    */
+  def sampleFrames(media: Dataset[RawMedia],
+      demux: Array[Byte] => Iterator[Frame0] = demuxStub): Dataset[FrameSample] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      // per-partition demuxer init would go here
+      // per-partition demuxer init amortized across rows
       it.flatMap { m =>
-        val duration = ((m.media(0) & 0xFF) << 8) | (m.media(1) & 0xFF)
-        (0 until FramesPerDoc).iterator.map { i =>
-          val off = i * duration / FramesPerDoc
-          FrameSample(m.doc_id, i, off, m.media(off % 16) & 0xFF)
+        demux(m.media).zipWithIndex.map { case (f, i) =>
+          FrameSample(m.doc_id, i, f.offsetMs, f.sig)
         }
       }
     }

@@ -34,8 +34,9 @@ object IngestQueries {
 
   /** [[Dedup.lastWriteWinsColumnar]] over the same versioned table —
     * trades' one string payload column (`period`, FixedString(1) in the
-    * reference DDL, db.go:60) ascii-encodes, so the whole dedup runs as
-    * one partial/final HASH aggregate. Same oracle as `dedup_trades`.
+    * reference DDL, db.go:60) packs into a BIGINT, so the whole dedup
+    * runs as one partial/final HASH aggregate. Same oracle as
+    * `dedup_trades`.
     */
   val dedupTradesColumnar = QueryDef.sql(
     "dedup_trades_columnar",
@@ -44,7 +45,7 @@ object IngestQueries {
       tradesCte, tradesVersionedCte)
   ) { (spark, dir) =>
     Dedup.lastWriteWinsColumnar(tradesVersioned(spark, dir), Schemas.tradesKey,
-      "ingest_seq", charCols = Set("period"))
+      "ingest_seq", packCols = Set("period"))
   }
 
   /** Merge-time compaction parity (the ClickHouse-merge analog):
@@ -86,6 +87,20 @@ object IngestQueries {
       quotesCte)
   ) { (spark, dir) =>
     Dedup.lastWriteWins(quotes(spark, dir), Schemas.quotesKey, "quote_seq")
+  }
+
+  /** Quotes on the same all-hash path: the one string payload column
+    * (`source`, LowCardinality(String) in db.go:102 — short event-source
+    * tags) packs into a BIGINT reversibly.
+    */
+  val dedupQuotesColumnar = QueryDef.sql(
+    "dedup_quotes_columnar",
+    withCtes(
+      Dedup.lastWriteWinsSql("quotes", Schemas.quotesKey, "quote_seq", quoteCols),
+      quotesCte)
+  ) { (spark, dir) =>
+    Dedup.lastWriteWinsColumnar(quotes(spark, dir), Schemas.quotesKey,
+      "quote_seq", packCols = Set("source"))
   }
 
   // ---- A6-A10 filter cascade (fixed config standing in for the env vars) ----
@@ -259,7 +274,7 @@ object IngestQueries {
 
   val all: Seq[QueryDef] = Seq(
     a16CandlesBatch, dedupTrades, dedupTradesColumnar, dedupTradesCompacted,
-    dedupQuotes,
+    dedupQuotes, dedupQuotesColumnar,
     a06Cascade, a07Valid, a09Bond, a10Periods,
     a11Projection, a12TradeParse, a13QuotesEnvelope, a14SecinfoParse,
     a15HistoryParse, a17Positions, a01StreamCandles)

@@ -80,6 +80,61 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("sampleFrames with the ImageIO GIF demuxer explodes real animated GIFs") {
+    import spark.implicits._
+    import javax.imageio.{IIOImage, ImageIO => IIO, ImageTypeSpecifier}
+    import javax.imageio.metadata.IIOMetadataNode
+
+    // an animated GIF: nFrames solid-gray frames, per-frame delay in ms
+    def gif(id: Long): (Array[Byte], Int, Seq[Int]) = {
+      val nFrames = 2 + (id % 3).toInt
+      val delaysMs = (0 until nFrames).map(i => 100 + 10 * i) // multiples of 10
+      val writer = IIO.getImageWritersByFormatName("gif").next()
+      val bos = new ByteArrayOutputStream()
+      val ios = IIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      (0 until nFrames).foreach { i =>
+        val img = new BufferedImage(4, 4, BufferedImage.TYPE_3BYTE_BGR)
+        val gray = (16 * (i + 1) + id % 16).toInt
+        for (x <- 0 until 4; y <- 0 until 4)
+          img.setRGB(x, y, gray << 16 | gray << 8 | gray)
+        val meta = writer.getDefaultImageMetadata(new ImageTypeSpecifier(img), null)
+        val fmt = "javax_imageio_gif_image_1.0"
+        val root = meta.getAsTree(fmt).asInstanceOf[IIOMetadataNode]
+        val gce = new IIOMetadataNode("GraphicControlExtension")
+        gce.setAttribute("disposalMethod", "none")
+        gce.setAttribute("userInputFlag", "FALSE")
+        gce.setAttribute("transparentColorFlag", "FALSE")
+        gce.setAttribute("transparentColorIndex", "0")
+        gce.setAttribute("delayTime", (delaysMs(i) / 10).toString) // centiseconds
+        root.appendChild(gce)
+        meta.setFromTree(fmt, root)
+        writer.writeToSequence(new IIOImage(img, null, meta), null)
+      }
+      writer.endWriteSequence(); ios.close(); writer.dispose()
+      (bos.toByteArray, nFrames, delaysMs)
+    }
+
+    val fixtures = (0L until 12L).map(id => (id, gif(id)))
+    val ds = fixtures.map { case (id, (bytes, _, _)) => RawMedia(id, bytes) }
+      .toDS().repartition(3)
+    val got = Multimodal.sampleFrames(ds, Multimodal.demuxGif _)
+      .collect().groupBy(_.doc_id).view.mapValues(_.sortBy(_.frame_idx)).toMap
+    fixtures.foreach { case (id, (bytes, nFrames, delaysMs)) =>
+      val fs = got(id)
+      assert(fs.length == nFrames, s"doc $id frame count")
+      // offsets accumulate the real per-frame delays from the container
+      val wantOffsets = delaysMs.scanLeft(0)(_ + _).dropRight(1)
+      assert(fs.map(_.offset_ms).toSeq == wantOffsets, s"doc $id offsets")
+      // solid-gray frames survive palette quantization exactly
+      fs.zipWithIndex.foreach { case (f, i) =>
+        assert(f.frame_sig == 16 * (i + 1) + (id % 16).toInt, s"doc $id frame $i sig")
+      }
+      assert(new String(bytes.take(6), "US-ASCII").startsWith("GIF8"))
+    }
+  }
+
   test("the codec seam rejects non-image bytes instead of fabricating metadata") {
     val junk = Array.tabulate[Byte](16)(_.toByte)
     intercept[IllegalArgumentException](Multimodal.decodePng(junk))
