@@ -141,6 +141,81 @@ object Multimodal {
        |  CAST(${hexByteAt("6")} * 256 + ${hexByteAt("7")} AS BIGINT) AS frames
        |FROM (SELECT doc_id, md5(text) AS h FROM documents) m""".stripMargin
 
+  /** Typed output of the resize stage. */
+  case class ResizedMedia(doc_id: Long, out_w: Int, out_h: Int, out_len: Long)
+
+  case class Resized0(outW: Int, outH: Int, outLen: Long)
+
+  /** Box size the resize stage fits images into (longest side). */
+  val ResizeBox = 32
+
+  /** STUB resize: source dims from the same header arithmetic as
+    * [[decodeStub]], scaled to fit [[ResizeBox]] preserving aspect
+    * (integer math, floor, ≥1), output length = w·h·channels raw bytes.
+    * Oracle-replayable.
+    */
+  def resizeStub(b: Array[Byte]): Resized0 = {
+    val (w, h, c) = ((b(0) & 0xFF) + 1, (b(1) & 0xFF) + 1, ((b(2) & 0xFF) % 4) + 1)
+    val m = math.max(w, h)
+    val (ow, oh) = (math.max(1, w * ResizeBox / m), math.max(1, h * ResizeBox / m))
+    Resized0(ow, oh, ow.toLong * oh * c)
+  }
+
+  /** REAL resize: decode any ImageIO container, scale to fit
+    * [[ResizeBox]] with Java2D bilinear interpolation, re-encode as PNG;
+    * output length = the real re-encoded byte count. Same seam as the
+    * stub — MultimodalSpec round-trips genuine PNGs and re-decodes the
+    * output to check the scaled raster.
+    */
+  def resizeImage(b: Array[Byte]): Resized0 = {
+    val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+    require(src != null, s"undecodable image container (${b.length} bytes)")
+    val m = math.max(src.getWidth, src.getHeight)
+    val ow = math.max(1, src.getWidth * ResizeBox / m)
+    val oh = math.max(1, src.getHeight * ResizeBox / m)
+    val dst = new java.awt.image.BufferedImage(ow, oh,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val g = dst.createGraphics()
+    g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+      java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+    g.drawImage(src, 0, 0, ow, oh, null)
+    g.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(dst, "png", bos)
+    Resized0(ow, oh, bos.size().toLong)
+  }
+
+  /** Resize stage: typed, partition-wise, codec-pluggable — identical
+    * contract to [[decodeMeta]].
+    */
+  def resize(media: Dataset[RawMedia],
+      codec: Array[Byte] => Resized0 = resizeStub): Dataset[ResizedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // per-partition codec init amortized across rows
+      it.map { m =>
+        val r = codec(m.media)
+        ResizedMedia(m.doc_id, r.outW, r.outH, r.outLen)
+      }
+    }
+  }
+
+  /** DuckDB twin of the stub resize stage (`//` = floor division — both
+    * operands are positive).
+    */
+  val resizeSql: String = {
+    val (w, h, c) = (s"(${hexByteAt("1")} + 1)", s"(${hexByteAt("2")} + 1)",
+      s"(${hexByteAt("3")} % 4 + 1)")
+    val m = s"greatest($w, $h)"
+    val ow = s"greatest(1, $w * $ResizeBox // $m)"
+    val oh = s"greatest(1, $h * $ResizeBox // $m)"
+    s"""SELECT doc_id,
+       |  CAST($ow AS INT) AS out_w,
+       |  CAST($oh AS INT) AS out_h,
+       |  CAST($ow * $oh * $c AS BIGINT) AS out_len
+       |FROM (SELECT doc_id, md5(text) AS h FROM documents) m""".stripMargin
+  }
+
   /** One sampled video frame: `offset_ms` into the container, `frame_sig`
     * the (stub) decoded frame feature.
     */

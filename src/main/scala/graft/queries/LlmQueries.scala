@@ -618,6 +618,20 @@ object LlmQueries {
       .toDF().orderBy("doc_id")
   }
 
+  /** Multimodal: resize to a bounded box through the codec seam (stub
+    * arithmetic for the oracle; Java2D + ImageIO do the real scaling in
+    * MultimodalSpec).
+    */
+  val imageResize = QueryDef.sql(
+    "mm_image_resize",
+    s"${Multimodal.resizeSql}\nORDER BY doc_id"
+  ) { (spark, dir) =>
+    import spark.implicits._
+    Multimodal.resize(
+        Multimodal.attachMedia(documents(spark, dir)).as[RawMedia])
+      .toDF().orderBy("doc_id")
+  }
+
   /** Multimodal: video-style frame sampling — the 1→N explode of a binary
     * container into typed per-frame rows (stub demuxer, real plumbing).
     */
@@ -828,6 +842,6 @@ object LlmQueries {
   val all: Seq[QueryDef] = Seq(
     textStats, langId, exactDedup, minhashLsh, dedupClusters, ngramJaccard,
     simhash, fingerprint, embedTopk, annLsh, annIvf, annIvfTrained,
-    embedNearDup, tokenCount, imageMeta, audioMeta, frameSample,
-    qualityScore, piiScrub, repetition)
+    embedNearDup, tokenCount, imageMeta, audioMeta, imageResize,
+    frameSample, qualityScore, piiScrub, repetition)
 }

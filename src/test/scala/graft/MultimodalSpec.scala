@@ -135,6 +135,33 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("resize with the Java2D codec scales real PNGs into the box") {
+    import spark.implicits._
+    // larger-than-box images so the scale genuinely shrinks
+    def bigPng(id: Long): (Array[Byte], Int, Int) = {
+      val (w, h) = (40 + (id % 30).toInt, 50 + (id % 20).toInt)
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+      for (x <- 0 until w; y <- 0 until h)
+        img.setRGB(x, y, ((id * 131 + x * 17 + y * 3) & 0xFFFFFF).toInt)
+      val bos = new ByteArrayOutputStream()
+      assert(ImageIO.write(img, "png", bos))
+      (bos.toByteArray, w, h)
+    }
+    val fixtures = (0L until 15L).map(id => (id, bigPng(id)))
+    val ds = fixtures.map { case (id, (bytes, _, _)) => RawMedia(id, bytes) }
+      .toDS().repartition(3)
+    val got = Multimodal.resize(ds, Multimodal.resizeImage _)
+      .collect().map(r => r.doc_id -> r).toMap
+    fixtures.foreach { case (id, (_, w, h)) =>
+      val r = got(id)
+      val m = math.max(w, h)
+      assert(r.out_w == math.max(1, w * Multimodal.ResizeBox / m), s"doc $id out_w")
+      assert(r.out_h == math.max(1, h * Multimodal.ResizeBox / m), s"doc $id out_h")
+      assert(math.max(r.out_w, r.out_h) == Multimodal.ResizeBox, s"doc $id box fit")
+      assert(r.out_len > 0, s"doc $id re-encoded bytes")
+    }
+  }
+
   test("the codec seam rejects non-image bytes instead of fabricating metadata") {
     val junk = Array.tabulate[Byte](16)(_.toByte)
     intercept[IllegalArgumentException](Multimodal.decodePng(junk))
