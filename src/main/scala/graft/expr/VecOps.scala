@@ -53,7 +53,12 @@ object VecOps {
   }
 
   def dot(a: ArrayData, b: ArrayData): Long = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    // ragged inputs mean a malformed quantized vector; a prefix dot would
+    // score it plausibly instead of surfacing the corruption
+    if (n != b.numElements())
+      throw new IllegalArgumentException(
+        s"vec_dot: vector lengths differ (${n} vs ${b.numElements()})")
     var acc = 0L
     var i = 0
     while (i < n) { acc += a.getLong(i) * b.getLong(i); i += 1 }
@@ -65,7 +70,10 @@ object VecOps {
     * instead of `numPlanes` lambda folds.
     */
   def hyperplaneDots(v: ArrayData, numPlanes: Int): ArrayData = {
-    val n = math.min(v.numElements(), Dim)
+    val n = v.numElements()
+    if (n != Dim)
+      throw new IllegalArgumentException(
+        s"hyperplane_dots: expected a $Dim-dim quantized vector, got $n elements")
     val out = new Array[Any](numPlanes)
     var j = 0
     while (j < numPlanes) {

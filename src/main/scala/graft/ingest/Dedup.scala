@@ -61,10 +61,17 @@ object Dedup {
       packCols: Set[String]): DataFrame = {
     val others = df.columns.filterNot(keys.contains).filterNot(_ == seq).toSeq
     val aggs = others.map { o =>
-      if (packCols(o))
+      if (packCols(o)) {
+        // the ≤8-ASCII-bytes precondition must fail loudly: a longer or
+        // non-ASCII value would overflow the BIGINT cast and decode to
+        // corrupted bytes that LOOK like a payload
+        val checked = s"CASE WHEN octet_length($o) > 8 " +
+          s"OR octet_length($o) <> char_length($o) " +
+          s"THEN raise_error(concat('lastWriteWinsColumnar: column $o value not " +
+          s"packable into BIGINT (need <=8 ASCII bytes): ', $o)) ELSE $o END"
         expr(s"decode(unhex(hex(max_by(" +
-          s"CAST(conv(hex(encode($o, 'UTF-8')), 16, 10) AS BIGINT), $seq))), 'UTF-8')").as(o)
-      else max_by(col(o), col(seq)).as(o)
+          s"CAST(conv(hex(encode($checked, 'UTF-8')), 16, 10) AS BIGINT), $seq))), 'UTF-8')").as(o)
+      } else max_by(col(o), col(seq)).as(o)
     } :+ max(col(seq)).as(seq)
     df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
       .select(df.columns.map(col).toSeq: _*)

@@ -64,11 +64,11 @@ object IngestQueries {
       Dedup.lastWriteWinsSql("trades_versioned", Schemas.tradesKey, "ingest_seq", tradeCols),
       tradesCte, tradesVersionedCte)
   ) { (spark, dir) =>
-    // one FIXED scratch dir per (application, input) — Overwrite mode
-    // makes reruns idempotent instead of leaking a fresh copy per
-    // invocation (the bench calls this fn three times per lane)
+    // one FIXED scratch dir per input — Overwrite mode makes every rerun
+    // (same app or a new one) idempotent, so successive applications
+    // recycle the same directory instead of each leaving a fresh copy
     val out = s"${System.getProperty("java.io.tmpdir")}/graft_compacted_" +
-      s"${spark.sparkContext.applicationId}_${Integer.toHexString(dir.hashCode)}"
+      Integer.toHexString(dir.hashCode)
     graft.sources.Sinks.materializeTradesCompacted(
       tradesVersioned(spark, dir), "ingest_seq", out)
     spark.read.parquet(out).select(tradeCols.map(col): _*)

@@ -683,21 +683,70 @@ object LlmQueries {
 
   // ---- near-dup clustering: connected components over verified pairs ----
 
-  /** Iteration cap for the label-propagation loop — a safety bound far
-    * above any real dedup graph's diameter (near-dup components are
-    * star/chain shaped; the loop exits at the fixpoint).
+  /** Iteration cap for the label-propagation loop. With the
+    * pointer-doubling shortcut each round roughly HALVES the remaining
+    * distance to the component minimum, so the cap covers components of
+    * diameter ~2^10 — unreachable by any real corpus (a chain that long
+    * would need >1000 serially-edited near-identical docs) — while the
+    * loop still exits at the fixpoint, typically in 2-4 rounds.
     */
   private val MaxCcIters = 10
+
+  /** Connected-component minimum labels over an UNDIRECTED edge list
+    * (edges given one direction; both are derived). Returns (node, label)
+    * with label = min node id reachable from each node. Core of
+    * [[dedupClusters]]; exposed for the chain-convergence spec.
+    */
+  private[graft] def minLabelComponents(nodes: org.apache.spark.sql.DataFrame,
+      pairEdges: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val edges = pairEdges.toDF("src", "dst")
+    val undirected = edges.unionByName(
+      edges.select(col("dst").as("src"), col("src").as("dst")))
+    var labels = nodes.select(col("node"), col("node").as("label")).cache()
+    var prevSum = Option.empty[Long]
+    var it = 0
+    var converged = false
+    while (!converged && it < MaxCcIters) {
+      val hop = undirected.join(labels.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), col("label"))
+      val prop = labels.unionByName(hop)
+        .groupBy("node").agg(min("label").as("label"))
+      // pointer doubling: additionally shortcut each node to its LABEL'S
+      // label (labels are node ids, so this is a self-join). One edge hop
+      // + one shortcut per round ⇒ O(log diameter) rounds instead of
+      // O(diameter) — a chain-shaped component longer than the iteration
+      // cap converges instead of tripping the loud-failure require below.
+      val viaLabel = prop.join(
+          prop.select(col("node").as("label"), col("label").as("label2")), "label")
+        .select(col("node"), col("label2").as("label"))
+      val next = prop.unionByName(viaLabel)
+        .groupBy("node").agg(min("label").as("label")).cache()
+      // min-propagation can only lower labels: equal sum ⇔ fixpoint
+      val s = next.agg(sum("label")).first().getLong(0)
+      converged = prevSum.contains(s)
+      prevSum = Some(s)
+      labels.unpersist()
+      labels = next
+      it += 1
+    }
+    // a silent cap overrun would return non-minimal labels that LOOK like
+    // clusters — fail loudly instead (the cap covers diameter ~2^MaxCcIters,
+    // so hitting it means pathological input)
+    require(converged,
+      s"label propagation did not converge within $MaxCcIters rounds")
+    labels
+  }
 
   /** Canonicalization step of a dedup pipeline: group the verified
     * MinHash-LSH pairs into CONNECTED COMPONENTS and elect min-doc_id as
     * each cluster's canonical representative — the operator that turns
     * pairwise near-dup hits into "keep one per cluster" decisions.
     *
-    * Distributed shape (no graph library): min-label propagation. Labels
-    * start as each node's own id; each round propagates labels across
-    * edges and takes the per-node min (one partial-aggregated shuffle
-    * bounded by |edges|+|nodes|), converging in ≤ diameter rounds. The
+    * Distributed shape (no graph library): min-label propagation with
+    * pointer doubling. Labels start as each node's own id; each round
+    * propagates labels across edges AND shortcuts through the label table
+    * itself, taking the per-node min (partial-aggregated shuffles bounded
+    * by |edges|+|nodes|), converging in O(log diameter) rounds. The
     * driver-side loop only CHECKS convergence (sum of labels strictly
     * decreases until the fixpoint — one scalar action per round, same
     * pattern as Lloyd training); all data movement is joins/aggregates.
@@ -722,32 +771,8 @@ object LlmQueries {
        |ORDER BY l.doc_id""".stripMargin
   ) { (spark, dir) =>
     val pairs = minhashPairs(spark, dir).select(col("doc_a"), col("doc_b")).cache()
-    val edges = pairs.unionByName(
-      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .toDF("src", "dst")
-    var labels = documents(spark, dir)
-      .select(col("doc_id").as("node"), col("doc_id").as("label")).cache()
-    var prevSum = Option.empty[Long]
-    var it = 0
-    var converged = false
-    while (!converged && it < MaxCcIters) {
-      val prop = edges.join(labels.withColumnRenamed("node", "src"), "src")
-        .select(col("dst").as("node"), col("label"))
-      val next = labels.unionByName(prop)
-        .groupBy("node").agg(min("label").as("label")).cache()
-      // min-propagation can only lower labels: equal sum ⇔ fixpoint
-      val s = next.agg(sum("label")).first().getLong(0)
-      converged = prevSum.contains(s)
-      prevSum = Some(s)
-      labels.unpersist()
-      labels = next
-      it += 1
-    }
-    // a silent cap overrun would return non-minimal labels that LOOK like
-    // clusters — fail loudly instead (the cap is far above any real
-    // dedup graph's diameter, so hitting it means pathological input)
-    require(converged,
-      s"label propagation did not converge within $MaxCcIters rounds")
+    val nodes = documents(spark, dir).select(col("doc_id").as("node"))
+    val labels = minLabelComponents(nodes, pairs.toDF("src", "dst"))
     val sz = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
     labels.join(sz, "label")
       .select(col("node").as("doc_id"), col("label").as("cluster_id"),
