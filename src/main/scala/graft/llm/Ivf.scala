@@ -85,6 +85,25 @@ object Ivf {
 
   // ---- search: assign + probe + rescore ----
 
+  /** Nearest-centroid assignment on the 100 TB shape (scaladoc above):
+    * one hash aggregate over the never-materialized N×K scored stream.
+    * Shared by [[search]] and the semantic-dedup operator.
+    */
+  def assign(emb: DataFrame, cent: DataFrame, numCent: Int): DataFrame =
+    scored(emb, cent, numCent, carryQv = false)
+      .groupBy("vec_id").agg(max_by(col("cent_id"), col("ck")).as("cent_id"))
+
+  /** DuckDB twin of [[assign]]: `keyed` + `assign` CTEs reading CTEs
+    * `emb` (vec_id, qv, nrm) and `cent` (cent_id, cqv, cnrm).
+    */
+  def assignCtesSql(numCent: Int): String = {
+    val assignCos = Embed.cosineSql(Embed.dotSql("cqv", "qv"), "cnrm", "nrm")
+    s"""keyed AS (SELECT vec_id, cent_id, ${packedKeySqlOf("ccos", numCent)} AS ck FROM (
+       |    SELECT vec_id, cent_id, $assignCos AS ccos FROM emb, cent
+       |    WHERE nrm > 0 AND cnrm > 0) s0),
+       |assign AS (SELECT vec_id, arg_max(cent_id, ck) AS cent_id FROM keyed GROUP BY vec_id)""".stripMargin
+  }
+
   /** IVF top-N search over a prepared embedding table against a (small)
     * centroid table. Assignment/probing per the scaladoc above; rescoring
     * is exact cosine on the probed lists only, top-N per query via a

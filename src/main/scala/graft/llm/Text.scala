@@ -31,6 +31,17 @@ object Text {
   val bigramsSql: String =
     "list_distinct(list_transform(range(1, len(tk)), i -> concat(tk[i], ' ', tk[i+1])))"
 
+  /** DuckDB word n-gram twin of `word_ngrams(tk, n, distinct)` (1-based
+    * list indexing; `range` is exclusive and never counts down, so texts
+    * shorter than n tokens yield an empty list in both engines).
+    */
+  def wordNgramsSql(n: Int, distinct: Boolean): String = {
+    val terms = (0 until n)
+      .map(k => if (k == 0) "tk[i]" else s"tk[i+$k]").mkString(", ' ', ")
+    val lst = s"list_transform(range(1, len(tk) - ${n - 2}), i -> concat($terms))"
+    if (distinct) s"list_distinct($lst)" else lst
+  }
+
   /** Char trigrams of a text column (for the language-ID profiles);
     * codegen'd, empty when shorter than 3 chars.
     */

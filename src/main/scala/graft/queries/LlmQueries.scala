@@ -864,9 +864,224 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  // ---- benchmark contamination: eval-set n-gram overlap ----
+
+  /** Docs whose id ≡ 0 (mod 97) stand in for a held-out eval set. */
+  private val BenchMod = 97
+  private val ContamN = 5
+
+  /** Decontamination operator (the Dolma/GPT-3 "13-gram overlap" design,
+    * scaled to the fixture's ~30-token docs as 5-grams): collect the
+    * benchmark set's distinct word n-grams, flag every corpus document
+    * containing any of them.
+    *
+    * 100 TB shape: both sides are map-side DISTINCT n-gram explodes (the
+    * codegen'd `word_ngrams` set-build — no corpus-wide distinct
+    * shuffle); the benchmark set is small by definition and broadcast, so
+    * the corpus never shuffles — one scan, one broadcast-hash join, one
+    * partial-aggregated count per doc.
+    */
+  val contamination = QueryDef.sql(
+    "llm_contamination",
+    s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |ng AS (SELECT doc_id, unnest(${Text.wordNgramsSql(ContamN, distinct = true)}) AS ng
+       |       FROM docs),
+       |bench AS (SELECT DISTINCT ng FROM ng WHERE doc_id % $BenchMod = 0),
+       |hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS bench_ngram_hits
+       |         FROM ng JOIN bench USING (ng) GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  coalesce(h.bench_ngram_hits, 0) AS bench_ngram_hits,
+       |  coalesce(h.bench_ngram_hits, 0) > 0 AS contaminated,
+       |  d.doc_id % $BenchMod = 0 AS is_benchmark
+       |FROM docs d LEFT JOIN hits h USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  ) { (spark, dir) =>
+    val docs = documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+    val ngrams = docs.select(col("doc_id"),
+      explode(expr(s"word_ngrams(tk, $ContamN, true)")).as("ng"))
+    val bench = ngrams.filter(col("doc_id") % BenchMod === 0)
+      .select("ng").distinct()
+    val hits = ngrams.join(broadcast(bench), "ng")
+      .groupBy("doc_id").agg(count(lit(1)).as("bench_ngram_hits"))
+    docs.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("bench_ngram_hits"), lit(0L)).as("bench_ngram_hits"),
+        (coalesce(col("bench_ngram_hits"), lit(0L)) > 0).as("contaminated"),
+        (col("doc_id") % BenchMod === 0).as("is_benchmark"))
+      .orderBy("doc_id")
+  }
+
+  // ---- URL/host extraction: domain-level corpus stats ----
+
+  /** Domain-level stats over extracted URLs (the operator behind
+    * host-blocklist filtering in web-corpus pipelines), on the same
+    * PII-injected text as [[piiScrub]]. Pure map-side extract/explode
+    * into one small aggregation — hosts are low-cardinality by nature.
+    */
+  val urlHostStats = QueryDef.sql(
+    "llm_url_hosts",
+    s"""SELECT host,
+       |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |  CAST(count(*) AS BIGINT) AS n_urls
+       |FROM (SELECT doc_id, string_split(url, '/')[3] AS host
+       |      FROM (SELECT doc_id, unnest(regexp_extract_all(rich, '$UrlPat')) AS url
+       |            FROM (SELECT doc_id, ${richPiiExpr("VARCHAR")} AS rich
+       |                  FROM documents) r) u) h
+       |GROUP BY host
+       |ORDER BY host""".stripMargin
+  ) { (spark, dir) =>
+    documents(spark, dir)
+      .selectExpr("doc_id", s"${richPiiExpr("STRING")} AS rich")
+      .select(col("doc_id"),
+        explode(expr(s"regexp_extract_all(rich, '$UrlPat', 0)")).as("url"))
+      .selectExpr("doc_id", "split(url, '/')[2] AS host")
+      .groupBy("host")
+      .agg(countDistinct("doc_id").as("n_docs"), count(lit(1)).as("n_urls"))
+      .orderBy("host")
+  }
+
+  // ---- TF-IDF retrieval: sparse-vector cosine top-k ----
+
+  private val TfidfQueries = 8
+  private val TfidfTopN = 5
+
+  /** Integer idf quantum: weight = tf · min((N·1024) div df, 2^20). The
+    * cap bounds every product/sum far below 2^63 at ANY corpus size (w ≤
+    * tf·2^20; doc norms ≤ Σ tf²·2^40 — safe while docs stay under ~2^10
+    * tokens of one term), and integer division keeps both engines
+    * bit-identical where `ln`-based idf would diverge in the last ulp.
+    */
+  private val IdfCap = 1 << 20
+
+  /** Sparse TF-IDF cosine retrieval — the lexical complement of the dense
+    * [[embedTopk]]: inverted-index join on terms, not an all-pairs scan.
+    *
+    * 100 TB shape: postings (doc, term, w) are one token explode + hash
+    * aggregate; the QUERY block's postings are tiny and broadcast, so
+    * scoring is a broadcast-hash join on term + one partial-aggregated
+    * sum per (query, doc) — the corpus-side postings never shuffle. The
+    * idf cap doubles as the hot-term guard: ubiquitous terms carry the
+    * minimum weight (df-cut on stopword-like terms is the same lever as
+    * ngram_jaccard's, applicable here when the termlist grows).
+    */
+  val tfidfTopk = QueryDef.sql(
+    "llm_tfidf_topk",
+    s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |toks AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
+       |         FROM (SELECT doc_id, unnest(tk) AS t FROM docs) u
+       |         GROUP BY doc_id, t),
+       |total AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM docs),
+       |dfreq AS (SELECT t, CAST(count(*) AS BIGINT) AS dfv FROM toks GROUP BY t),
+       |w AS (SELECT doc_id, toks.t AS t,
+       |        tf * least((n_docs * 1024) // dfv, $IdfCap) AS w
+       |      FROM toks JOIN dfreq ON toks.t = dfreq.t CROSS JOIN total),
+       |nrm AS (SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS nrm FROM w GROUP BY doc_id),
+       |dots AS (SELECT q.doc_id AS query_id, c.doc_id AS doc_id,
+       |           CAST(sum(q.w * c.w) AS BIGINT) AS dot
+       |         FROM w q JOIN w c ON q.t = c.t
+       |         WHERE q.doc_id < $TfidfQueries AND q.doc_id <> c.doc_id
+       |         GROUP BY q.doc_id, c.doc_id),
+       |scored AS (SELECT query_id, dots.doc_id AS doc_id,
+       |    ${Embed.cosineSql("dot", "nq.nrm", "nc.nrm")} AS tfidf_cos
+       |  FROM dots JOIN nrm nq ON nq.doc_id = dots.query_id
+       |            JOIN nrm nc ON nc.doc_id = dots.doc_id),
+       |ranked AS (SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY tfidf_cos DESC, doc_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, doc_id, tfidf_cos, CAST(rank AS BIGINT) AS rank
+       |FROM ranked WHERE rank <= $TfidfTopN
+       |ORDER BY query_id, rank""".stripMargin
+  ) { (spark, dir) =>
+    val docs = documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+    val toks = docs.select(col("doc_id"), explode(col("tk")).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+    val total = docs.agg(count(lit(1)).as("n_docs"))
+    val dfreq = toks.groupBy("t").agg(count(lit(1)).as("dfv"))
+    val w = toks.join(dfreq, "t").crossJoin(broadcast(total))
+      .selectExpr("doc_id", "t",
+        s"tf * least((n_docs * 1024) div dfv, CAST($IdfCap AS BIGINT)) AS w")
+      .cache()
+    val nrm = w.groupBy("doc_id").agg(sum(expr("w * w")).as("nrm"))
+    val qw = w.filter(col("doc_id") < TfidfQueries)
+      .select(col("doc_id").as("query_id"), col("t"), col("w").as("wq"))
+    val dots = w.join(broadcast(qw), "t")
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy("query_id", "doc_id").agg(sum(expr("w * wq")).as("dot"))
+    dots
+      .join(nrm.select(col("doc_id").as("query_id"), col("nrm").as("nq")), "query_id")
+      .join(nrm.select(col("doc_id"), col("nrm").as("nc")), "doc_id")
+      .withColumn("tfidf_cos", expr(Embed.cosineSql("dot", "nq", "nc")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("tfidf_cos").desc, col("doc_id"))))
+      .filter(col("rank") <= TfidfTopN)
+      .select(col("query_id"), col("doc_id"), col("tfidf_cos"),
+        col("rank").cast("long").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  // ---- semantic dedup: IVF-clustered embedding near-dup drop ----
+
+  /** Twins perturb at cos ≈ 0.99; the raw corpus maxes at 0.51 — the
+    * threshold sits in the wide gap.
+    */
+  private val SemThreshold = 0.98
+
+  /** Semantic deduplication (the SemDeDup design): coarse-cluster the
+    * embedding space with the IVF quantizer, then compare pairs ONLY
+    * within a cluster and drop every vector with a ≥-threshold neighbor
+    * of smaller id. The cluster restriction is what makes it scale — the
+    * pairwise stage is K independent problems of ~N/K vectors (quadratic
+    * only within a cluster; K grows with the corpus), and near-dups
+    * land in the same cluster by construction since the quantizer maps
+    * cos-0.99 twins to the same nearest centroid. Runs on the twinned
+    * near-dup fixture so recall is measurable, like [[embedNearDup]].
+    */
+  val semDedup = QueryDef.sql(
+    "llm_semdedup", {
+      val pairCos = Embed.cosineSql(Embed.dotSql("x.qv", "y.qv"), "x.nrm", "y.nrm")
+      s"""WITH ${graft.fixtures.Fixtures.embeddingsNearDupCte},
+         |emb AS (${Embed.preparedSqlFrom("emb_nd")}),
+         |cent AS (${Ivf.initCentSql(IvfK, 0)}),
+         |${Ivf.assignCtesSql(IvfK)},
+         |mem AS (SELECT a.vec_id, a.cent_id, e.qv, e.nrm
+         |        FROM assign a JOIN emb e USING (vec_id)),
+         |pairs AS (SELECT x.vec_id AS a, y.vec_id AS b
+         |          FROM mem x JOIN mem y
+         |            ON x.cent_id = y.cent_id AND x.vec_id < y.vec_id
+         |          WHERE $pairCos >= $SemThreshold),
+         |dups AS (SELECT b AS vec_id, min(a) AS dup_of FROM pairs GROUP BY b)
+         |SELECT s.vec_id, s.cent_id, coalesce(d.dup_of, -1) AS dup_of,
+         |       d.vec_id IS NOT NULL AS dropped
+         |FROM assign s LEFT JOIN dups d USING (vec_id)
+         |ORDER BY s.vec_id""".stripMargin
+    }
+  ) { (spark, dir) =>
+    val emb = Embed.prepared(
+      graft.fixtures.Fixtures.embeddingsNearDup(spark, dir)).cache()
+    val assigned = Ivf.assign(emb, Ivf.initCent(emb, IvfK, 0), IvfK)
+    val mem = assigned.join(emb.select("vec_id", "qv", "nrm"), "vec_id")
+    val x = mem.select(col("vec_id").as("a"), col("cent_id"),
+      col("qv").as("aqv"), col("nrm").as("anrm"))
+    val y = mem.select(col("vec_id").as("b"), col("cent_id"),
+      col("qv").as("bqv"), col("nrm").as("bnrm"))
+    val pairs = x.join(y, Seq("cent_id"))
+      .filter(col("a") < col("b"))
+      .filter(expr(Embed.cosineSql(Embed.dotExpr("aqv", "bqv"), "anrm", "bnrm"))
+        >= SemThreshold)
+    val dups = pairs.groupBy(col("b").as("vec_id")).agg(min("a").as("dup_of"))
+    assigned.join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cent_id"),
+        coalesce(col("dup_of"), lit(-1L)).as("dup_of"),
+        col("dup_of").isNotNull.as("dropped"))
+      .orderBy("vec_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     textStats, langId, exactDedup, minhashLsh, dedupClusters, ngramJaccard,
     simhash, fingerprint, embedTopk, annLsh, annIvf, annIvfTrained,
     embedNearDup, tokenCount, imageMeta, audioMeta, imageResize,
-    frameSample, qualityScore, piiScrub, repetition)
+    frameSample, qualityScore, piiScrub, repetition,
+    contamination, urlHostStats, tfidfTopk, semDedup)
 }
