@@ -8,7 +8,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
 import graft.ingest.CandleCore
 import graft.schema.Tick
-import graft.streaming.CandleStream
+import graft.streaming.{CandleStream, StreamDedup}
 
 /** A1/A5/A16 end-to-end streaming parity (SURVEY §5.4): MemoryStream of
   * ticks → keyed candle state → sink; output must equal a single-pass
@@ -120,6 +120,29 @@ class StreamingSpec extends SparkSuite {
       CandleCore.replay(ts.sortBy(t => (t.ts.getTime, t.tickNo)).iterator, D)
     }.sortBy(c => (c.secId, c.date.getTime))
     assert(got == want)
+  }
+
+  test("streaming first-write-wins dedup suppresses re-deliveries across batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val ms = MemoryStream[Tick]
+    val query = StreamDedup.firstWriteWins(
+        ms.toDS().toDF(), "ts", "30 seconds", Seq("secId", "tickNo"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dedup_stream").start()
+    // batch A: two originals; batch B: a RE-DELIVERY of tickNo 1 with a
+    // different payload (the at-least-once sink's duplicate) + one new
+    val a = Seq(tick(1, "10:00:10", 101.0, 5, 1), tick(1, "10:00:20", 103.0, 2, 2))
+    val b = Seq(tick(1, "10:00:10", 999.0, 99, 1), tick(1, "10:00:40", 104.0, 1, 3))
+    Seq(a, b).foreach { batch => ms.addData(batch); query.processAllAvailable() }
+    query.stop()
+
+    val got = spark.table("dedup_stream")
+      .select("tickNo", "last").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // one row per key; the duplicate's 999 payload never surfaced
+    assert(got == Map(1L -> 101.0, 2L -> 103.0, 3L -> 104.0))
   }
 
   test("candlesBatch (lazy partition replay) ≡ stateful operator ≡ replay") {
