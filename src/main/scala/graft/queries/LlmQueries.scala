@@ -1028,6 +1028,44 @@ object LlmQueries {
       .orderBy("query_id", "rank")
   }
 
+  // ---- corpus n-gram statistics: global top-k frequent bigrams ----
+
+  private val TopNgrams = 25
+
+  /** Corpus-level n-gram frequency ranking (the vocabulary/statistics op
+    * behind stopword lists, boilerplate detection, and tokenizer
+    * training): count every word bigram occurrence, keep the global
+    * top-k with doc-frequency alongside.
+    *
+    * 100 TB shape: one map-side explode into a partial-aggregated count
+    * (per-doc dedup for the doc-frequency leg rides the same codegen'd
+    * set-build), then a global top-k that Catalyst executes as
+    * `TakeOrderedAndProject` — each partition ships only its k best
+    * rows, never the full vocabulary. The SpaceSaving `graft_topk`
+    * sketch is the one-pass alternative when even the per-partition
+    * vocabulary is too wide; exact counting stays the default because
+    * the ranking feeds downstream filters.
+    */
+  val topNgrams = QueryDef.sql(
+    "llm_top_ngrams",
+    s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |occ AS (SELECT doc_id, unnest(${Text.wordNgramsSql(2, distinct = false)}) AS ng
+       |        FROM docs),
+       |cnt AS (SELECT ng, CAST(count(*) AS BIGINT) AS n_occ,
+       |               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+       |        FROM occ GROUP BY ng)
+       |SELECT ng, n_occ, n_docs FROM cnt
+       |ORDER BY n_occ DESC, ng LIMIT $TopNgrams""".stripMargin
+  ) { (spark, dir) =>
+    documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"), explode(expr("word_ngrams(tk, 2, false)")).as("ng"))
+      .groupBy("ng")
+      .agg(count(lit(1)).as("n_occ"), countDistinct("doc_id").as("n_docs"))
+      .orderBy(col("n_occ").desc, col("ng"))
+      .limit(TopNgrams)
+  }
+
   // ---- semantic dedup: IVF-clustered embedding near-dup drop ----
 
   /** Twins perturb at cos ≈ 0.99; the raw corpus maxes at 0.51 — the
@@ -1090,5 +1128,5 @@ object LlmQueries {
     simhash, fingerprint, embedTopk, annLsh, annIvf, annIvfTrained,
     embedNearDup, tokenCount, imageMeta, audioMeta, imageResize,
     frameSample, qualityScore, piiScrub, repetition,
-    contamination, urlHostStats, tfidfTopk, semDedup)
+    contamination, urlHostStats, tfidfTopk, semDedup, topNgrams)
 }

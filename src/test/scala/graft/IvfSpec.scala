@@ -69,6 +69,24 @@ class IvfSpec extends SparkSuite {
     }
   }
 
+  test("semantic dedup drops most planted twins, never a base vector") {
+    // the llm_semdedup operator over the twinned fixture: every dropped
+    // vector must be a twin (ids >= 100000 — cos 0.99 to its base; the
+    // raw corpus maxes at 0.51), and the IVF cluster restriction should
+    // still catch most twins (a miss = base and twin split across a
+    // centroid boundary — the documented coarse-clustering trade)
+    graft.expr.GraftFunctions.register(spark)
+    val out = graft.queries.LlmQueries.all.find(_.name == "llm_semdedup").get
+      .fn(spark, dir)
+    val dropped = out.filter(col("dropped")).select("vec_id", "dup_of")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(dropped.forall(_._1 >= 100000L),
+      s"a base vector was dropped: ${dropped.filter(_._1 < 100000L).mkString(",")}")
+    assert(dropped.forall { case (twin, of) => of == twin - 100000L },
+      "a twin was deduped against something other than its base")
+    assert(dropped.length >= 40, s"twin recall too low: ${dropped.length}/50")
+  }
+
   test("assignment aggregate is a HashAggregate (no Window over the NxK stream)") {
     val plan = Ivf.search(emb, Ivf.initCent(emb, K, 5), K, 5, 2, 3)
       .queryExecution.executedPlan.toString
