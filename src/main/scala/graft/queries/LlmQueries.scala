@@ -1066,6 +1066,81 @@ object LlmQueries {
       .limit(TopNgrams)
   }
 
+  // ---- sequence packing: concat-then-chunk assignment via prefix sums ----
+
+  /** Training-sequence token budget and the block width of the two-level
+    * prefix sum (docs per block).
+    */
+  private val PackCapacity = 512
+  private val PackBlock = 64
+
+  /** Sequence packing (the pre-tokenization step that concatenates the
+    * corpus in a canonical order and slices fixed-token training
+    * sequences): each document gets its global token start offset and
+    * the id of the sequence its first token lands in.
+    *
+    * 100 TB shape — a distributed SCAN, not a global window: the naive
+    * `sum() OVER (ORDER BY doc_id)` forces every row through ONE
+    * partition. Instead, the classic two-level prefix sum: cumulative
+    * sums WITHIN doc-id blocks run fully parallel (window partitioned by
+    * block), block totals hash-aggregate to N/`PackBlock` rows whose own
+    * prefix — the only serial step — runs over that tiny table and
+    * broadcasts back. The DuckDB oracle keeps the single-window
+    * spelling; both are exact integer arithmetic.
+    */
+  val seqPack = QueryDef.sql(
+    "llm_seq_pack",
+    s"""SELECT doc_id, n_tok,
+       |  CAST(sum(n_tok) OVER (ORDER BY doc_id
+       |       ROWS UNBOUNDED PRECEDING) - n_tok AS BIGINT) AS start_off,
+       |  CAST((sum(n_tok) OVER (ORDER BY doc_id
+       |       ROWS UNBOUNDED PRECEDING) - n_tok) // $PackCapacity AS BIGINT) AS seq_id
+       |FROM (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+       |      FROM documents) t
+       |ORDER BY doc_id""".stripMargin
+  ) { (spark, dir) =>
+    val t = documents(spark, dir)
+      .selectExpr("doc_id", "CAST(size(split(text, ' ')) AS BIGINT) AS n_tok",
+        s"doc_id div $PackBlock AS blk")
+    val within = t.withColumn("wsum",
+      sum("n_tok").over(Window.partitionBy("blk").orderBy("doc_id")))
+    val blkPre = t.groupBy("blk").agg(sum("n_tok").as("btot"))
+      .withColumn("bpre", // N/PackBlock rows: the serial step stays tiny
+        sum("btot").over(Window.orderBy("blk")) - col("btot"))
+      .select("blk", "bpre")
+    within.join(broadcast(blkPre), "blk")
+      .selectExpr("doc_id", "n_tok", "bpre + wsum - n_tok AS start_off",
+        s"(bpre + wsum - n_tok) div $PackCapacity AS seq_id")
+      .orderBy("doc_id")
+  }
+
+  // ---- split assignment: deterministic hash-based train/val/test ----
+
+  /** Deterministic split assignment (the op that keeps train/val/test
+    * membership stable across pipeline re-runs): bucket = first md5
+    * nibble of the doc id, split by bucket range 13/2/1 (~81/12/6%).
+    * Pure map-side projection; content-keyed variants just swap the
+    * hashed column.
+    */
+  val splitAssign = QueryDef.sql(
+    "llm_split_assign",
+    s"""SELECT doc_id, bucket,
+       |  CASE WHEN bucket < 13 THEN 'train'
+       |       WHEN bucket < 15 THEN 'val' ELSE 'test' END AS split
+       |FROM (SELECT doc_id,
+       |    instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+       |      AS bucket
+       |  FROM documents) b
+       |ORDER BY doc_id""".stripMargin
+  ) { (spark, dir) =>
+    documents(spark, dir)
+      .selectExpr("doc_id",
+        "instr('0123456789abcdef', substr(md5(CAST(doc_id AS STRING)), 1, 1)) - 1 AS bucket")
+      .selectExpr("doc_id", "CAST(bucket AS BIGINT) AS bucket",
+        "CASE WHEN bucket < 13 THEN 'train' WHEN bucket < 15 THEN 'val' ELSE 'test' END AS split")
+      .orderBy("doc_id")
+  }
+
   // ---- semantic dedup: IVF-clustered embedding near-dup drop ----
 
   /** Twins perturb at cos ≈ 0.99; the raw corpus maxes at 0.51 — the
@@ -1128,5 +1203,6 @@ object LlmQueries {
     simhash, fingerprint, embedTopk, annLsh, annIvf, annIvfTrained,
     embedNearDup, tokenCount, imageMeta, audioMeta, imageResize,
     frameSample, qualityScore, piiScrub, repetition,
-    contamination, urlHostStats, tfidfTopk, semDedup, topNgrams)
+    contamination, urlHostStats, tfidfTopk, semDedup, topNgrams,
+    seqPack, splitAssign)
 }
