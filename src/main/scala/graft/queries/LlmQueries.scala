@@ -1066,6 +1066,83 @@ object LlmQueries {
       .limit(TopNgrams)
   }
 
+  // ---- curation pipeline: composed keep/drop decision ----
+
+  /** Drop-reason precedence — identical CASE text in both engines.
+    * Benchmark members leave the training set first (they ARE the eval
+    * set), then quality, then exact duplicates, then contamination.
+    */
+  private val curationReasonSql =
+    s"""CASE WHEN doc_id % $BenchMod = 0 THEN 'benchmark'
+       |     WHEN quality < 0.6 THEN 'low_quality'
+       |     WHEN exact_dup THEN 'exact_dup'
+       |     WHEN bench_hits > 0 THEN 'contaminated'
+       |     ELSE 'kept' END""".stripMargin.replace("\n", "")
+
+  /** The composed curation pipeline — what a user actually RUNS over a
+    * crawl: quality scoring, exact dedup, eval-set decontamination and
+    * benchmark exclusion chained into one keep/drop verdict per document
+    * with the first failing check as the reason. Every signal is the
+    * same computation as its standalone entry ([[qualityScore]],
+    * [[exactDedup]], [[contamination]]); the pipeline is pure column
+    * algebra over their joins, so Catalyst fuses the signal scans — the
+    * corpus is read once per signal branch, never per rule.
+    */
+  val curation = QueryDef.sql(
+    "llm_curation", {
+      val ngSql = Text.wordNgramsSql(ContamN, distinct = true)
+      s"""WITH docs AS (SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents),
+         |qual AS (SELECT doc_id, $qualityExpr AS quality FROM (
+         |    SELECT doc_id,
+         |      len(tk) AS n_tokens,
+         |      len(list_distinct(tk)) AS n_uniq,
+         |      len(list_filter(tk, t -> t IN ('the', 'a'))) AS stop_cnt,
+         |      length(text) AS n_chars
+         |    FROM docs) m),
+         |h AS (SELECT doc_id, md5(text) AS th FROM docs),
+         |canon AS (SELECT th, min(doc_id) AS canonical_id FROM h GROUP BY th),
+         |dup AS (SELECT doc_id, canonical_id <> doc_id AS exact_dup
+         |        FROM h JOIN canon USING (th)),
+         |ng AS (SELECT doc_id, unnest($ngSql) AS ng FROM docs),
+         |bench AS (SELECT DISTINCT ng FROM ng WHERE doc_id % $BenchMod = 0),
+         |hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS bench_hits
+         |         FROM ng JOIN bench USING (ng) GROUP BY doc_id),
+         |flags AS (SELECT d.doc_id, q.quality, u.exact_dup,
+         |    coalesce(t.bench_hits, 0) AS bench_hits
+         |  FROM docs d JOIN qual q USING (doc_id) JOIN dup u USING (doc_id)
+         |       LEFT JOIN hits t USING (doc_id))
+         |SELECT doc_id, quality, $curationReasonSql AS reason,
+         |       $curationReasonSql = 'kept' AS keep
+         |FROM flags
+         |ORDER BY doc_id""".stripMargin
+    }
+  ) { (spark, dir) =>
+    val docs = documents(spark, dir)
+      .select(col("doc_id"), col("text"), split(col("text"), " ").as("tk"))
+    val qual = docs
+      .select(col("doc_id"),
+        expr("CAST(size(tk) AS BIGINT)").as("n_tokens"),
+        expr("CAST(size(array_distinct(tk)) AS BIGINT)").as("n_uniq"),
+        expr("CAST(size(filter(tk, t -> t IN ('the', 'a'))) AS BIGINT)").as("stop_cnt"),
+        expr("CAST(length(text) AS BIGINT)").as("n_chars"))
+      .select(col("doc_id"), expr(qualityExpr).as("quality"))
+    val h = docs.select(col("doc_id"), md5(col("text")).as("th"))
+    val canon = h.groupBy("th").agg(min("doc_id").as("canonical_id"))
+    val dup = h.join(canon, "th")
+      .select(col("doc_id"), (col("canonical_id") =!= col("doc_id")).as("exact_dup"))
+    val ngrams = docs.select(col("doc_id"),
+      explode(expr(s"word_ngrams(tk, $ContamN, true)")).as("ng"))
+    val bench = ngrams.filter(col("doc_id") % BenchMod === 0).select("ng").distinct()
+    val hits = ngrams.join(broadcast(bench), "ng")
+      .groupBy("doc_id").agg(count(lit(1)).as("bench_hits"))
+    docs.select("doc_id")
+      .join(qual, "doc_id").join(dup, "doc_id").join(hits, Seq("doc_id"), "left")
+      .withColumn("bench_hits", coalesce(col("bench_hits"), lit(0L)))
+      .selectExpr("doc_id", "quality", s"$curationReasonSql AS reason",
+        s"$curationReasonSql = 'kept' AS keep")
+      .orderBy("doc_id")
+  }
+
   // ---- sequence packing: concat-then-chunk assignment via prefix sums ----
 
   /** Training-sequence token budget and the block width of the two-level
@@ -1204,5 +1281,5 @@ object LlmQueries {
     embedNearDup, tokenCount, imageMeta, audioMeta, imageResize,
     frameSample, qualityScore, piiScrub, repetition,
     contamination, urlHostStats, tfidfTopk, semDedup, topNgrams,
-    seqPack, splitAssign)
+    seqPack, splitAssign, curation)
 }
