@@ -62,13 +62,17 @@ object Dedup {
     val others = df.columns.filterNot(keys.contains).filterNot(_ == seq).toSeq
     val aggs = others.map { o =>
       if (packCols(o)) {
-        // the ≤8-ASCII-bytes precondition must fail loudly: a longer or
-        // non-ASCII value would overflow the BIGINT cast and decode to
-        // corrupted bytes that LOOK like a payload
+        // the 1..8-ASCII-bytes precondition must fail loudly. Longer or
+        // non-ASCII values overflow the BIGINT cast; empty strings make
+        // conv() NULL; a leading byte < 0x10 makes hex(BIGINT) odd-length
+        // (minimal form drops the zero nibble) so unhex() yields NULL —
+        // all three decode to corrupted/NULL payloads that LOOK valid.
         val checked = s"CASE WHEN octet_length($o) > 8 " +
           s"OR octet_length($o) <> char_length($o) " +
+          s"OR octet_length($o) = 0 OR ascii($o) < 16 " +
           s"THEN raise_error(concat('lastWriteWinsColumnar: column $o value not " +
-          s"packable into BIGINT (need <=8 ASCII bytes): ', $o)) ELSE $o END"
+          s"packable into BIGINT (need 1..8 ASCII bytes, first byte >= 0x10): ', $o)) " +
+          s"ELSE $o END"
         expr(s"decode(unhex(hex(max_by(" +
           s"CAST(conv(hex(encode($checked, 'UTF-8')), 16, 10) AS BIGINT), $seq))), 'UTF-8')").as(o)
       } else max_by(col(o), col(seq)).as(o)

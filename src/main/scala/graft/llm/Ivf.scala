@@ -112,7 +112,7 @@ object Ivf {
   def search(emb: DataFrame, cent: DataFrame, numCent: Int, numQueries: Int,
       nprobe: Int, topN: Int): DataFrame = {
     val sc = scored(emb, cent, numCent, carryQv = false)
-    val assign = sc.groupBy("vec_id").agg(max_by(col("cent_id"), col("ck")).as("cent_id"))
+    val assigned = assign(emb, cent, numCent)
     val probes = sc.filter(col("vec_id") < numQueries)
       .groupBy("vec_id")
       .agg(slice(array_sort(collect_list(struct((-col("ck")).as("nk"),
@@ -120,7 +120,7 @@ object Ivf {
       .select(col("vec_id").as("query_id"), explode(col("top.cent_id")).as("cent_id"))
     // probes is numQueries×nprobe rows — broadcast it so the corpus-wide
     // assignment table never shuffles
-    val cand = assign.join(broadcast(probes), "cent_id")
+    val cand = assigned.join(broadcast(probes), "cent_id")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"))
     cand
@@ -143,12 +143,8 @@ object Ivf {
     * key, so both engines resolve near-ties identically.
     */
   def searchSql(numCent: Int, numQueries: Int, nprobe: Int, topN: Int): String = {
-    val assignCos = Embed.cosineSql(Embed.dotSql("cqv", "qv"), "cnrm", "nrm")
     val rescoreCos = Embed.cosineSql(Embed.dotSql("qq.qv", "cc.qv"), "qq.nrm", "cc.nrm")
-    s"""keyed AS (SELECT vec_id, cent_id, ${packedKeySqlOf("ccos", numCent)} AS ck FROM (
-       |    SELECT vec_id, cent_id, $assignCos AS ccos FROM emb, cent
-       |    WHERE nrm > 0 AND cnrm > 0) s0),
-       |assign AS (SELECT vec_id, arg_max(cent_id, ck) AS cent_id FROM keyed GROUP BY vec_id),
+    s"""${assignCtesSql(numCent)},
        |probes AS (SELECT vec_id AS query_id, cent_id FROM (
        |    SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY ck DESC) AS rn
        |    FROM keyed WHERE vec_id < $numQueries) r WHERE rn <= $nprobe),

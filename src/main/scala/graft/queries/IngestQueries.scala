@@ -64,14 +64,30 @@ object IngestQueries {
       Dedup.lastWriteWinsSql("trades_versioned", Schemas.tradesKey, "ingest_seq", tradeCols),
       tradesCte, tradesVersionedCte)
   ) { (spark, dir) =>
-    // one FIXED scratch dir per input — Overwrite mode makes every rerun
-    // (same app or a new one) idempotent, so successive applications
-    // recycle the same directory instead of each leaving a fresh copy
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_compacted_" +
-      Integer.toHexString(dir.hashCode)
+    // one scratch dir per (application, input), MEMOIZED so reruns within
+    // an app are idempotent (Overwrite into the same path), UNIQUE per
+    // JVM (createTempDirectory) so concurrent applications can't race on
+    // a shared /tmp path, and deleted on JVM exit so nothing leaks
+    val out = IngestQueries.compactedScratch
+      .computeIfAbsent(s"${spark.sparkContext.applicationId}|$dir", _ =>
+        java.nio.file.Files.createTempDirectory("graft_compacted_").toString)
     graft.sources.Sinks.materializeTradesCompacted(
       tradesVersioned(spark, dir), "ingest_seq", out)
     spark.read.parquet(out).select(tradeCols.map(col): _*)
+  }
+
+  /** Scratch paths for [[dedupTradesCompacted]], cleaned up at JVM exit. */
+  private val compactedScratch = {
+    val m = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      m.values.forEach { p =>
+        val root = java.nio.file.Paths.get(p)
+        if (java.nio.file.Files.exists(root))
+          java.nio.file.Files.walk(root)
+            .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      }))
+    m
   }
 
   private val quoteCols = Seq("time", "secid", "board", "sec_code", "price",

@@ -656,25 +656,35 @@ object LlmQueries {
       | + (1.0 - CAST(stop_cnt AS DOUBLE) / n_tokens) * 0.3
       | + (CASE WHEN n_chars >= 200 THEN 1.0 WHEN n_chars >= 100 THEN 0.5 ELSE 0.0 END) * 0.2""".stripMargin.replace("\n", "")
 
+  /** The metric projections [[qualityExpr]] reads — ONE definition per
+    * dialect, shared by [[qualityScore]] and [[curation]] so the composed
+    * verdict can never drift from the standalone signal. Both expect
+    * doc_id, text and tk (split tokens) in scope.
+    */
+  private def qualityMetricsSql: String =
+    """len(tk) AS n_tokens,
+      |      len(list_distinct(tk)) AS n_uniq,
+      |      len(list_filter(tk, t -> t IN ('the', 'a'))) AS stop_cnt,
+      |      length(text) AS n_chars""".stripMargin
+
+  private def qualityMetricCols: Seq[org.apache.spark.sql.Column] = Seq(
+    expr("CAST(size(tk) AS BIGINT)").as("n_tokens"),
+    expr("CAST(size(array_distinct(tk)) AS BIGINT)").as("n_uniq"),
+    expr("CAST(size(filter(tk, t -> t IN ('the', 'a'))) AS BIGINT)").as("stop_cnt"),
+    expr("CAST(length(text) AS BIGINT)").as("n_chars"))
+
   val qualityScore = QueryDef.sql(
     "llm_quality_score",
     s"""SELECT doc_id, n_tokens, quality, quality >= 0.6 AS keep FROM (
        |  SELECT doc_id, n_tokens, $qualityExpr AS quality FROM (
        |    SELECT doc_id,
-       |      len(tk) AS n_tokens,
-       |      len(list_distinct(tk)) AS n_uniq,
-       |      len(list_filter(tk, t -> t IN ('the', 'a'))) AS stop_cnt,
-       |      length(text) AS n_chars
+       |      $qualityMetricsSql
        |    FROM (SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents) d) m) q
        |ORDER BY doc_id""".stripMargin
   ) { (spark, dir) =>
     documents(spark, dir)
       .withColumn("tk", split(col("text"), " "))
-      .select(col("doc_id"),
-        expr("CAST(size(tk) AS BIGINT)").as("n_tokens"),
-        expr("CAST(size(array_distinct(tk)) AS BIGINT)").as("n_uniq"),
-        expr("CAST(size(filter(tk, t -> t IN ('the', 'a'))) AS BIGINT)").as("stop_cnt"),
-        expr("CAST(length(text) AS BIGINT)").as("n_chars"))
+      .select(col("doc_id") +: qualityMetricCols: _*)
       .withColumn("quality", expr(qualityExpr))
       .select(col("doc_id"), col("n_tokens"), col("quality"),
         (col("quality") >= 0.6).as("keep"))
@@ -877,6 +887,30 @@ object LlmQueries {
   private val BenchMod = 97
   private val ContamN = 5
 
+  /** ng/bench/hits CTEs (expect a `docs(doc_id, tk)` CTE in scope) — ONE
+    * definition per dialect, shared by [[contamination]] and the composed
+    * [[curation]] verdict.
+    */
+  private def contamCtesSql: String =
+    s"""ng AS (SELECT doc_id, unnest(${Text.wordNgramsSql(ContamN, distinct = true)}) AS ng
+       |       FROM docs),
+       |bench AS (SELECT DISTINCT ng FROM ng WHERE doc_id % $BenchMod = 0),
+       |hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS bench_ngram_hits
+       |         FROM ng JOIN bench USING (ng) GROUP BY doc_id)""".stripMargin
+
+  /** Spark twin of [[contamCtesSql]]'s `hits`: per-doc count of distinct
+    * eval-set n-grams. `docs` needs (doc_id, tk).
+    */
+  private def benchHits(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val ngrams = docs.select(col("doc_id"),
+      explode(expr(s"word_ngrams(tk, $ContamN, true)")).as("ng"))
+    val bench = ngrams.filter(col("doc_id") % BenchMod === 0)
+      .select("ng").distinct()
+    ngrams.join(broadcast(bench), "ng")
+      .groupBy("doc_id").agg(count(lit(1)).as("bench_ngram_hits"))
+  }
+
   /** Decontamination operator (the Dolma/GPT-3 "13-gram overlap" design,
     * scaled to the fixture's ~30-token docs as 5-grams): collect the
     * benchmark set's distinct word n-grams, flag every corpus document
@@ -891,11 +925,7 @@ object LlmQueries {
   val contamination = QueryDef.sql(
     "llm_contamination",
     s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-       |ng AS (SELECT doc_id, unnest(${Text.wordNgramsSql(ContamN, distinct = true)}) AS ng
-       |       FROM docs),
-       |bench AS (SELECT DISTINCT ng FROM ng WHERE doc_id % $BenchMod = 0),
-       |hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS bench_ngram_hits
-       |         FROM ng JOIN bench USING (ng) GROUP BY doc_id)
+       |$contamCtesSql
        |SELECT d.doc_id,
        |  coalesce(h.bench_ngram_hits, 0) AS bench_ngram_hits,
        |  coalesce(h.bench_ngram_hits, 0) > 0 AS contaminated,
@@ -905,12 +935,7 @@ object LlmQueries {
   ) { (spark, dir) =>
     val docs = documents(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("tk"))
-    val ngrams = docs.select(col("doc_id"),
-      explode(expr(s"word_ngrams(tk, $ContamN, true)")).as("ng"))
-    val bench = ngrams.filter(col("doc_id") % BenchMod === 0)
-      .select("ng").distinct()
-    val hits = ngrams.join(broadcast(bench), "ng")
-      .groupBy("doc_id").agg(count(lit(1)).as("bench_ngram_hits"))
+    val hits = benchHits(docs)
     docs.join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("bench_ngram_hits"), lit(0L)).as("bench_ngram_hits"),
@@ -1089,55 +1114,39 @@ object LlmQueries {
     * corpus is read once per signal branch, never per rule.
     */
   val curation = QueryDef.sql(
-    "llm_curation", {
-      val ngSql = Text.wordNgramsSql(ContamN, distinct = true)
-      s"""WITH docs AS (SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents),
-         |qual AS (SELECT doc_id, $qualityExpr AS quality FROM (
-         |    SELECT doc_id,
-         |      len(tk) AS n_tokens,
-         |      len(list_distinct(tk)) AS n_uniq,
-         |      len(list_filter(tk, t -> t IN ('the', 'a'))) AS stop_cnt,
-         |      length(text) AS n_chars
-         |    FROM docs) m),
-         |h AS (SELECT doc_id, md5(text) AS th FROM docs),
-         |canon AS (SELECT th, min(doc_id) AS canonical_id FROM h GROUP BY th),
-         |dup AS (SELECT doc_id, canonical_id <> doc_id AS exact_dup
-         |        FROM h JOIN canon USING (th)),
-         |ng AS (SELECT doc_id, unnest($ngSql) AS ng FROM docs),
-         |bench AS (SELECT DISTINCT ng FROM ng WHERE doc_id % $BenchMod = 0),
-         |hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS bench_hits
-         |         FROM ng JOIN bench USING (ng) GROUP BY doc_id),
-         |flags AS (SELECT d.doc_id, q.quality, u.exact_dup,
-         |    coalesce(t.bench_hits, 0) AS bench_hits
-         |  FROM docs d JOIN qual q USING (doc_id) JOIN dup u USING (doc_id)
-         |       LEFT JOIN hits t USING (doc_id))
-         |SELECT doc_id, quality, $curationReasonSql AS reason,
-         |       $curationReasonSql = 'kept' AS keep
-         |FROM flags
-         |ORDER BY doc_id""".stripMargin
-    }
+    "llm_curation",
+    s"""WITH docs AS (SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents),
+       |qual AS (SELECT doc_id, $qualityExpr AS quality FROM (
+       |    SELECT doc_id,
+       |      $qualityMetricsSql
+       |    FROM docs) m),
+       |h AS (SELECT doc_id, md5(text) AS th FROM docs),
+       |canon AS (SELECT th, min(doc_id) AS canonical_id FROM h GROUP BY th),
+       |dup AS (SELECT doc_id, canonical_id <> doc_id AS exact_dup
+       |        FROM h JOIN canon USING (th)),
+       |$contamCtesSql,
+       |flags AS (SELECT d.doc_id, q.quality, u.exact_dup,
+       |    coalesce(t.bench_ngram_hits, 0) AS bench_hits
+       |  FROM docs d JOIN qual q USING (doc_id) JOIN dup u USING (doc_id)
+       |       LEFT JOIN hits t USING (doc_id))
+       |SELECT doc_id, quality, $curationReasonSql AS reason,
+       |       $curationReasonSql = 'kept' AS keep
+       |FROM flags
+       |ORDER BY doc_id""".stripMargin
   ) { (spark, dir) =>
     val docs = documents(spark, dir)
       .select(col("doc_id"), col("text"), split(col("text"), " ").as("tk"))
     val qual = docs
-      .select(col("doc_id"),
-        expr("CAST(size(tk) AS BIGINT)").as("n_tokens"),
-        expr("CAST(size(array_distinct(tk)) AS BIGINT)").as("n_uniq"),
-        expr("CAST(size(filter(tk, t -> t IN ('the', 'a'))) AS BIGINT)").as("stop_cnt"),
-        expr("CAST(length(text) AS BIGINT)").as("n_chars"))
+      .select(col("doc_id") +: qualityMetricCols: _*)
       .select(col("doc_id"), expr(qualityExpr).as("quality"))
     val h = docs.select(col("doc_id"), md5(col("text")).as("th"))
     val canon = h.groupBy("th").agg(min("doc_id").as("canonical_id"))
     val dup = h.join(canon, "th")
       .select(col("doc_id"), (col("canonical_id") =!= col("doc_id")).as("exact_dup"))
-    val ngrams = docs.select(col("doc_id"),
-      explode(expr(s"word_ngrams(tk, $ContamN, true)")).as("ng"))
-    val bench = ngrams.filter(col("doc_id") % BenchMod === 0).select("ng").distinct()
-    val hits = ngrams.join(broadcast(bench), "ng")
-      .groupBy("doc_id").agg(count(lit(1)).as("bench_hits"))
     docs.select("doc_id")
-      .join(qual, "doc_id").join(dup, "doc_id").join(hits, Seq("doc_id"), "left")
-      .withColumn("bench_hits", coalesce(col("bench_hits"), lit(0L)))
+      .join(qual, "doc_id").join(dup, "doc_id")
+      .join(benchHits(docs), Seq("doc_id"), "left")
+      .withColumn("bench_hits", coalesce(col("bench_ngram_hits"), lit(0L)))
       .selectExpr("doc_id", "quality", s"$curationReasonSql AS reason",
         s"$curationReasonSql = 'kept' AS keep")
       .orderBy("doc_id")

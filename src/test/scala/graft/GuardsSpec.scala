@@ -35,6 +35,19 @@ class GuardsSpec extends SparkSuite {
     assert(ex.getMessage.contains("not packable"), ex.getMessage)
   }
 
+  test("lastWriteWinsColumnar raises on empty and control-leading pack values") {
+    // '' makes conv() NULL; a first byte < 0x10 makes hex(BIGINT) odd
+    // length so unhex() yields NULL — both decoded to silent NULLs
+    // before the guard covered them
+    for (bad <- Seq("", "\tab")) {
+      val df = Seq((1L, bad, 10.0, 1L)).toDF("k", "tag", "price", "seq")
+      val ex = intercept[Exception] {
+        Dedup.lastWriteWinsColumnar(df, Seq("k"), "seq", packCols = Set("tag")).collect()
+      }
+      assert(ex.getMessage.contains("not packable"), s"value '$bad': ${ex.getMessage}")
+    }
+  }
+
   test("vec_dot fails fast on ragged vectors instead of a prefix dot") {
     graft.expr.GraftFunctions.register(spark)
     val ex = intercept[Exception] {
