@@ -1,0 +1,212 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, AttributeSet, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** AS-OF JOIN as a first-class Catalyst operator — extension level (c) of
+  * the builder brief (custom `LogicalPlan` + `SparkStrategy` +
+  * `SparkPlan`), complementing the composition-level spelling in
+  * `TradeQueries.qxAsofTradeQuote` (union + carry-forward window over
+  * the same semantics: reference dashboards price trades against the
+  * prevailing order-book quote, GD-adjacent; see FIDELITY.md).
+  *
+  * For each left row, emit the `valueCol` of the LAST right row with the
+  * same key and right time ≤ left time — ties on right time broken by
+  * the highest `rightOrd` (arrival order), exactly the window entry's
+  * (time, m, seq) ordering. NULL when no right row precedes.
+  *
+  * WHY a physical operator: the window spelling pays a union of both
+  * tables plus ONE window sort over |L|+|R| rows per key. This exec
+  * declares `ClusteredDistribution` on the key for both children and
+  * per-child `requiredChildOrdering` (key, time[, ord]) — Catalyst's
+  * EnsureRequirements co-partitions the sides and sorts them
+  * INDEPENDENTLY (two smaller sorts, each spillable, no unioned
+  * wide-row stream with NULL-padded columns), and the merge itself is a
+  * single forward pass with O(1) state per partition: the right cursor
+  * never rewinds, nothing is buffered. At 100 TB that means the quote
+  * stream is read once, sorted once in its own (narrower) shape, and
+  * the trade stream never carries quote columns through a shuffle.
+  */
+case class AsOfJoinPlan(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    keyCols: Seq[String],
+    leftTime: String,
+    rightTime: String,
+    rightOrd: String,
+    valueCol: String,
+    valueAttr: AttributeReference)
+  extends BinaryNode {
+
+  override def output: Seq[Attribute] = left.output :+ valueAttr
+
+  // the value column is CREATED here, not forwarded from a child
+  override def producedAttributes: AttributeSet = AttributeSet(valueAttr :: Nil)
+
+  // the operator consumes key/time/ord/value columns by NAME (it holds no
+  // Expression fields), so they must be declared as references or
+  // ColumnPruning strips them from the children; the right side's OTHER
+  // columns stay prunable — exactly the projection a scan should get
+  override def references: AttributeSet = AttributeSet(
+    left.output.filter(a => keyCols.contains(a.name) || a.name == leftTime) ++
+      right.output.filter(a => keyCols.contains(a.name) || a.name == rightTime ||
+        a.name == rightOrd || a.name == valueCol))
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[AsOfJoinPlan]] to [[AsOfJoinExec]]; injected via
+  * `SparkSessionExtensions.injectPlannerStrategy`
+  * ([[graft.GraftExtensions]]) or `spark.experimental.extraStrategies`
+  * ([[AsOf.join]] installs it on first use).
+  */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(l, r, keys, lt, rt, ro, v, attr) =>
+      AsOfJoinExec(keys, lt, rt, ro, v, attr, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsOfJoinExec(
+    keyCols: Seq[String],
+    leftTime: String,
+    rightTime: String,
+    rightOrd: String,
+    valueCol: String,
+    valueAttr: AttributeReference,
+    left: SparkPlan,
+    right: SparkPlan)
+  extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output :+ valueAttr
+
+  override def producedAttributes: AttributeSet = AttributeSet(valueAttr :: Nil)
+
+  private def attrOf(side: SparkPlan, name: String): Attribute =
+    side.output.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(
+        s"as-of join: column $name not found in ${side.output.map(_.name)}"))
+
+  private def leftKeys: Seq[Attribute] = keyCols.map(attrOf(left, _))
+  private def rightKeys: Seq[Attribute] = keyCols.map(attrOf(right, _))
+
+  // co-partition both sides on the key; EnsureRequirements inserts the
+  // exchanges (or elides them when a child is already hash-partitioned
+  // on the key — e.g. the bucketed materialized layout)
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  // per-child sorts: (key, time) left, (key, time, ord) right — two
+  // independent spillable sorts instead of one over the union
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    (leftKeys :+ attrOf(left, leftTime)).map(SortOrder(_, Ascending)),
+    (rightKeys ++ Seq(attrOf(right, rightTime), attrOf(right, rightOrd)))
+      .map(SortOrder(_, Ascending)))
+
+  override def outputOrdering: Seq[SortOrder] =
+    (leftKeys :+ attrOf(left, leftTime)).map(SortOrder(_, Ascending))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val keyTypes = leftKeys.map(_.dataType)
+    val lOut = left.output
+    val rOut = right.output
+    val lKeyAttrs = leftKeys
+    val rKeyAttrs = rightKeys
+    val out = output
+    val vAttr = valueAttr
+    val ltIdx = lOut.indexWhere(_.name == leftTime)
+    val rtIdx = rOut.indexWhere(_.name == rightTime)
+    val rvIdx = rOut.indexWhere(_.name == valueCol)
+    val valueType = vAttr.dataType
+
+    left.execute().zipPartitions(right.execute()) { (lit, rit) =>
+      val lKeyProj = UnsafeProjection.create(lKeyAttrs, lOut)
+      val rKeyProj = UnsafeProjection.create(rKeyAttrs, rOut)
+      val outProj = UnsafeProjection.create(out, lOut :+ vAttr)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
+      val joined = new JoinedRow
+      val valueRow = new GenericInternalRow(1)
+
+      // one-row lookahead into the right stream (rows are engine-reused
+      // buffers: extract BEFORE advancing, copy anything retained)
+      var pending: InternalRow = if (rit.hasNext) rit.next() else null
+      var lastVal: Any = null
+      var lastValKey: InternalRow = null // copied key of lastVal's row
+
+      new Iterator[InternalRow] {
+        override def hasNext: Boolean = lit.hasNext
+        override def next(): InternalRow = {
+          val l = lit.next()
+          val lKey = lKeyProj(l)
+          val lt = l.getLong(ltIdx)
+          var advancing = true
+          while (advancing && pending != null) {
+            val pKey = rKeyProj(pending)
+            val c = keyOrd.compare(pKey, lKey)
+            if (c < 0) {
+              // right side still on an earlier key: discard
+              pending = if (rit.hasNext) rit.next() else null
+            } else if (c == 0 && pending.getLong(rtIdx) <= lt) {
+              // prevailing candidate: remember value (rows arrive in
+              // (time, ord) order, so the last consumed wins)
+              lastVal =
+                if (pending.isNullAt(rvIdx)) null
+                else pending.get(rvIdx, valueType) match {
+                  case s: UTF8String => s.copy()
+                  case other => other
+                }
+              lastValKey = pKey.copy()
+              pending = if (rit.hasNext) rit.next() else null
+            } else {
+              // right side is ahead (later key, or same key but a future
+              // timestamp): keep it for subsequent left rows
+              advancing = false
+            }
+          }
+          val v =
+            if (lastValKey != null && keyOrd.compare(lastValKey, lKey) == 0) lastVal
+            else null
+          valueRow.update(0, v)
+          outProj(joined(l, valueRow))
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Public API: `AsOf.join(trades, quotes, Seq("secid"), "time", "time",
+  * "quote_seq", "price", "quote_price")`.
+  */
+object AsOf {
+  def join(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String, rightOrd: String,
+      valueCol: String, outName: String): DataFrame = {
+    val spark = left.sparkSession
+    // runtime installation path (the library-config path is
+    // spark.sql.extensions=graft.GraftExtensions)
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    val lplan = left.queryExecution.analyzed
+    val rplan = right.queryExecution.analyzed
+    val vt = rplan.output.find(_.name == valueCol).getOrElse(
+      throw new IllegalArgumentException(s"as-of join: no column $valueCol")).dataType
+    val attr = AttributeReference(outName, vt, nullable = true)()
+    org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      AsOfJoinPlan(lplan, rplan, keys, leftTime, rightTime, rightOrd, valueCol, attr))
+  }
+}

@@ -486,8 +486,10 @@ object TradeQueries {
     * engine-identical (quotes' envelope times collide by construction,
     * so the tie-break is genuinely exercised).
     */
-  val qxAsofTradeQuote = QueryDef.sql(
-    "qx_asof_trade_quote",
+  /** One oracle, two Spark spellings: the window entry and the custom
+    * physical operator must both reproduce it.
+    */
+  private val asofOracleSql: String =
     withCtes(
       """SELECT secid, trade_no, time, tprice, quote_price FROM (
         |  SELECT secid, m, trade_no, time, tprice,
@@ -505,6 +507,10 @@ object TradeQueries {
         |WHERE m = 1
         |ORDER BY trade_no""".stripMargin,
       tradesCte, quotesCte)
+
+  val qxAsofTradeQuote = QueryDef.sql(
+    "qx_asof_trade_quote",
+    asofOracleSql
   ) { (spark, dir) =>
     import org.apache.spark.sql.expressions.Window
     val q = quotes(spark, dir).selectExpr("secid", "time", "0 AS m",
@@ -523,8 +529,26 @@ object TradeQueries {
       .orderBy("trade_no")
   }
 
+  /** The SAME as-of semantics through the custom Catalyst operator
+    * ([[graft.plans.AsOfJoinExec]]): co-partitioned per-child sorts + a
+    * single forward merge with O(1) state, no union and no window —
+    * plan-asserted by AsOfJoinSpec, held to the identical oracle here.
+    */
+  val qxAsofCustom = QueryDef.sql(
+    "qx_asof_custom",
+    asofOracleSql
+  ) { (spark, dir) =>
+    val t = trades(spark, dir)
+      .selectExpr("secid", "time", "trade_no", "price AS tprice")
+    val q = quotes(spark, dir).select("secid", "time", "quote_seq", "price")
+    graft.plans.AsOf.join(t, q, Seq("secid"), "time", "time",
+        "quote_seq", "price", "quote_price")
+      .select("secid", "trade_no", "time", "tprice", "quote_price")
+      .orderBy("trade_no")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22,
-    qxSaltedTurnover, qxAsofTradeQuote)
+    qxSaltedTurnover, qxAsofTradeQuote, qxAsofCustom)
 }
