@@ -49,6 +49,19 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(r.getLong(4) == 50L)
       assert(r.getInt(5) == 8)
       assert(r.getSeq[String](6).headOption.contains("a"))
+      // the planner strategy came through the SAME extensions hook: the
+      // custom as-of logical node must plan (and run) in this session
+      // without AsOf.join's runtime extraStrategies fallback
+      import spark.implicits._
+      val l = Seq((1, 10L, 7L)).toDF("k", "t", "payload")
+      val r2 = Seq((1, 5L, 9L, 42.0)).toDF("k", "t", "seq", "v")
+      val lplan = l.queryExecution.analyzed
+      val rplan = r2.queryExecution.analyzed
+      val attr = org.apache.spark.sql.catalyst.expressions
+        .AttributeReference("v_asof", org.apache.spark.sql.types.DoubleType)()
+      val asof = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+        graft.plans.AsOfJoinPlan(lplan, rplan, Seq("k"), "t", "t", "seq", "v", attr))
+      assert(asof.collect().map(x => (x.getInt(0), x.getDouble(3))).toSeq == Seq((1, 42.0)))
     } finally {
       // the shared SparkSuite session and this one coexist (same JVM,
       // different SparkSessions over one SparkContext); don't stop the
