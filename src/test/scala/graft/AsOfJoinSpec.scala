@@ -58,6 +58,41 @@ class AsOfJoinSpec extends SparkSuite {
     assert(got == want)
   }
 
+  test("bucketed children satisfy the distribution: as-of joins with zero exchange") {
+    val dir = "/root/testdata/sf0.001"
+    graft.sources.Sinks.materializeBucketed(
+      graft.fixtures.Fixtures.trades(spark, dir)
+        .selectExpr("secid", "time", "trade_no"), "graft_asof_t", 4, "secid")
+    graft.sources.Sinks.materializeBucketed(
+      graft.fixtures.Fixtures.quotes(spark, dir)
+        .select("secid", "time", "quote_seq", "price"), "graft_asof_q", 4, "secid")
+    try {
+      val df = AsOf.join(spark.table("graft_asof_t"), spark.table("graft_asof_q"),
+        Seq("secid"), "time", "time", "quote_seq", "price", "quote_price")
+      val plan = df.queryExecution.executedPlan.toString
+      // the write-time bucket shuffle is amortized: the scans' output
+      // partitioning satisfies ClusteredDistribution(secid) on both
+      // sides, so only the per-child in-partition sorts remain
+      assert(!plan.contains("Exchange"), s"bucketed as-of still shuffles:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"bucket scan not used:\n$plan")
+      // and the merge still answers correctly from bucket-local streams
+      val viaBuckets = df.select("trade_no", "quote_price")
+        .collect().map(_.toSeq).toSet
+      val direct = AsOf.join(
+          graft.fixtures.Fixtures.trades(spark, dir)
+            .selectExpr("secid", "time", "trade_no"),
+          graft.fixtures.Fixtures.quotes(spark, dir)
+            .select("secid", "time", "quote_seq", "price"),
+          Seq("secid"), "time", "time", "quote_seq", "price", "quote_price")
+        .select("trade_no", "quote_price").collect().map(_.toSeq).toSet
+      assert(viaBuckets == direct)
+      assert(viaBuckets.nonEmpty)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_asof_t")
+      spark.sql("DROP TABLE IF EXISTS graft_asof_q")
+    }
+  }
+
   test("physical plan: AsOfJoinExec, per-child sorts, no WindowExec") {
     val dir = "/root/testdata/sf0.001"
     val trades = graft.fixtures.Fixtures.trades(spark, dir)
