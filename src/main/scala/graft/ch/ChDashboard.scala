@@ -1,0 +1,33 @@
+package graft.ch
+
+import java.io.File
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+import scala.collection.mutable
+
+/** Reads panel queries out of a Grafana dashboard export — the artifact a
+  * reference user actually has (etc/grafana-dashboard-trades.json). The
+  * engine ingests the dashboard itself rather than embedding copies of its
+  * SQL: [[rawSqls]] returns every `rawSql` in document order (20 panels in
+  * the reference dashboard), ready for [[ChDialect.translate]].
+  */
+object ChDashboard {
+
+  val DefaultPath = "/root/reference/etc/grafana-dashboard-trades.json"
+
+  def path: String = sys.env.getOrElse("GRAFT_DASHBOARD_JSON", DefaultPath)
+
+  def rawSqls(p: String = path): Seq[String] = {
+    val root = new ObjectMapper().readTree(new File(p))
+    val out = mutable.ArrayBuffer[String]()
+    def walk(n: JsonNode): Unit =
+      if (n.isObject) {
+        val sql = n.get("rawSql")
+        if (sql != null && sql.isTextual) out += sql.asText
+        n.fields().forEachRemaining(e => walk(e.getValue))
+      } else if (n.isArray) n.forEach(walk)
+    walk(root)
+    out.toSeq
+  }
+}
