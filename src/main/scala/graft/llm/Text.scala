@@ -65,11 +65,20 @@ object Text {
     * (DuckDB has no conv; plain instr/substr arithmetic is valid in both
     * dialects). 16^14 · 15 < 2^63, so the sum is overflow-free.
     */
-  def hexPrefixInt60Sql(hex: String): String =
-    (0 until 15).map { p =>
-      val pow = math.pow(16, 14 - p).toLong
-      s"(instr('0123456789abcdef', substr($hex, ${p + 1}, 1)) - 1) * $pow"
+  def hexPrefixInt60Sql(hex: String): String = hexPrefixIntSql(hex, 15)
+
+  /** Integer from the first `digits` hex chars of `hex` — same
+    * instr/substr arithmetic, any width up to 15 (16^14·15 < 2^63).
+    */
+  def hexPrefixIntSql(hex: String, digits: Int): String = {
+    require(digits >= 1 && digits <= 15, "1..15 hex digits fit a BIGINT")
+    (0 until digits).map { p =>
+      // CAST keeps the small powers BIGINT: a bare 16^7 literal parses as
+      // INT in Spark and the digit product overflows under ANSI mode
+      val pow = math.pow(16, digits - 1 - p).toLong
+      s"(instr('0123456789abcdef', substr($hex, ${p + 1}, 1)) - 1) * CAST($pow AS BIGINT)"
     }.mkString("(", " + ", ")")
+  }
 
   /** 16-bit token hash from the first 4 hex chars of md5 — plain
     * instr/substr arithmetic, valid verbatim in BOTH engines.

@@ -1284,11 +1284,107 @@ object LlmQueries {
       .orderBy("vec_id")
   }
 
+  // ---- data mixing: deterministic per-source sampling ----
+
+  /** Per-source sampling rates (percent) — the mixture config a training
+    * run would supply; pinned here so the oracle can mirror it as a
+    * VALUES table. Four rate tiers cycled over the fixture's 20 sources.
+    */
+  private val MixRates: Seq[(String, Long)] =
+    (0 until 20).map(n => (s"src$n", Seq(100L, 75L, 50L, 25L)(n % 4)))
+
+  private val mixValuesSql: String =
+    MixRates.map { case (s, r) => s"('$s', $r)" }.mkString(", ")
+
+  /** 32-bit uniform from md5 — the same salted-hash recipe as
+    * [[splitAssign]], wide enough that per-source rates resolve to
+    * ~1e-8 granularity.
+    */
+  private def mixKeySql(castType: String): String =
+    Text.hexPrefixIntSql(s"md5(concat('mix|', CAST(doc_id AS $castType)))", 8)
+
+  /** Data mixing (the sampling-weights operator of a training-data
+    * pipeline): each document is kept iff its deterministic 32-bit
+    * uniform falls under its source's configured rate — reproducible
+    * across runs/engines, no RNG state.
+    *
+    * 100 TB shape: one map-side md5 projection + a broadcast-hash join
+    * against the tiny mixture-config table; no shuffle anywhere (the
+    * ORDER BY is presentation-only). Changing the mixture re-runs only
+    * this projection, never the upstream corpus.
+    */
+  val mixSample = QueryDef.sql(
+    "llm_mix_sample",
+    s"""SELECT doc_id, source, CAST(rate_pct AS BIGINT) AS rate_pct,
+       |  ${mixKeySql("VARCHAR")} AS sample_key,
+       |  ${mixKeySql("VARCHAR")} * 100 < rate_pct * ${1L << 32} AS kept
+       |FROM documents
+       |JOIN (VALUES $mixValuesSql) rates(source, rate_pct) USING (source)
+       |ORDER BY doc_id""".stripMargin
+  ) { (spark, dir) =>
+    val rates = spark.sql(
+      s"SELECT source, CAST(rate_pct AS BIGINT) AS rate_pct " +
+        s"FROM VALUES $mixValuesSql AS rates(source, rate_pct)")
+    documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+      .join(broadcast(rates), "source")
+      .withColumn("sample_key", expr(mixKeySql("STRING")))
+      .select(col("doc_id"), col("source"), col("rate_pct"), col("sample_key"),
+        (col("sample_key") * 100 < col("rate_pct") * (1L << 32)).as("kept"))
+      .orderBy("doc_id")
+  }
+
+  // ---- corpus length statistics: exact quantiles via histogram ----
+
+  /** Exact per-language token-length quantiles (p50/p90/p99) — the
+    * corpus-statistics operator behind length filtering and packing
+    * budgets — computed WITHOUT a global sort: the full-data stage is
+    * one hash aggregate into a (lang × distinct-length) histogram, and
+    * the cumulative windows + quantile selection run over that
+    * compressed histogram only (bounded by the distinct-length count,
+    * not the corpus) — the same two-level reduction as [[seqPack]].
+    * Quantile convention: smallest length whose cumulative count
+    * reaches ⌈p·n⌉ (type-1/disc), stated in integer arithmetic
+    * (`cum·100 ≥ n·p`) so both engines agree bit-for-bit.
+    */
+  val lengthQuantiles = QueryDef.sql(
+    "llm_length_quantiles",
+    s"""WITH toks AS (SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |             FROM documents),
+       |hist AS (SELECT lang, n_tokens, CAST(count(*) AS BIGINT) AS cnt
+       |         FROM toks GROUP BY lang, n_tokens),
+       |cum AS (SELECT lang, n_tokens,
+       |          sum(cnt) OVER (PARTITION BY lang ORDER BY n_tokens) AS cum,
+       |          sum(cnt) OVER (PARTITION BY lang) AS n_total
+       |        FROM hist)
+       |SELECT lang, CAST(max(cum) AS BIGINT) AS n_docs,
+       |  CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+       |  CAST(min(CASE WHEN cum * 100 >= n_total * 50 THEN n_tokens END) AS BIGINT) AS p50_tokens,
+       |  CAST(min(CASE WHEN cum * 100 >= n_total * 90 THEN n_tokens END) AS BIGINT) AS p90_tokens,
+       |  CAST(min(CASE WHEN cum * 100 >= n_total * 99 THEN n_tokens END) AS BIGINT) AS p99_tokens,
+       |  CAST(max(n_tokens) AS BIGINT) AS max_tokens
+       |FROM cum GROUP BY lang ORDER BY lang""".stripMargin
+  ) { (spark, dir) =>
+    val hist = documents(spark, dir)
+      .selectExpr("lang", "CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens")
+      .groupBy("lang", "n_tokens").agg(count(lit(1)).as("cnt"))
+    val byLang = Window.partitionBy("lang")
+    val cum = hist
+      .withColumn("cum", sum("cnt").over(byLang.orderBy("n_tokens")))
+      .withColumn("n_total", sum("cnt").over(byLang))
+    def q(p: Int): org.apache.spark.sql.Column =
+      min(when(col("cum") * 100 >= col("n_total") * p, col("n_tokens"))).as(s"p${p}_tokens")
+    cum.groupBy("lang")
+      .agg(max("cum").as("n_docs"), min("n_tokens").as("min_tokens"),
+        q(50), q(90), q(99), max("n_tokens").as("max_tokens"))
+      .orderBy("lang")
+  }
+
   val all: Seq[QueryDef] = Seq(
     textStats, langId, exactDedup, minhashLsh, dedupClusters, ngramJaccard,
     simhash, fingerprint, embedTopk, annLsh, annIvf, annIvfTrained,
     embedNearDup, tokenCount, imageMeta, audioMeta, imageResize,
     frameSample, qualityScore, piiScrub, repetition,
     contamination, urlHostStats, tfidfTopk, semDedup, topNgrams,
-    seqPack, splitAssign, curation)
+    seqPack, splitAssign, curation, mixSample, lengthQuantiles)
 }
