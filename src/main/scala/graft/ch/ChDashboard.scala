@@ -18,7 +18,13 @@ object ChDashboard {
 
   def path: String = sys.env.getOrElse("GRAFT_DASHBOARD_JSON", DefaultPath)
 
-  def rawSqls(p: String = path): Seq[String] = {
+  // a dashboard export is immutable config — parse each file once per JVM
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+
+  def rawSqls(p: String = path): Seq[String] =
+    cache.computeIfAbsent(p, parse)
+
+  private def parse(p: String): Seq[String] = {
     val root = new ObjectMapper().readTree(new File(p))
     val out = mutable.ArrayBuffer[String]()
     def walk(n: JsonNode): Unit =

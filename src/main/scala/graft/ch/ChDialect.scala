@@ -1,6 +1,9 @@
 package graft.ch
 
+import java.util.regex.{Matcher, Pattern}
+
 import scala.collection.mutable
+import scala.util.matching.Regex
 
 /** ClickHouse/Grafana SQL front-end — the last SURVEY §7.3 gap, closed in
   * round 5: a user of the reference can paste a dashboard panel's `rawSql`
@@ -8,7 +11,10 @@ import scala.collection.mutable
   *
   * The translator rewrites exactly the dialect surface those 20 panels use
   * (each rule cites the panel that needs it); everything else is passed
-  * through untouched so ANSI-compatible SQL is not perturbed:
+  * through untouched so ANSI-compatible SQL is not perturbed. Every
+  * rewrite after macro substitution is literal-aware: matches starting
+  * inside single-quoted strings are never touched (macros DO substitute
+  * inside strings — that is Grafana's own behavior).
   *
   *   1. Grafana template variables — `${interval}`/`$interval`,
   *      `$sec_code`, `$sec_code_etf`, `$__fromTime`, `$__toTime`
@@ -21,9 +27,10 @@ import scala.collection.mutable
   *      Spark SQL reads `"x"` as a string literal. Applied outside
   *      single-quoted strings only; covers the panels' Cyrillic aliases
   *      (`"разница объемов"`, GD:113).
-  *   4. Database qualifiers `default.` / `"default".` are dropped; the
-  *      bare table names (`transaq_trades`, `transaq_securities`) resolve
-  *      against temp views the harness registers (GD:113).
+  *   4. Database qualifiers `default.` / `"default".` are dropped, and
+  *      backticks around the known table names (the keys of the
+  *      caller's schema map) are removed so they resolve against the
+  *      harness's temp views (GD:113).
   *   5. `toStartOfInterval(t, INTERVAL n MINUTE)` (GD:113) →
   *      `to_start_of_interval(t, n*60)` — the engine's registered Catalyst
   *      epoch-floor function ([[graft.expr.GraftFunctions]]).
@@ -54,8 +61,9 @@ object ChDialect {
     * then the scope-aware alias/ambiguity rewrites.
     *
     * @param schemas column sets of the tables the query may reference,
-    *                keyed by the post-rewrite table name — used only for
-    *                rule 9 (left-preference qualification).
+    *                keyed by the post-rewrite table name — used for
+    *                table-name unquoting (rule 4) and left-preference
+    *                qualification (rule 9).
     */
   def translate(
       raw: String,
@@ -64,11 +72,43 @@ object ChDialect {
     var s = substituteMacros(raw, params)
     s = bracketListsToParens(s)
     s = doubleQuotesToBackticks(s)
-    s = stripDbQualifiers(s)
+    s = stripDbQualifiers(s, schemas.keySet)
     s = rewriteToStartOfInterval(s)
     s = rewriteTimestampAdd(s)
     s = rewriteTopK(s)
     rewriteBlock(s, schemas)
+  }
+
+  // ---- literal awareness ----------------------------------------------------
+
+  /** True at positions inside single-quoted string literals (delimiters
+    * included). Backtick identifiers are NOT masked — they are
+    * identifiers, and the rewrite patterns guard them individually.
+    */
+  private def stringMask(s: String): Array[Boolean] = {
+    val in = new Array[Boolean](s.length)
+    var inStr = false
+    for (i <- s.indices) {
+      val c = s.charAt(i)
+      if (inStr) { in(i) = true; if (c == '\'') inStr = false }
+      else if (c == '\'') { in(i) = true; inStr = true }
+    }
+    in
+  }
+
+  /** Regex replacement applied only to matches that START outside string
+    * literals. The rewrite patterns cannot span a quote (none contain
+    * one), so checking the start position is sufficient.
+    */
+  private def replaceOutsideLiterals(s: String, re: Regex)(repl: Regex.Match => String): String = {
+    val mask = stringMask(s)
+    val sb = new StringBuilder
+    var last = 0
+    for (m <- re.findAllMatchIn(s) if !mask(m.start)) {
+      sb.append(s.substring(last, m.start)).append(repl(m))
+      last = m.end
+    }
+    sb.append(s.substring(last)).toString
   }
 
   // ---- rule 1 -------------------------------------------------------------
@@ -84,15 +124,12 @@ object ChDialect {
 
   // ---- rules 2-7 (global, scope-free) -------------------------------------
 
-  private val InBrackets = """(?is)\b(in)\s*\[([^\]]*)\]""".r
+  private val InBrackets = """(?is)\b(in)\s*\[([^\[\]]*)\]""".r
 
   def bracketListsToParens(sql: String): String =
-    InBrackets.replaceAllIn(sql, m => s"${m.group(1)} (${m.group(2)})")
+    replaceOutsideLiterals(sql, InBrackets)(m => s"${m.group(1)} (${m.group(2)})")
 
-  /** `"ident"` → `` `ident` `` outside single-quoted strings. The panels
-    * contain no escaped quotes, and the translator rejects input that
-    * would need them (unbalanced quotes fail the final parse anyway).
-    */
+  /** `"ident"` → `` `ident` `` outside single-quoted strings. */
   def doubleQuotesToBackticks(sql: String): String = {
     val sb = new StringBuilder(sql.length)
     var inStr = false
@@ -104,32 +141,39 @@ object ChDialect {
     sb.toString
   }
 
-  def stripDbQualifiers(sql: String): String =
-    sql.replace("`default`.", "").replace("default.", "")
-      .replace("`transaq_trades`", "transaq_trades")
-      .replace("`transaq_securities`", "transaq_securities")
+  private val DefaultQualifier = """(?i)(?:`default`|(?<![\w`])default)\.""".r
 
-  private val StartOfInterval =
-    """(?is)toStartOfInterval\s*\(""".r
+  /** Drop `default.` database qualifiers and unquote the known table
+    * names so they match the harness's temp views. Known names come from
+    * the caller's schema map — nothing table-specific lives here.
+    */
+  def stripDbQualifiers(sql: String, tables: Set[String]): String = {
+    val noDb = replaceOutsideLiterals(sql, DefaultQualifier)(_ => "")
+    tables.foldLeft(noDb) { (s, t) =>
+      replaceOutsideLiterals(s, s"`${Pattern.quote(t)}`".r)(_ => t)
+    }
+  }
+
+  private val StartOfInterval = """(?is)toStartOfInterval\s*\(""".r
   private val IntervalMinute = """(?is)INTERVAL\s+(\d+)\s+MINUTE""".r
 
   /** The INTERVAL literal only occurs as toStartOfInterval's 2nd argument
     * in this dialect surface, so the two rewrites compose textually.
     */
   def rewriteToStartOfInterval(sql: String): String = {
-    val seconds = IntervalMinute.replaceAllIn(sql, m => (m.group(1).toInt * 60).toString)
-    StartOfInterval.replaceAllIn(seconds, _ => "to_start_of_interval(")
+    val seconds = replaceOutsideLiterals(sql, IntervalMinute)(m => (m.group(1).toInt * 60).toString)
+    replaceOutsideLiterals(seconds, StartOfInterval)(_ => "to_start_of_interval(")
   }
 
   private val TimestampAdd = """(?is)\btimestamp_add\s*\(""".r
 
   def rewriteTimestampAdd(sql: String): String =
-    TimestampAdd.replaceAllIn(sql, _ => "timestampadd(")
+    replaceOutsideLiterals(sql, TimestampAdd)(_ => "timestampadd(")
 
   private val TopKCall = """(?is)\btopK\s*\(\s*(\d+)\s*\)\s*\(([^()]*)\)""".r
 
   def rewriteTopK(sql: String): String =
-    TopKCall.replaceAllIn(sql, m => s"graft_topk(${m.group(2).trim}, ${m.group(1)})")
+    replaceOutsideLiterals(sql, TopKCall)(m => s"graft_topk(${m.group(2).trim}, ${m.group(1)})")
 
   // ---- rules 8-9 (scope-aware) --------------------------------------------
 
@@ -164,6 +208,15 @@ object ChDialect {
   private val AsAlias = """(?is)^(.*\S)\s+as\s+(`[^`]+`|\w+)\s*$""".r
   private val Aggregate = """(?is)\b(sum|count|avg|min|max|graft_topk)\s*\(""".r
 
+  /** Words that can directly follow a table name in FROM without being
+    * its alias — rejecting them makes the alias sniffing safe for every
+    * join spelling (INNER/LEFT/ANY/GLOBAL/ASOF...).
+    */
+  private val NonAliasWords = Set(
+    "join", "inner", "left", "right", "full", "cross", "outer", "semi",
+    "anti", "any", "all", "asof", "global", "natural", "using", "on",
+    "where", "group", "having", "order", "limit", "union")
+
   private def rewriteBlock(sql: String, schemas: Map[String, Set[String]]): String = {
     // top-level UNION ALL splits the block into independent scopes
     val vis0 = topLevel(sql)
@@ -180,14 +233,16 @@ object ChDialect {
     val sb = new StringBuilder
     var i = 0
     val vis = topLevel(sql)
+    val lit = stringMask(sql)
     while (i < sql.length) {
       if (sql.charAt(i) == '(' && vis(i)) {
         var depth = 1; var j = i + 1
-        while (depth > 0) {
+        while (depth > 0 && j < sql.length) {
           val c = sql.charAt(j)
-          if (c == '(') depth += 1 else if (c == ')') depth -= 1
+          if (!lit(j)) { if (c == '(') depth += 1 else if (c == ')') depth -= 1 }
           j += 1
         }
+        require(depth == 0, s"unbalanced parentheses in SQL: $sql")
         val inner = sql.substring(i + 1, j - 1)
         if (inner.trim.toLowerCase.startsWith("select")) {
           stash += s"(${rewriteBlock(inner, schemas)})"
@@ -217,17 +272,16 @@ object ChDialect {
     }
     def inlineAliases(body: String): String =
       aliases.sortBy(-_._1.length).foldLeft(body) { case (b, (a, expr)) =>
-        b.replaceAll(s"(?i)(?<![\\w`.])${java.util.regex.Pattern.quote(a)}(?![\\w`])|`${java.util.regex.Pattern.quote(a)}`",
-          java.util.regex.Matcher.quoteReplacement(s"($expr)"))
+        val re = s"(?i)(?<![\\w`.])${Pattern.quote(a)}(?![\\w`])|`${Pattern.quote(a)}`".r
+        replaceOutsideLiterals(b, re)(_ => s"($expr)")
       }
 
     // rule 9: qualify bare columns that exist in BOTH joined tables
     val from = clause("from").getOrElse("")
     val tablesInFrom = schemas.keys.toSeq.sortBy(t => from.indexOf(t)).filter(from.contains)
     val leftQual: Option[String] = tablesInFrom.headOption.map { t =>
-      val m = s"""(?is)\\b${java.util.regex.Pattern.quote(t)}\\s+(?:as\\s+)?(\\w+)""".r
-        .findFirstMatchIn(from)
-      m.map(_.group(1)).filterNot(a => Set("join", "on", "where", "group", "order").contains(a.toLowerCase))
+      val m = s"""(?is)\\b${Pattern.quote(t)}\\s+(?:as\\s+)?(\\w+)""".r.findFirstMatchIn(from)
+      m.map(_.group(1)).filterNot(a => NonAliasWords.contains(a.toLowerCase))
         .getOrElse(t)
     }
     val ambiguous: Set[String] =
@@ -236,8 +290,8 @@ object ChDialect {
       else Set.empty
     def qualify(body: String): String =
       ambiguous.foldLeft(body) { case (b, c) =>
-        b.replaceAll(s"(?i)(?<![\\w`.])${java.util.regex.Pattern.quote(c)}(?![\\w`])",
-          java.util.regex.Matcher.quoteReplacement(s"${leftQual.get}.$c"))
+        val re = s"(?i)(?<![\\w`.])${Pattern.quote(c)}(?![\\w`])".r
+        replaceOutsideLiterals(b, re)(_ => s"${leftQual.get}.$c")
       }
 
     val rebuilt = new StringBuilder(flat.substring(0, marks.headOption.map(_.start).getOrElse(flat.length)))
@@ -253,7 +307,7 @@ object ChDialect {
 
     // restore subqueries
     """\x01(\d+)\x01""".r.replaceAllIn(rebuilt.toString,
-      m => java.util.regex.Matcher.quoteReplacement(stash(m.group(1).toInt)))
+      m => Matcher.quoteReplacement(stash(m.group(1).toInt)))
   }
 
   /** Split at top-level occurrences of `sep`. */

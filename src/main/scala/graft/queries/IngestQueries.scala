@@ -288,10 +288,42 @@ object IngestQueries {
       .orderBy("secId", "date", "close")
   }
 
+  /** 11 bits cover both dimensions (secid < 64, minute-of-day < 1440);
+    * the key stays < 2^22.
+    */
+  private val ZBits = 11
+
+  /** The Z-order clustering key over (secid, minute-of-day) — the
+    * write-path companion of [[graft.sources.Sinks]]' materializers:
+    * sorting a table by this key before writing gives every parquet
+    * granule a bounded range in BOTH dimensions, so box predicates prune
+    * on either (ZOrderSpec quantifies the win vs a time-sorted layout).
+    * Registered as an entry so the bit-interleave arithmetic itself is
+    * held to cross-engine equality ([[graft.expr.ZOrder.zkeySql]]).
+    */
+  val layoutZorderKey = QueryDef.sql(
+    "layout_zorder_key",
+    withCtes(
+      s"""SELECT trade_no, secid, minute_of_day,
+         |  ${graft.expr.ZOrder.zkeySql("secid", "minute_of_day", ZBits, graft.expr.ZOrder.duckShift)} AS zkey
+         |FROM (SELECT trade_no, CAST(secid AS BIGINT) AS secid,
+         |        CAST(date_part('hour', time) * 60 + date_part('minute', time) AS BIGINT) AS minute_of_day
+         |      FROM trades) d
+         |ORDER BY trade_no""".stripMargin,
+      tradesCte)
+  ) { (spark, dir) =>
+    trades(spark, dir)
+      .selectExpr("trade_no", "CAST(secid AS BIGINT) AS secid",
+        "CAST(hour(time) * 60 + minute(time) AS BIGINT) AS minute_of_day")
+      .selectExpr("trade_no", "secid", "minute_of_day",
+        s"${graft.expr.ZOrder.zkeySql("secid", "minute_of_day", ZBits, graft.expr.ZOrder.sparkShift)} AS zkey")
+      .orderBy("trade_no")
+  }
+
   val all: Seq[QueryDef] = Seq(
     a16CandlesBatch, dedupTrades, dedupTradesColumnar, dedupTradesCompacted,
     dedupQuotes, dedupQuotesColumnar,
     a06Cascade, a07Valid, a09Bond, a10Periods,
     a11Projection, a12TradeParse, a13QuotesEnvelope, a14SecinfoParse,
-    a15HistoryParse, a17Positions, a01StreamCandles)
+    a15HistoryParse, a17Positions, a01StreamCandles, layoutZorderKey)
 }

@@ -713,7 +713,13 @@ object LlmQueries {
     val edges = pairEdges.toDF("src", "dst")
     val undirected = edges.unionByName(
       edges.select(col("dst").as("src"), col("src").as("dst")))
-    var labels = nodes.select(col("node"), col("node").as("label")).cache()
+    // localCheckpoint (not cache) each round: iterative self-joins grow
+    // the LOGICAL plan — with pointer doubling it doubles per round, so
+    // by round ~8 analysis alone is exponential (a 30-node chain built a
+    // 2 GB plan string). Checkpointing truncates lineage to the
+    // materialized result; on a cluster the reliable `checkpoint(dir)`
+    // variant is the durable spelling of the same move.
+    var labels = nodes.select(col("node"), col("node").as("label")).localCheckpoint()
     var prevSum = Option.empty[Long]
     var it = 0
     var converged = false
@@ -721,7 +727,7 @@ object LlmQueries {
       val hop = undirected.join(labels.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), col("label"))
       val prop = labels.unionByName(hop)
-        .groupBy("node").agg(min("label").as("label")).cache()
+        .groupBy("node").agg(min("label").as("label")).localCheckpoint()
       // pointer doubling: additionally shortcut each node to its LABEL'S
       // label (labels are node ids, so this is a self-join), halving the
       // remaining distance every round — a chain-shaped component longer
@@ -735,14 +741,12 @@ object LlmQueries {
             prop.select(col("node").as("label"), col("label").as("label2")), "label")
           .select(col("node"), col("label2").as("label"))
         prop.unionByName(viaLabel)
-          .groupBy("node").agg(min("label").as("label")).cache()
+          .groupBy("node").agg(min("label").as("label")).localCheckpoint()
       }
       // min-propagation can only lower labels: equal sum ⇔ fixpoint
       val s = next.agg(sum("label")).first().getLong(0)
       converged = prevSum.contains(s)
       prevSum = Some(s)
-      labels.unpersist()
-      if (next ne prop) prop.unpersist()
       labels = next
       it += 1
     }
