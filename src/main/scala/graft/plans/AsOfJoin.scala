@@ -6,9 +6,9 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, AttributeSet, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
-import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.types.{LongType, TimestampType}
 
 /** AS-OF JOIN as a first-class Catalyst operator — extension level (c) of
   * the builder brief (custom `LogicalPlan` + `SparkStrategy` +
@@ -53,11 +53,14 @@ case class AsOfJoinPlan(
   // the operator consumes key/time/ord/value columns by NAME (it holds no
   // Expression fields), so they must be declared as references or
   // ColumnPruning strips them from the children; the right side's OTHER
-  // columns stay prunable — exactly the projection a scan should get
+  // columns stay prunable — exactly the projection a scan should get.
+  // Name matching is case-insensitive, like Spark's default resolution.
   override def references: AttributeSet = AttributeSet(
-    left.output.filter(a => keyCols.contains(a.name) || a.name == leftTime) ++
-      right.output.filter(a => keyCols.contains(a.name) || a.name == rightTime ||
-        a.name == rightOrd || a.name == valueCol))
+    left.output.filter(a => keyCols.exists(_.equalsIgnoreCase(a.name)) ||
+      a.name.equalsIgnoreCase(leftTime)) ++
+      right.output.filter(a => keyCols.exists(_.equalsIgnoreCase(a.name)) ||
+        a.name.equalsIgnoreCase(rightTime) ||
+        a.name.equalsIgnoreCase(rightOrd) || a.name.equalsIgnoreCase(valueCol)))
 
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
@@ -93,9 +96,18 @@ case class AsOfJoinExec(
   override def producedAttributes: AttributeSet = AttributeSet(valueAttr :: Nil)
 
   private def attrOf(side: SparkPlan, name: String): Attribute =
-    side.output.find(_.name == name).getOrElse(
+    side.output.find(_.name.equalsIgnoreCase(name)).getOrElse(
       throw new IllegalArgumentException(
         s"as-of join: column $name not found in ${side.output.map(_.name)}"))
+
+  /** The merge loop compares times/ord with `getLong`, which is only
+    * meaningful for long-backed physical types — reject anything else
+    * loudly instead of comparing raw row words.
+    */
+  private def requireLongBacked(a: Attribute, role: String): Unit =
+    require(a.dataType == TimestampType || a.dataType == LongType,
+      s"as-of join: $role column ${a.name} must be TIMESTAMP or BIGINT, " +
+        s"got ${a.dataType.simpleString}")
 
   private def leftKeys: Seq[Attribute] = keyCols.map(attrOf(left, _))
   private def rightKeys: Seq[Attribute] = keyCols.map(attrOf(right, _))
@@ -116,7 +128,15 @@ case class AsOfJoinExec(
   override def outputOrdering: Seq[SortOrder] =
     (leftKeys :+ attrOf(left, leftTime)).map(SortOrder(_, Ascending))
 
+  // left-preserving 1:1 output — the key clustering EnsureRequirements
+  // just established survives this operator, so a downstream
+  // groupBy(key) must not pay a fresh exchange
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
   override protected def doExecute(): RDD[InternalRow] = {
+    requireLongBacked(attrOf(left, leftTime), "left time")
+    requireLongBacked(attrOf(right, rightTime), "right time")
+    requireLongBacked(attrOf(right, rightOrd), "right ord")
     val keyTypes = leftKeys.map(_.dataType)
     val lOut = left.output
     val rOut = right.output
@@ -124,9 +144,9 @@ case class AsOfJoinExec(
     val rKeyAttrs = rightKeys
     val out = output
     val vAttr = valueAttr
-    val ltIdx = lOut.indexWhere(_.name == leftTime)
-    val rtIdx = rOut.indexWhere(_.name == rightTime)
-    val rvIdx = rOut.indexWhere(_.name == valueCol)
+    val ltIdx = lOut.indexWhere(_.name.equalsIgnoreCase(leftTime))
+    val rtIdx = rOut.indexWhere(_.name.equalsIgnoreCase(rightTime))
+    val rvIdx = rOut.indexWhere(_.name.equalsIgnoreCase(valueCol))
     val valueType = vAttr.dataType
 
     left.execute().zipPartitions(right.execute()) { (lit, rit) =>
@@ -148,10 +168,14 @@ case class AsOfJoinExec(
         override def next(): InternalRow = {
           val l = lit.next()
           val lKey = lKeyProj(l)
+          if (l.isNullAt(ltIdx))
+            throw new IllegalArgumentException("as-of join: NULL left time")
           val lt = l.getLong(ltIdx)
           var advancing = true
           while (advancing && pending != null) {
             val pKey = rKeyProj(pending)
+            if (pending.isNullAt(rtIdx))
+              throw new IllegalArgumentException("as-of join: NULL right time")
             val c = keyOrd.compare(pKey, lKey)
             if (c < 0) {
               // right side still on an earlier key: discard
@@ -159,12 +183,12 @@ case class AsOfJoinExec(
             } else if (c == 0 && pending.getLong(rtIdx) <= lt) {
               // prevailing candidate: remember value (rows arrive in
               // (time, ord) order, so the last consumed wins)
+              // copyValue deep-copies every buffer-backed shape (UTF8String,
+              // UnsafeArrayData, UnsafeRow, ...) — a plain reference would
+              // alias the sort iterator's reused row buffer
               lastVal =
                 if (pending.isNullAt(rvIdx)) null
-                else pending.get(rvIdx, valueType) match {
-                  case s: UTF8String => s.copy()
-                  case other => other
-                }
+                else InternalRow.copyValue(pending.get(rvIdx, valueType))
               lastValKey = pKey.copy()
               pending = if (rit.hasNext) rit.next() else null
             } else {
@@ -197,13 +221,16 @@ object AsOf {
       valueCol: String, outName: String): DataFrame = {
     val spark = left.sparkSession
     // runtime installation path (the library-config path is
-    // spark.sql.extensions=graft.GraftExtensions)
-    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    // spark.sql.extensions=graft.GraftExtensions); synchronized so two
+    // threads building joins concurrently can't both append the strategy
+    AsOf.synchronized {
+      if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    }
     val lplan = left.queryExecution.analyzed
     val rplan = right.queryExecution.analyzed
-    val vt = rplan.output.find(_.name == valueCol).getOrElse(
+    val vt = rplan.output.find(_.name.equalsIgnoreCase(valueCol)).getOrElse(
       throw new IllegalArgumentException(s"as-of join: no column $valueCol")).dataType
     val attr = AttributeReference(outName, vt, nullable = true)()
     org.apache.spark.sql.GraftSqlBridge.ofRows(spark,

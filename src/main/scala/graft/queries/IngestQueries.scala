@@ -82,10 +82,15 @@ object IngestQueries {
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
       m.values.forEach { p =>
         val root = java.nio.file.Paths.get(p)
-        if (java.nio.file.Files.exists(root))
-          java.nio.file.Files.walk(root)
-            .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        if (java.nio.file.Files.exists(root)) {
+          // close the walk stream, and never let one racing dir (other
+          // shutdown hooks may still be flushing) abort the rest
+          val walk = java.nio.file.Files.walk(root)
+          try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
             .forEach(f => java.nio.file.Files.deleteIfExists(f))
+          catch { case _: java.io.UncheckedIOException => () }
+          finally walk.close()
+        }
       }))
     m
   }

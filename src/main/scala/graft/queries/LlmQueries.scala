@@ -744,7 +744,9 @@ object LlmQueries {
           .groupBy("node").agg(min("label").as("label")).localCheckpoint()
       }
       // min-propagation can only lower labels: equal sum ⇔ fixpoint
-      val s = next.agg(sum("label")).first().getLong(0)
+      // (coalesce: sum over an EMPTY node set is NULL, which must read
+      // as a 0-sum fixpoint, not an NPE)
+      val s = next.agg(coalesce(sum("label"), lit(0L))).first().getLong(0)
       converged = prevSum.contains(s)
       prevSum = Some(s)
       labels = next

@@ -18,10 +18,16 @@ import org.apache.spark.sql.DataFrame
 object StreamDedup {
 
   /** First-write-wins per `keys` over event-time column `tsCol`, with
-    * suppression state bounded by `delay`. Works on streaming and batch
-    * frames (on batch it degrades to a plain per-key first pick).
+    * suppression state bounded by `delay`. Streaming frames only:
+    * `dropDuplicatesWithinWatermark` has no batch execution (Spark's
+    * analyzer rejects it), and silently substituting a different batch
+    * semantics here would hide the watermark contract — callers with a
+    * batch frame want [[graft.ingest.Dedup]] and are told so loudly.
     */
   def firstWriteWins(df: DataFrame, tsCol: String, delay: String,
-      keys: Seq[String]): DataFrame =
+      keys: Seq[String]): DataFrame = {
+    require(df.isStreaming,
+      "firstWriteWins is a streaming operator; use graft.ingest.Dedup for batch frames")
     df.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark(keys)
+  }
 }
