@@ -36,4 +36,21 @@ object ChDashboard {
     walk(root)
     out.toSeq
   }
+
+  /** The dashboard's SQL-valued template variables (name → query) — the
+    * other half of its query surface (GD:3767 `sec_code`, GD:3879
+    * `sec_code_etf`). Non-SQL variables (the `interval` options list)
+    * are skipped.
+    */
+  def templatingSqls(p: String = path): Seq[(String, String)] = {
+    val root = new ObjectMapper().readTree(new File(p))
+    val list = root.path("templating").path("list")
+    val out = mutable.ArrayBuffer[(String, String)]()
+    list.forEach { v =>
+      val q = v.path("query")
+      if (q.isTextual && q.asText.toLowerCase.contains("select"))
+        out += (v.path("name").asText -> q.asText)
+    }
+    out.toSeq
+  }
 }

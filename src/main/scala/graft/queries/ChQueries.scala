@@ -37,14 +37,24 @@ object ChQueries {
     "__fromTime" -> s"TIMESTAMP '$TimeFrom'",
     "__toTime" -> s"TIMESTAMP '$TimeTo'")
 
-  def translatePanel(spark: SparkSession, dir: String, idx: Int): String = {
+  /** Register the reference-named views and translate `raw` against them. */
+  def translateSql(spark: SparkSession, dir: String, raw: String): String = {
     val t = trades(spark, dir)
     val s = securities(spark, dir)
     t.createOrReplaceTempView("transaq_trades")
     s.createOrReplaceTempView("transaq_securities")
-    ChDialect.translate(
-      ChDashboard.rawSqls()(idx), params,
+    ChDialect.translate(raw, params,
       Map("transaq_trades" -> t.columns.toSet, "transaq_securities" -> s.columns.toSet))
+  }
+
+  def translatePanel(spark: SparkSession, dir: String, idx: Int): String =
+    translateSql(spark, dir, ChDashboard.rawSqls()(idx))
+
+  /** Run one of the dashboard's SQL template variables verbatim. */
+  def runTemplating(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val raw = ChDashboard.templatingSqls().collectFirst { case (n, q) if n == name => q }
+      .getOrElse(throw new IllegalArgumentException(s"no templating query named $name"))
+    spark.sql(translateSql(spark, dir, raw))
   }
 
   /** `marker` pins the panel's identity so a reordered dashboard fails
@@ -84,5 +94,18 @@ object ChQueries {
     TradeQueries.q19.oracle.get
   )((s, d) => runPanel(s, d, 18, "sum(price * quantity) as \"vol\""))
 
-  def all: Seq[QueryDef] = Seq(chQ05, chQ06, chQ15, chQ19)
+  /** GD:3767 — the `sec_code` template variable, verbatim. */
+  val chQ21 = QueryDef.sql("ch_q21_dashboard_sql",
+    TradeQueries.q21.oracle.get
+  )((s, d) => runTemplating(s, d, "sec_code"))
+
+  /** GD:3879 — the `sec_code_etf` template variable: join on secid only
+    * with an UNQUALIFIED `board` filter — the left-preference rule
+    * running verbatim against the driver gate.
+    */
+  val chQ22 = QueryDef.sql("ch_q22_dashboard_sql",
+    TradeQueries.q22.oracle.get
+  )((s, d) => runTemplating(s, d, "sec_code_etf"))
+
+  def all: Seq[QueryDef] = Seq(chQ05, chQ06, chQ15, chQ19, chQ21, chQ22)
 }

@@ -118,4 +118,61 @@ class AsOfJoinSpec extends SparkSuite {
     val execs = inner.collect { case e: AsOfJoinExec => e }
     assert(execs.nonEmpty)
   }
+
+  // ---- guards + partitioning added by the round-5 self-review ----
+
+  test("non-long-backed time column fails loudly, not with garbage rows") {
+    val trades = Seq((1, "10:00:05", 1L)).toDF("secid", "time", "trade_no")
+    val quotes = Seq((1, ts("10:00:10"), 100L, 101.0))
+      .toDF("secid", "time", "quote_seq", "price")
+    val ex = intercept[Exception] {
+      AsOf.join(trades, quotes, Seq("secid"), "time", "time",
+        "quote_seq", "price", "quote_price").collect()
+    }
+    assert(ex.getMessage.contains("must be TIMESTAMP or BIGINT")
+      || Option(ex.getCause).exists(_.getMessage.contains("must be TIMESTAMP or BIGINT")))
+  }
+
+  test("array-typed value column is copied out of the reused row buffer") {
+    val trades = Seq(
+      (1, ts("10:00:20"), 1L), (1, ts("10:00:40"), 2L), (2, ts("10:00:40"), 3L)
+    ).toDF("secid", "time", "trade_no")
+    val quotes = Seq(
+      (1, ts("10:00:10"), 100L, Seq(1L, 11L)),
+      (1, ts("10:00:30"), 101L, Seq(2L, 22L)),
+      (2, ts("10:00:30"), 102L, Seq(3L, 33L))
+    ).toDF("secid", "time", "quote_seq", "depth")
+    val got = AsOf.join(trades, quotes, Seq("secid"), "time", "time",
+        "quote_seq", "depth", "quote_depth")
+      .orderBy("trade_no").select("quote_depth")
+      .collect().map(r => r.getSeq[Long](0))
+    assert(got.toSeq == Seq(Seq(1L, 11L), Seq(2L, 22L), Seq(3L, 33L)))
+  }
+
+  test("downstream groupBy on the join key adds no exchange above the join") {
+    val dir = "/root/testdata/sf0.001"
+    val trades = graft.fixtures.Fixtures.trades(spark, dir)
+      .selectExpr("secid", "time", "trade_no")
+    val quotes = graft.fixtures.Fixtures.quotes(spark, dir)
+      .select("secid", "time", "quote_seq", "price")
+    val agged = AsOf.join(trades, quotes, Seq("secid"), "time", "time",
+        "quote_seq", "price", "quote_price")
+      .groupBy("secid").agg(max("quote_price"))
+    agged.collect()
+    val inner = agged.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    // the exec reports left partitioning, so the only exchanges are the
+    // two BELOW the join that established the clustering
+    def countAbove(p: org.apache.spark.sql.execution.SparkPlan): Int = p match {
+      case _: AsOfJoinExec => 0
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike =>
+        1 + p.children.map(countAbove).sum
+      case _ => p.children.map(countAbove).sum
+    }
+    assert(countAbove(inner) == 0,
+      s"unexpected exchange above the as-of join:\n$inner")
+  }
 }

@@ -68,6 +68,19 @@ class ChDialectSpec extends SparkSuite {
     }
   }
 
+  // the other half of the dashboard's query surface: the SQL template
+  // variables (q21/q22), verbatim — q22 exercises the left-preference
+  // rule on its unqualified `board` under a secid-only join
+  for ((name, qIdx) <- Seq("sec_code" -> 20, "sec_code_etf" -> 21)) {
+    val ref = TradeQueries.all(qIdx)
+    test(s"templating variable $name verbatim ≡ ${ref.name}") {
+      graft.expr.GraftFunctions.register(spark)
+      val want = ref.fn(spark, dir)
+      val got = ChQueries.runTemplating(spark, dir, name).toDF(want.columns: _*)
+      assert(rows(got) == rows(want))
+    }
+  }
+
   test("translate rejects nothing it shouldn't: ANSI SQL passes through") {
     val ansi = "SELECT sec_code, sum(quantity) AS q FROM transaq_trades GROUP BY sec_code"
     val out = ChDialect.translate(ansi, ChQueries.params,
