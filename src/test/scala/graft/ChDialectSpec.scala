@@ -119,4 +119,30 @@ class ChDialectSpec extends SparkSuite {
       ChDialect.translate("SELECT a FROM t WHERE (a > 1", Map.empty, Map.empty)
     }
   }
+
+  test("property: dialect-free SQL is always a fixed point of translate") {
+    import org.scalacheck.{Gen, Prop, Test => PTest}
+    val ident = Gen.choose(1, 3).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+    val literal = Gen.oneOf(
+      Gen.choose(0, 9999).map(_.toString),
+      ident.map(s => s"'$s with space$$ (x'")) // quotes shield even $ and (
+    val predicate = for { c <- ident; v <- literal; op <- Gen.oneOf("=", ">", "<=") }
+      yield s"$c $op $v"
+    val query = for {
+      cols <- Gen.choose(1, 3).flatMap(Gen.listOfN(_, ident))
+      tbl <- ident
+      preds <- Gen.choose(0, 2).flatMap(Gen.listOfN(_, predicate))
+      grouped <- Gen.oneOf(true, false)
+    } yield {
+      val where = if (preds.isEmpty) "" else preds.mkString(" WHERE ", " AND ", "")
+      val group = if (grouped) s" GROUP BY ${cols.head}" else ""
+      s"SELECT ${cols.mkString(", ")} FROM $tbl$where$group"
+    }
+    val prop = Prop.forAll(query) { q =>
+      ChDialect.translate(q, ChQueries.params, Map("transaq_trades" -> Set("a"))) == q
+    }
+    val r = PTest.check(PTest.Parameters.default.withMinSuccessfulTests(100), prop)
+    assert(r.passed, r.status.toString)
+  }
 }
