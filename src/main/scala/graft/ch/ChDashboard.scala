@@ -42,7 +42,12 @@ object ChDashboard {
     * `sec_code_etf`). Non-SQL variables (the `interval` options list)
     * are skipped.
     */
-  def templatingSqls(p: String = path): Seq[(String, String)] = {
+  private val tmplCache = new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
+
+  def templatingSqls(p: String = path): Seq[(String, String)] =
+    tmplCache.computeIfAbsent(p, parseTemplating)
+
+  private def parseTemplating(p: String): Seq[(String, String)] = {
     val root = new ObjectMapper().readTree(new File(p))
     val list = root.path("templating").path("list")
     val out = mutable.ArrayBuffer[(String, String)]()

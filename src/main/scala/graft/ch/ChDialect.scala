@@ -96,9 +96,27 @@ object ChDialect {
     in
   }
 
+  /** True at positions inside single-quoted strings OR backtick
+    * identifiers — the mask for structural scans (paren counting), where
+    * a paren inside EITHER kind of quoting must not count.
+    */
+  private def quotedMask(s: String): Array[Boolean] = {
+    val in = new Array[Boolean](s.length)
+    var inStr = false; var inBt = false
+    for (i <- s.indices) {
+      val c = s.charAt(i)
+      if (inStr) { in(i) = true; if (c == '\'') inStr = false }
+      else if (inBt) { in(i) = true; if (c == '`') inBt = false }
+      else if (c == '\'') { in(i) = true; inStr = true }
+      else if (c == '`') { in(i) = true; inBt = true }
+    }
+    in
+  }
+
   /** Regex replacement applied only to matches that START outside string
-    * literals. The rewrite patterns cannot span a quote (none contain
-    * one), so checking the start position is sufficient.
+    * literals. The rewrite patterns cannot span OUT of a quote (their
+    * quoted segments are self-contained alternatives), so checking the
+    * start position is sufficient.
     */
   private def replaceOutsideLiterals(s: String, re: Regex)(repl: Regex.Match => String): String = {
     val mask = stringMask(s)
@@ -124,7 +142,9 @@ object ChDialect {
 
   // ---- rules 2-7 (global, scope-free) -------------------------------------
 
-  private val InBrackets = """(?is)\b(in)\s*\[([^\[\]]*)\]""".r
+  // bracket-list content = quoted strings or non-bracket chars, so a ']'
+  // INSIDE a quoted element never truncates the match
+  private val InBrackets = """(?is)\b(in)\s*\[((?:'[^']*'|[^\[\]'])*)\]""".r
 
   def bracketListsToParens(sql: String): String =
     replaceOutsideLiterals(sql, InBrackets)(m => s"${m.group(1)} (${m.group(2)})")
@@ -170,7 +190,7 @@ object ChDialect {
   def rewriteTimestampAdd(sql: String): String =
     replaceOutsideLiterals(sql, TimestampAdd)(_ => "timestampadd(")
 
-  private val TopKCall = """(?is)\btopK\s*\(\s*(\d+)\s*\)\s*\(([^()]*)\)""".r
+  private val TopKCall = """(?is)\btopK\s*\(\s*(\d+)\s*\)\s*\(((?:'[^']*'|[^()'])*)\)""".r
 
   def rewriteTopK(sql: String): String =
     replaceOutsideLiterals(sql, TopKCall)(m => s"graft_topk(${m.group(2).trim}, ${m.group(1)})")
@@ -233,7 +253,7 @@ object ChDialect {
     val sb = new StringBuilder
     var i = 0
     val vis = topLevel(sql)
-    val lit = stringMask(sql)
+    val lit = quotedMask(sql) // parens inside '..' AND `..` must not count
     while (i < sql.length) {
       if (sql.charAt(i) == '(' && vis(i)) {
         var depth = 1; var j = i + 1

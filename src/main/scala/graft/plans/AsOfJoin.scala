@@ -95,10 +95,19 @@ case class AsOfJoinExec(
 
   override def producedAttributes: AttributeSet = AttributeSet(valueAttr :: Nil)
 
-  private def attrOf(side: SparkPlan, name: String): Attribute =
-    side.output.find(_.name.equalsIgnoreCase(name)).getOrElse(
-      throw new IllegalArgumentException(
-        s"as-of join: column $name not found in ${side.output.map(_.name)}"))
+  /** Exact-name match first; a UNIQUE case-insensitive match as the
+    * fallback (Spark's default resolution). Two case-variant columns and
+    * no exact hit is ambiguous — fail, never bind the first one.
+    */
+  private def attrOf(side: SparkPlan, name: String): Attribute = {
+    val ci = side.output.filter(_.name.equalsIgnoreCase(name))
+    ci.find(_.name == name)
+      .orElse(if (ci.length == 1) ci.headOption else None)
+      .getOrElse(throw new IllegalArgumentException(
+        if (ci.length > 1)
+          s"as-of join: column $name is ambiguous among ${ci.map(_.name)}"
+        else s"as-of join: column $name not found in ${side.output.map(_.name)}"))
+  }
 
   /** The merge loop compares times/ord with `getLong`, which is only
     * meaningful for long-backed physical types — reject anything else
@@ -144,9 +153,11 @@ case class AsOfJoinExec(
     val rKeyAttrs = rightKeys
     val out = output
     val vAttr = valueAttr
-    val ltIdx = lOut.indexWhere(_.name.equalsIgnoreCase(leftTime))
-    val rtIdx = rOut.indexWhere(_.name.equalsIgnoreCase(rightTime))
-    val rvIdx = rOut.indexWhere(_.name.equalsIgnoreCase(valueCol))
+    // resolve through attrOf (exact-first, unique-ci fallback), then
+    // locate by exprId so index and attribute can never disagree
+    val ltIdx = lOut.indexWhere(_.exprId == attrOf(left, leftTime).exprId)
+    val rtIdx = rOut.indexWhere(_.exprId == attrOf(right, rightTime).exprId)
+    val rvIdx = rOut.indexWhere(_.exprId == attrOf(right, valueCol).exprId)
     val valueType = vAttr.dataType
 
     left.execute().zipPartitions(right.execute()) { (lit, rit) =>
@@ -230,8 +241,11 @@ object AsOf {
     }
     val lplan = left.queryExecution.analyzed
     val rplan = right.queryExecution.analyzed
-    val vt = rplan.output.find(_.name.equalsIgnoreCase(valueCol)).getOrElse(
-      throw new IllegalArgumentException(s"as-of join: no column $valueCol")).dataType
+    val ci = rplan.output.filter(_.name.equalsIgnoreCase(valueCol))
+    val vt = ci.find(_.name == valueCol)
+      .orElse(if (ci.length == 1) ci.headOption else None)
+      .getOrElse(throw new IllegalArgumentException(
+        s"as-of join: no unambiguous column $valueCol")).dataType
     val attr = AttributeReference(outName, vt, nullable = true)()
     org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
       AsOfJoinPlan(lplan, rplan, keys, leftTime, rightTime, rightOrd, valueCol, attr))

@@ -84,11 +84,13 @@ object IngestQueries {
         val root = java.nio.file.Paths.get(p)
         if (java.nio.file.Files.exists(root)) {
           // close the walk stream, and never let one racing dir (other
-          // shutdown hooks may still be flushing) abort the rest
+          // shutdown hooks may still be flushing — deleteIfExists throws
+          // CHECKED IOExceptions like DirectoryNotEmptyException) abort
+          // the cleanup of the remaining roots
           val walk = java.nio.file.Files.walk(root)
           try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
             .forEach(f => java.nio.file.Files.deleteIfExists(f))
-          catch { case _: java.io.UncheckedIOException => () }
+          catch { case scala.util.control.NonFatal(_) => () }
           finally walk.close()
         }
       }))
@@ -293,35 +295,46 @@ object IngestQueries {
       .orderBy("secId", "date", "close")
   }
 
-  /** 11 bits cover both dimensions (secid < 64, minute-of-day < 1440);
-    * the key stays < 2^22.
+  /** 5 bits per NORMALIZED dimension: both dims are range-mapped to 32
+    * buckets before interleaving. Interleaving the raw values would be
+    * degenerate — secid < 64 contributes constant zeros above bit 5, so
+    * the key would sort by high minute bits alone (the pitfall
+    * ZOrderSpec documents); bucket normalization is what production
+    * z-order implementations interleave too.
     */
-  private val ZBits = 11
+  private val ZBits = 5
+  private def zBucketSqls(intDiv: String): Seq[String] = Seq(
+    s"CAST((secid - 1) * 32 $intDiv 60 AS BIGINT) AS sbkt",
+    s"CAST((minute_of_day - 420) * 32 $intDiv 541 AS BIGINT) AS mbkt")
 
   /** The Z-order clustering key over (secid, minute-of-day) — the
     * write-path companion of [[graft.sources.Sinks]]' materializers:
     * sorting a table by this key before writing gives every parquet
     * granule a bounded range in BOTH dimensions, so box predicates prune
-    * on either (ZOrderSpec quantifies the win vs a time-sorted layout).
-    * Registered as an entry so the bit-interleave arithmetic itself is
-    * held to cross-engine equality ([[graft.expr.ZOrder.zkeySql]]).
+    * on either (ZOrderSpec quantifies the win vs a time-sorted layout,
+    * using this same bucket normalization over the fixture's
+    * 07:00-16:00 session = minutes 420..960). Registered as an entry so
+    * the bucket math AND the bit interleave are held to cross-engine
+    * equality ([[graft.expr.ZOrder.zkeySql]]).
     */
   val layoutZorderKey = QueryDef.sql(
     "layout_zorder_key",
     withCtes(
-      s"""SELECT trade_no, secid, minute_of_day,
-         |  ${graft.expr.ZOrder.zkeySql("secid", "minute_of_day", ZBits, graft.expr.ZOrder.duckShift)} AS zkey
-         |FROM (SELECT trade_no, CAST(secid AS BIGINT) AS secid,
-         |        CAST(date_part('hour', time) * 60 + date_part('minute', time) AS BIGINT) AS minute_of_day
-         |      FROM trades) d
+      s"""SELECT trade_no, secid, minute_of_day, sbkt, mbkt,
+         |  ${graft.expr.ZOrder.zkeySql("sbkt", "mbkt", ZBits, graft.expr.ZOrder.duckShift)} AS zkey
+         |FROM (SELECT trade_no, secid, minute_of_day, ${zBucketSqls("//").mkString(", ")}
+         |      FROM (SELECT trade_no, CAST(secid AS BIGINT) AS secid,
+         |              CAST(date_part('hour', time) * 60 + date_part('minute', time) AS BIGINT) AS minute_of_day
+         |            FROM trades) d) b
          |ORDER BY trade_no""".stripMargin,
       tradesCte)
   ) { (spark, dir) =>
     trades(spark, dir)
       .selectExpr("trade_no", "CAST(secid AS BIGINT) AS secid",
         "CAST(hour(time) * 60 + minute(time) AS BIGINT) AS minute_of_day")
-      .selectExpr("trade_no", "secid", "minute_of_day",
-        s"${graft.expr.ZOrder.zkeySql("secid", "minute_of_day", ZBits, graft.expr.ZOrder.sparkShift)} AS zkey")
+      .selectExpr(Seq("trade_no", "secid", "minute_of_day") ++ zBucketSqls("div"): _*)
+      .selectExpr("trade_no", "secid", "minute_of_day", "sbkt", "mbkt",
+        s"${graft.expr.ZOrder.zkeySql("sbkt", "mbkt", ZBits, graft.expr.ZOrder.sparkShift)} AS zkey")
       .orderBy("trade_no")
   }
 

@@ -713,21 +713,27 @@ object LlmQueries {
     val edges = pairEdges.toDF("src", "dst")
     val undirected = edges.unionByName(
       edges.select(col("dst").as("src"), col("src").as("dst")))
-    // localCheckpoint (not cache) each round: iterative self-joins grow
-    // the LOGICAL plan — with pointer doubling it doubles per round, so
-    // by round ~8 analysis alone is exponential (a 30-node chain built a
-    // 2 GB plan string). Checkpointing truncates lineage to the
-    // materialized result; on a cluster the reliable `checkpoint(dir)`
-    // variant is the durable spelling of the same move.
-    var labels = nodes.select(col("node"), col("node").as("label")).localCheckpoint()
+    // Materialize each round through an RDD fence: iterative self-joins
+    // grow the LOGICAL plan — with pointer doubling it doubles per
+    // round, so by round ~8 analysis alone is exponential (a 30-node
+    // chain built a 2 GB plan string). Wrapping the round's RDD in a
+    // fresh LogicalRDD truncates the plan like a checkpoint would, but
+    // keeps cache()/unpersist() lifecycle control (localCheckpoint pins
+    // its blocks until GC with no public API to free them eagerly).
+    def fence(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val out = df.sparkSession.createDataFrame(df.rdd, df.schema)
+      out.cache(); out.count()
+      out
+    }
+    var labels = fence(nodes.select(col("node"), col("node").as("label")))
     var prevSum = Option.empty[Long]
     var it = 0
     var converged = false
     while (!converged && it < MaxCcIters) {
       val hop = undirected.join(labels.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), col("label"))
-      val prop = labels.unionByName(hop)
-        .groupBy("node").agg(min("label").as("label")).localCheckpoint()
+      val prop = fence(labels.unionByName(hop)
+        .groupBy("node").agg(min("label").as("label")))
       // pointer doubling: additionally shortcut each node to its LABEL'S
       // label (labels are node ids, so this is a self-join), halving the
       // remaining distance every round — a chain-shaped component longer
@@ -740,8 +746,8 @@ object LlmQueries {
         val viaLabel = prop.join(
             prop.select(col("node").as("label"), col("label").as("label2")), "label")
           .select(col("node"), col("label2").as("label"))
-        prop.unionByName(viaLabel)
-          .groupBy("node").agg(min("label").as("label")).localCheckpoint()
+        fence(prop.unionByName(viaLabel)
+          .groupBy("node").agg(min("label").as("label")))
       }
       // min-propagation can only lower labels: equal sum ⇔ fixpoint
       // (coalesce: sum over an EMPTY node set is NULL, which must read
@@ -749,6 +755,8 @@ object LlmQueries {
       val s = next.agg(coalesce(sum("label"), lit(0L))).first().getLong(0)
       converged = prevSum.contains(s)
       prevSum = Some(s)
+      labels.unpersist()
+      if (next ne prop) prop.unpersist()
       labels = next
       it += 1
     }
