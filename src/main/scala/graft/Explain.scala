@@ -21,7 +21,11 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
     val names = if (args.nonEmpty) args.toSeq else Seq(
       "q01_netto_buy_topk", "q07_buy_turnover_interval", "q19_imoex_turnover_by_time_b",
-      "a16_candles_batch", "dedup_trades", "llm_minhash_lsh", "llm_embed_topk")
+      "a16_candles_batch", "dedup_trades", "llm_minhash_lsh", "llm_embed_topk",
+      // round-5 representatives: verbatim dashboard SQL, as-of custom
+      // exec, histogram quantiles, zero-shuffle mixing, z-order kernel
+      "ch_q05_dashboard_sql", "qx_asof_custom", "llm_length_quantiles",
+      "llm_mix_sample", "layout_zorder_key")
     names.foreach { n =>
       println(s"\n================ $n ================")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")
