@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expr.{CharNgrams, HyperplaneDots, TopK, VecDot, VecNormSq, WordNgrams}
+import graft.expr.{CharNgrams, HyperplaneDots, LastBy, TopK, VecDot, VecNormSq, WordNgrams}
 
 /** Library integration point: install the engine's SQL function surface
   * through the standard extensions hook —
@@ -35,6 +35,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_topk"),
       info("graft_topk", "graft_topk(col, k) - SpaceSaving top-k (ClickHouse topK)"),
       exprs => TopK(exprs.head, exprs(1))))
+    ext.injectFunction((FunctionIdentifier("graft_last_by"),
+      info("graft_last_by", "graft_last_by(value, ord) - value at max ord on the hash-aggregate path"),
+      exprs => LastBy(exprs.head, exprs(1))))
     ext.injectFunction((FunctionIdentifier("to_start_of_interval"),
       info("to_start_of_interval", "to_start_of_interval(ts, seconds) - ClickHouse toStartOfInterval"),
       exprs => graft.expr.GraftFunctions.toStartOfInterval(exprs)))

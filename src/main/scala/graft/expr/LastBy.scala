@@ -1,0 +1,119 @@
+package graft.expr
+
+import java.io.{ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.types._
+
+/** Mutable last-write-wins state: the highest `ord` seen and the winning
+  * value, held as a copied single-field UnsafeRow so nothing references
+  * the scan's reused row buffers.
+  */
+final class LastByBuffer {
+  var ord: Long = Long.MinValue
+  var hasValue: Boolean = false
+  var row: UnsafeRow = null // null ⇔ !hasValue, or a stored NULL value
+}
+
+/** `graft_last_by(value, ord)` — the value (ANY type, typically a struct
+  * of payload columns) of the row with the maximum BIGINT `ord`, ties
+  * impossible by contract (ord unique per group: ingest sequence).
+  *
+  * WHY it exists: `max_by(struct(...), ord)` is the natural spelling of
+  * the ReplacingMergeTree read path ([[graft.ingest.Dedup.lastWriteWins]]),
+  * but its struct-typed buffer fails HashAggregateExec's fixed-width
+  * mutable-buffer rule, so the whole dedup compiles to SortAggregate
+  * with an external sort on BOTH sides of the exchange. A
+  * [[TypedImperativeAggregate]] instead plans as ObjectHashAggregateExec —
+  * hash-based with graceful sort fallback under memory pressure — while
+  * keeping partial/final (map-side combine) aggregation. Same trick as
+  * [[TopK]]; buffers are (long, one UnsafeRow) per group.
+  */
+case class LastBy(
+    valueExpr: Expression,
+    ordExpr: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[LastByBuffer] {
+
+  override def children: Seq[Expression] = Seq(valueExpr, ordExpr)
+  override def nullable: Boolean = true
+  override def dataType: DataType = valueExpr.dataType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (ordExpr.dataType == LongType) TypeCheckSuccess
+    else TypeCheckFailure(s"graft_last_by ord must be BIGINT, got ${ordExpr.dataType.simpleString}")
+  }
+
+  // single-field projection: copies ANY value shape into owned bytes
+  @transient private lazy val valueProj =
+    UnsafeProjection.create(Array(valueExpr.dataType))
+  @transient private lazy val holder = new GenericInternalRow(1)
+
+  override def createAggregationBuffer(): LastByBuffer = new LastByBuffer
+
+  override def update(b: LastByBuffer, input: InternalRow): LastByBuffer = {
+    val o = ordExpr.eval(input)
+    if (o != null) {
+      val ov = o.asInstanceOf[Long]
+      if (!b.hasValue || ov > b.ord) {
+        holder.update(0, valueExpr.eval(input))
+        b.row = valueProj(holder).copy()
+        b.ord = ov
+        b.hasValue = true
+      }
+    }
+    b
+  }
+
+  override def merge(b: LastByBuffer, o: LastByBuffer): LastByBuffer =
+    if (!o.hasValue || (b.hasValue && b.ord >= o.ord)) b
+    else { b.ord = o.ord; b.row = o.row; b.hasValue = true; b }
+
+  override def eval(b: LastByBuffer): Any =
+    if (!b.hasValue || b.row.isNullAt(0)) null
+    else InternalRow.copyValue(b.row.get(0, valueExpr.dataType))
+
+  override def serialize(b: LastByBuffer): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeBoolean(b.hasValue)
+    if (b.hasValue) {
+      out.writeLong(b.ord)
+      val bytes = b.row.getBytes
+      out.writeInt(bytes.length)
+      out.write(bytes)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): LastByBuffer = {
+    val in = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val b = new LastByBuffer
+    b.hasValue = in.readBoolean()
+    if (b.hasValue) {
+      b.ord = in.readLong()
+      val n = in.readInt()
+      val arr = new Array[Byte](n)
+      in.readFully(arr)
+      val row = new UnsafeRow(1)
+      row.pointTo(arr, n)
+      b.row = row
+    }
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): LastBy =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): LastBy =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): LastBy =
+    copy(valueExpr = newChildren(0), ordExpr = newChildren(1))
+
+  override def prettyName: String = "graft_last_by"
+}

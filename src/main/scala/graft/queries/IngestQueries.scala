@@ -48,6 +48,20 @@ object IngestQueries {
       "ingest_seq", packCols = Set("period"))
   }
 
+  /** [[Dedup.lastWriteWinsHash]] over the same versioned table — the
+    * custom [[graft.expr.LastBy]] aggregate keeps the GENERIC (whole-row
+    * payload) dedup on the hash-aggregate path, where the max_by(struct)
+    * spelling of `dedup_trades` compiles to SortAggregate. Same oracle.
+    */
+  val dedupTradesLastBy = QueryDef.sql(
+    "dedup_trades_lastby",
+    withCtes(
+      Dedup.lastWriteWinsSql("trades_versioned", Schemas.tradesKey, "ingest_seq", tradeCols),
+      tradesCte, tradesVersionedCte)
+  ) { (spark, dir) =>
+    Dedup.lastWriteWinsHash(tradesVersioned(spark, dir), Schemas.tradesKey, "ingest_seq")
+  }
+
   /** Merge-time compaction parity (the ClickHouse-merge analog):
     * [[graft.sources.Sinks.materializeTradesCompacted]] writes the
     * day-partitioned key-sorted layout with duplicates collapsed during
@@ -339,8 +353,8 @@ object IngestQueries {
   }
 
   val all: Seq[QueryDef] = Seq(
-    a16CandlesBatch, dedupTrades, dedupTradesColumnar, dedupTradesCompacted,
-    dedupQuotes, dedupQuotesColumnar,
+    a16CandlesBatch, dedupTrades, dedupTradesColumnar, dedupTradesLastBy,
+    dedupTradesCompacted, dedupQuotes, dedupQuotesColumnar,
     a06Cascade, a07Valid, a09Bond, a10Periods,
     a11Projection, a12TradeParse, a13QuotesEnvelope, a14SecinfoParse,
     a15HistoryParse, a17Positions, a01StreamCandles, layoutZorderKey)

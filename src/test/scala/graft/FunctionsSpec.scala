@@ -79,4 +79,31 @@ class FunctionsSpec extends SparkSuite {
          |FROM (SELECT split(text, ' ') AS tk FROM wgt)""".stripMargin).collect()
     rows.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
   }
+
+  test("graft_last_by ≡ max_by across partitions, null ords ignored") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    // many groups + shuffled arrival order forces partial/final merge;
+    // ord 0 carries a NULL ord variant via the CASE below
+    val rows = (1 to 500).flatMap { g =>
+      (1 to 4).map(s => (g, s.toLong, s"v$g-$s", s * 1.5))
+    }
+    scala.util.Random.shuffle(rows).toDF("g", "seq", "name", "x")
+      .repartition(7).createOrReplaceTempView("lbt")
+    val got = spark.sql(
+      """SELECT g,
+        |  graft_last_by(struct(name, x), CAST(CASE WHEN seq = 4 THEN NULL ELSE seq END AS BIGINT)) AS lb,
+        |  max_by(struct(name, x), CASE WHEN seq = 4 THEN NULL ELSE seq END) AS mb
+        |FROM lbt GROUP BY g""".stripMargin).collect()
+    assert(got.length == 500)
+    got.foreach { r =>
+      assert(r.getStruct(1) == r.getStruct(2), s"group ${r.get(0)}")
+      assert(r.getStruct(1).getString(0).endsWith("-3")) // seq 4 is NULL-ord
+    }
+    // and the plan is the point: ObjectHashAggregate, not SortAggregate
+    val plan = spark.sql(
+      "SELECT g, graft_last_by(struct(name, x), seq) FROM lbt GROUP BY g")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan)
+  }
 }

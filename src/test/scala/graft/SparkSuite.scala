@@ -18,6 +18,7 @@ object SparkSuite {
   lazy val session: SparkSession = SparkSession.builder()
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
