@@ -25,7 +25,7 @@ object Explain {
       // round-5 representatives: verbatim dashboard SQL, as-of custom
       // exec, histogram quantiles, zero-shuffle mixing, z-order kernel
       "ch_q05_dashboard_sql", "qx_asof_custom", "llm_length_quantiles",
-      "llm_mix_sample", "layout_zorder_key")
+      "llm_mix_sample", "layout_zorder_key", "dedup_trades_lastby")
     names.foreach { n =>
       println(s"\n================ $n ================")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

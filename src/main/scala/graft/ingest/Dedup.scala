@@ -24,9 +24,10 @@ import org.apache.spark.sql.functions._
   * every payload column is fixed-width; ~2× faster on trades, where
   * the one string column is a single char), [[lastWriteWinsHash]] (the
   * custom [[graft.expr.LastBy]] TypedImperativeAggregate →
-  * ObjectHashAggregateExec: hash path for ARBITRARY payloads, measured
-  * ≈ the columnar variant at sf0.1 once the 128-group fallback default
-  * is raised), and, where the table is
+  * ObjectHashAggregateExec: hash path for ARBITRARY payloads; at sf0.1
+  * it measures ≈ the columnar variant in most runs once the 128-group
+  * fallback default is raised, with more run-to-run variance than the
+  * flat-buffer forms — object buffers are GC-sensitive), and, where the table is
   * MATERIALIZED, collapsing duplicates at write time
   * ([[graft.sources.Sinks.materializeTradesCompacted]] +
   * [[compactKeyRuns]]): the layout job already pays a per-partition
