@@ -1394,11 +1394,75 @@ object LlmQueries {
       .orderBy("lang")
   }
 
+  // ---- LM fluency scoring: integer-quantized bigram model ----
+
+  /** Probability quantum: q(bigram) = (count(w1 w2) · 10^6) div count(w1)
+    * ∈ [0, 10^6]. Integer division instead of log-prob keeps both engines
+    * bit-identical (`ln` diverges in the last ulp across libms — the same
+    * reason tfidf uses an integer idf).
+    */
+  private val LmQuantum = 1000000L
+
+  /** Perplexity-style fluency filter (the CCNet-style "score each
+    * document under a language model" operator), hash-exact: train a
+    * bigram model on the corpus itself (unigram + bigram counts), score
+    * every document by its mean quantized conditional probability —
+    * fluent text reuses frequent continuations, gibberish doesn't.
+    *
+    * 100 TB shape: model "training" is two map-side explodes into
+    * partial-aggregated counts; the per-document scoring join keys on
+    * the bigram with the corpus-sized stats side SHUFFLE-HASHED (never
+    * broadcast — same lever as ngram_jaccard's index join), then one
+    * hash aggregate back to documents. Nothing is iterative; scoring a
+    * new batch against a frozen model is the same join.
+    */
+  val lmScore = QueryDef.sql(
+    "llm_lm_score",
+    s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c1
+       |        FROM (SELECT unnest(tk) AS w FROM docs) u GROUP BY w),
+       |bi AS (SELECT bg, CAST(count(*) AS BIGINT) AS c2
+       |       FROM (SELECT unnest(${Text.wordNgramsSql(2, distinct = false)}) AS bg
+       |             FROM docs) b GROUP BY bg),
+       |q AS (SELECT bg, (c2 * $LmQuantum) // c1 AS q
+       |      FROM bi JOIN uni ON string_split(bg, ' ')[1] = uni.w),
+       |scored AS (SELECT doc_id, CAST(sum(q) AS BIGINT) AS sum_q,
+       |                  CAST(count(*) AS BIGINT) AS n_bigrams
+       |           FROM (SELECT doc_id, unnest(${Text.wordNgramsSql(2, distinct = false)}) AS bg
+       |                 FROM docs) o JOIN q USING (bg)
+       |           GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  coalesce(n_bigrams, 0) AS n_bigrams,
+       |  coalesce(sum_q, 0) AS sum_q,
+       |  CASE WHEN coalesce(n_bigrams, 0) > 0 THEN sum_q // n_bigrams ELSE 0 END AS lm_fluency
+       |FROM docs d LEFT JOIN scored ON d.doc_id = scored.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  ) { (spark, dir) =>
+    val docs = documents(spark, dir).select(col("doc_id"), split(col("text"), " ").as("tk"))
+    val uni = docs.select(explode(col("tk")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    val bi = docs.select(explode(expr("word_ngrams(tk, 2, false)")).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c2"))
+    val q = bi.withColumn("w", expr("split(bg, ' ')[0]"))
+      .join(uni, "w")
+      .selectExpr("bg", s"(c2 * CAST($LmQuantum AS BIGINT)) div c1 AS q")
+    val scored = docs
+      .select(col("doc_id"), explode(expr("word_ngrams(tk, 2, false)")).as("bg"))
+      .join(q.hint("shuffle_hash"), "bg")
+      .groupBy("doc_id").agg(sum("q").as("sum_q"), count(lit(1)).as("n_bigrams"))
+    docs.select("doc_id").join(scored, Seq("doc_id"), "left")
+      .selectExpr("doc_id",
+        "coalesce(n_bigrams, CAST(0 AS BIGINT)) AS n_bigrams",
+        "coalesce(sum_q, CAST(0 AS BIGINT)) AS sum_q",
+        "CASE WHEN coalesce(n_bigrams, 0) > 0 THEN sum_q div n_bigrams ELSE CAST(0 AS BIGINT) END AS lm_fluency")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     textStats, langId, exactDedup, minhashLsh, dedupClusters, ngramJaccard,
     simhash, fingerprint, embedTopk, annLsh, annIvf, annIvfTrained,
     embedNearDup, tokenCount, imageMeta, audioMeta, imageResize,
     frameSample, qualityScore, piiScrub, repetition,
     contamination, urlHostStats, tfidfTopk, semDedup, topNgrams,
-    seqPack, splitAssign, curation, mixSample, lengthQuantiles)
+    seqPack, splitAssign, curation, mixSample, lengthQuantiles, lmScore)
 }
