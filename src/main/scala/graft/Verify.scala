@@ -11,7 +11,7 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       // ObjectHashAggregate (graft_topk, graft_last_by) stays on the hash
-      // path at dedup-key cardinality; fallback remains the memory valve
+      // path at dedup-key cardinality (the COUNT-based fallback engages beyond 4M groups)
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
       .config("spark.sql.session.timeZone", "UTC")
       // events.parquet stores INT64 TIMESTAMP(NANOS); read as long and

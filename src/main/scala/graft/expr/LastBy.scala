@@ -14,7 +14,9 @@ import org.apache.spark.sql.types._
 final class LastByBuffer {
   var ord: Long = Long.MinValue
   var hasValue: Boolean = false
-  var row: UnsafeRow = null // null ⇔ !hasValue, or a stored NULL value
+  // null ⇔ !hasValue; a stored NULL value is a NON-null row whose single
+  // field isNullAt(0) — serialize/eval rely on that invariant
+  var row: UnsafeRow = null
 }
 
 /** `graft_last_by(value, ord)` — the value (ANY type, typically a struct

@@ -54,16 +54,17 @@ object Dedup {
     * no BIGINT packing, same partial/final map-side combine.
     */
   def lastWriteWinsHash(df: DataFrame, keys: Seq[String], seq: String): DataFrame = {
+    // NOTE: the hash path is only real when the session raises
+    // spark.sql.objectHashAggregate.sortBased.fallbackThreshold above the
+    // group cardinality (the stock 128 silently degrades to sort-based —
+    // the fallback is COUNT-based, not memory-based). The engine's
+    // session builders (Bench/Verify/SparkSuite) set 4M; deliberately NOT
+    // set here — a library call must not mutate session-wide config.
     graft.expr.GraftFunctions.register(df.sparkSession)
-    // ObjectHashAggregateExec silently degrades to sort-based after 128
-    // in-memory groups (a default sized for collect_list-style aggs, not
-    // a high-cardinality dedup key) — raise the knob so the hash path is
-    // real; the fallback remains the memory-pressure safety valve
-    df.sparkSession.conf.set(
-      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
     val others = df.columns.filterNot(keys.contains).toSeq
+    def q(c: String) = "`" + c.replace("`", "``") + "`" // arbitrary names stay arbitrary
     df.groupBy(keys.map(col): _*)
-      .agg(expr(s"graft_last_by(struct(${others.mkString(", ")}), CAST($seq AS BIGINT))")
+      .agg(expr(s"graft_last_by(struct(${others.map(q).mkString(", ")}), CAST(${q(seq)} AS BIGINT))")
         .as("_latest"))
       .select(keys.map(col) ++ others.map(o => col("_latest").getField(o).as(o)): _*)
   }

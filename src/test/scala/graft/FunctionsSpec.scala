@@ -88,7 +88,7 @@ class FunctionsSpec extends SparkSuite {
     val rows = (1 to 500).flatMap { g =>
       (1 to 4).map(s => (g, s.toLong, s"v$g-$s", s * 1.5))
     }
-    scala.util.Random.shuffle(rows).toDF("g", "seq", "name", "x")
+    new scala.util.Random(42).shuffle(rows).toDF("g", "seq", "name", "x")
       .repartition(7).createOrReplaceTempView("lbt")
     val got = spark.sql(
       """SELECT g,
