@@ -38,6 +38,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_last_by"),
       info("graft_last_by", "graft_last_by(value, ord) - value at max ord on the hash-aggregate path"),
       exprs => LastBy(exprs.head, exprs(1))))
+    ext.injectFunction((FunctionIdentifier("graft_capped_longs"),
+      info("graft_capped_longs", "graft_capped_longs(col, cap) - bounded-buffer BIGINT collect"),
+      exprs => graft.expr.CappedLongs(exprs.head, exprs(1))))
     ext.injectFunction((FunctionIdentifier("to_start_of_interval"),
       info("to_start_of_interval", "to_start_of_interval(ts, seconds) - ClickHouse toStartOfInterval"),
       exprs => graft.expr.GraftFunctions.toStartOfInterval(exprs)))

@@ -20,8 +20,10 @@ final class LastByBuffer {
 }
 
 /** `graft_last_by(value, ord)` — the value (ANY type, typically a struct
-  * of payload columns) of the row with the maximum BIGINT `ord`, ties
-  * impossible by contract (ord unique per group: ingest sequence).
+  * of payload columns) of the row with the maximum BIGINT `ord`; equal
+  * ords (a violation of the ord-unique-per-group contract, e.g. a
+  * duplicated ingest_seq) resolve deterministically by serialized value
+  * bytes instead of by arrival order (see [[bytesGt]]).
   *
   * WHY it exists: `max_by(struct(...), ord)` is the natural spelling of
   * the ReplacingMergeTree read path ([[graft.ingest.Dedup.lastWriteWins]]),
@@ -57,6 +59,28 @@ case class LastBy(
 
   override def createAggregationBuffer(): LastByBuffer = new LastByBuffer
 
+  /** Equal-ord tiebreak (round-5 advice): the 'ord unique per group'
+    * contract used to fail SILENTLY — equal ords kept whichever row a
+    * partitioning happened to deliver first, i.e. run-to-run
+    * nondeterministic dedup output. Throwing instead is unsound here (a
+    * duplicate ord BELOW the running max is undetectable in an O(1)
+    * buffer), so the aggregate is now the max over (ord, serialized value
+    * bytes) — associative, commutative, and deterministic for ANY arrival
+    * order; with unique ords (the contracted case) the bytes are never
+    * consulted.
+    */
+  private def bytesGt(a: UnsafeRow, b: UnsafeRow): Boolean = {
+    val x = a.getBytes; val y = b.getBytes
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d > 0
+      i += 1
+    }
+    x.length > y.length
+  }
+
   override def update(b: LastByBuffer, input: InternalRow): LastByBuffer = {
     val o = ordExpr.eval(input)
     if (o != null) {
@@ -66,14 +90,22 @@ case class LastBy(
         b.row = valueProj(holder).copy()
         b.ord = ov
         b.hasValue = true
+      } else if (ov == b.ord) {
+        holder.update(0, valueExpr.eval(input))
+        val candidate = valueProj(holder).copy()
+        if (bytesGt(candidate, b.row)) b.row = candidate
       }
     }
     b
   }
 
   override def merge(b: LastByBuffer, o: LastByBuffer): LastByBuffer =
-    if (!o.hasValue || (b.hasValue && b.ord >= o.ord)) b
-    else { b.ord = o.ord; b.row = o.row; b.hasValue = true; b }
+    if (!o.hasValue) b
+    else if (!b.hasValue || o.ord > b.ord) {
+      b.ord = o.ord; b.row = o.row; b.hasValue = true; b
+    } else if (o.ord == b.ord && bytesGt(o.row, b.row)) {
+      b.row = o.row; b
+    } else b
 
   override def eval(b: LastByBuffer): Any =
     if (!b.hasValue || b.row.isNullAt(0)) null

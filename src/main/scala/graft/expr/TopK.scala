@@ -154,6 +154,8 @@ object GraftFunctions {
     registry.createOrReplaceTempFunction(
       "graft_last_by", exprs => LastBy(exprs.head, exprs(1)), "built-in")
     registry.createOrReplaceTempFunction(
+      "graft_capped_longs", exprs => CappedLongs(exprs.head, exprs(1)), "built-in")
+    registry.createOrReplaceTempFunction(
       "to_start_of_interval", exprs => toStartOfInterval(exprs), "built-in")
     // codegen'd shingling (see graft.expr.NgramUtil): n and dedup must be
     // literals — they parameterize the generated code

