@@ -131,11 +131,19 @@ object ChDialect {
 
   // ---- rule 1 -------------------------------------------------------------
 
+  /** Macros substitute INSIDE string literals too (Grafana's own
+    * behavior). The bare `$name` form requires an identifier boundary
+    * after the name (round-5 advice) so a macro that is a strict prefix
+    * of an unknown dashboard variable (`$interval` in `$intervalx`) can
+    * never clobber it; longest-first ordering protects among the supplied
+    * params themselves.
+    */
   def substituteMacros(sql: String, params: Map[String, String]): String = {
     var out = sql
     for (n <- params.keys.toSeq.sortBy(-_.length)) {
       out = out.replace("${" + n + "}", params(n))
-      out = out.replace("$" + n, params(n))
+      out = ("\\$" + Pattern.quote(n) + "(?![\\w])").r
+        .replaceAllIn(out, Matcher.quoteReplacement(params(n)))
     }
     out
   }
@@ -296,9 +304,19 @@ object ChDialect {
         replaceOutsideLiterals(b, re)(_ => s"($expr)")
       }
 
-    // rule 9: qualify bare columns that exist in BOTH joined tables
+    // rule 9: qualify bare columns that exist in BOTH joined tables.
+    // Table presence = a word-boundary match OUTSIDE string literals
+    // (round-5 advice: plain contains() saw a table name inside a FROM
+    // string literal, or as a prefix of a longer identifier like
+    // transaq_trades_v2, and mis-qualified bare columns).
     val from = clause("from").getOrElse("")
-    val tablesInFrom = schemas.keys.toSeq.sortBy(t => from.indexOf(t)).filter(from.contains)
+    val fromMask = stringMask(from)
+    val tablesInFrom = schemas.keys.toSeq
+      .flatMap { t =>
+        val re = s"(?i)(?<![\\w`])${Pattern.quote(t)}(?![\\w`])".r
+        re.findAllMatchIn(from).find(m => !fromMask(m.start)).map(m => (t, m.start))
+      }
+      .sortBy(_._2).map(_._1)
     val leftQual: Option[String] = tablesInFrom.headOption.map { t =>
       val m = s"""(?is)\\b${Pattern.quote(t)}\\s+(?:as\\s+)?(\\w+)""".r.findFirstMatchIn(from)
       m.map(_.group(1)).filterNot(a => NonAliasWords.contains(a.toLowerCase))

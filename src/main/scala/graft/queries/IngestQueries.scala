@@ -309,6 +309,82 @@ object IngestQueries {
       .orderBy("secId", "date", "close")
   }
 
+  /** A1/A16 exact-machine REPLAY, driver-oracled (round 6 — a01's one
+    * remaining rows-only gap): the same [[graft.streaming.CandleStream
+    * .candlesBatch]] output as `a01_stream_candles`, but held to a full
+    * DuckDB hash compare. The oracle is a window-SQL derivation of the
+    * state machine (process.go:126-169) — valid because for a FIXED
+    * per-security (ts, tick_no) order the machine is deterministic:
+    *
+    *   - emit ticks are exactly `rn > 1 AND last > 0 AND time LIKE
+    *     '%:00'` (a boundary tick with state present, process.go:131);
+    *     each closes the SEGMENT of non-emit ticks since the previous
+    *     emit, and is itself consumed (its quantity joins no candle).
+    *   - per segment: open = first nonzero of [init tick's `last` (rn=1
+    *     only), later ticks' wire `open`] (147-148); high = max(last)
+    *     over the segment (Zero-state floor 0, 151); low = the zero-guard
+    *     fold (153-155) = min of lasts AFTER the segment's last
+    *     zero-priced tick, 0 if that zero is final; volume =
+    *     sum(quantity) (156). Empty segment (consecutive boundary
+    *     ticks) = the Zero candle.
+    *   - candle: date = process date + boundary tick's time-of-day
+    *     (133), close = boundary tick's last (139).
+    *
+    * The windows shuffle once on secid and scan linearly — the same
+    * shape as candlesBatch's repartition+sort replay.
+    */
+  val a01CandlesReplay = QueryDef.sql(
+    "a01_candles_replay",
+    withCtes(
+      """SELECT CAST('2024-12-06 ' || e.time AS TIMESTAMP) AS "date",
+        |  e.secid AS "secId", e.sec_code AS "secCode", 1 AS period,
+        |  coalesce(b.open, 0) AS "open", e.last AS "close",
+        |  coalesce(b.high, 0) AS "high", coalesce(l.low, 0) AS "low",
+        |  coalesce(b.volume, 0) AS "volume"
+        |FROM sg e
+        |LEFT JOIN base b ON e.secid = b.secid AND e.seg_id = b.seg_id
+        |LEFT JOIN lows l ON e.secid = l.secid AND e.seg_id = l.seg_id
+        |WHERE e.is_emit = 1
+        |ORDER BY "secId", "date", "close"""".stripMargin,
+      ticksCte,
+      """ordd AS (
+        |  SELECT secid, sec_code, tick_no, last, open, quantity, time, ts,
+        |    row_number() OVER (PARTITION BY secid ORDER BY ts, tick_no) AS rn
+        |  FROM ticks)""".stripMargin,
+      """ev AS (
+        |  SELECT *, CASE WHEN rn > 1 AND last > 0 AND time LIKE '%:00'
+        |                 THEN 1 ELSE 0 END AS is_emit
+        |  FROM ordd)""".stripMargin,
+      """sg AS (
+        |  SELECT *, CAST(sum(is_emit) OVER (PARTITION BY secid ORDER BY rn
+        |      ROWS UNBOUNDED PRECEDING) - is_emit AS BIGINT) AS seg_id
+        |  FROM ev)""".stripMargin,
+      "mem AS (SELECT * FROM sg WHERE is_emit = 0)",
+      """base AS (
+        |  SELECT secid, seg_id,
+        |    max(CASE WHEN last = 0 THEN rn END) AS lz,
+        |    max(last) AS high,
+        |    CAST(sum(quantity) AS BIGINT) AS volume,
+        |    arg_min(CASE WHEN rn = 1 THEN last ELSE open END, rn)
+        |      FILTER (WHERE (CASE WHEN rn = 1 THEN last ELSE open END) <> 0) AS open
+        |  FROM mem GROUP BY secid, seg_id)""".stripMargin,
+      """lows AS (
+        |  SELECT m.secid, m.seg_id, min(m.last) AS low
+        |  FROM mem m JOIN base b ON m.secid = b.secid AND m.seg_id = b.seg_id
+        |  WHERE b.lz IS NULL OR m.rn > b.lz
+        |  GROUP BY m.secid, m.seg_id)""".stripMargin)
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val tickDs = ticks(spark, dir).selectExpr(
+      "secid AS secId", "sec_code AS secCode", "ts", "time",
+      "last", "open", "quantity", "tick_no AS tickNo")
+      .as[graft.schema.Tick]
+    graft.streaming.CandleStream
+      .candlesBatch(tickDs, java.time.LocalDate.of(2024, 12, 6))
+      .toDF()
+      .orderBy("secId", "date", "close")
+  }
+
   /** 5 bits per NORMALIZED dimension: both dims are range-mapped to 32
     * buckets before interleaving. Interleaving the raw values would be
     * degenerate — secid < 64 contributes constant zeros above bit 5, so
@@ -317,9 +393,18 @@ object IngestQueries {
     * z-order implementations interleave too.
     */
   private val ZBits = 5
+
+  /** Buckets are CLAMPED to [0, 31] (round-5 advice): out-of-domain rows
+    * (secid outside [1,60], minutes outside the 07:00-16:00 session)
+    * otherwise produce negative values — where DuckDB `//` (floor) and
+    * Spark `div` (truncate) disagree — or >31 values that alias into the
+    * 5-bit interleave. The clamp makes both renderings total functions
+    * that agree on EVERY input, not just the fixture domain (negatives
+    * floor-vs-truncate to different numbers, but both clamp to 0).
+    */
   private def zBucketSqls(intDiv: String): Seq[String] = Seq(
-    s"CAST((secid - 1) * 32 $intDiv 60 AS BIGINT) AS sbkt",
-    s"CAST((minute_of_day - 420) * 32 $intDiv 541 AS BIGINT) AS mbkt")
+    s"CAST(greatest(0, least(31, (secid - 1) * 32 $intDiv 60)) AS BIGINT) AS sbkt",
+    s"CAST(greatest(0, least(31, (minute_of_day - 420) * 32 $intDiv 541)) AS BIGINT) AS mbkt")
 
   /** The Z-order clustering key over (secid, minute-of-day) — the
     * write-path companion of [[graft.sources.Sinks]]' materializers:
@@ -357,5 +442,6 @@ object IngestQueries {
     dedupTradesCompacted, dedupQuotes, dedupQuotesColumnar,
     a06Cascade, a07Valid, a09Bond, a10Periods,
     a11Projection, a12TradeParse, a13QuotesEnvelope, a14SecinfoParse,
-    a15HistoryParse, a17Positions, a01StreamCandles, layoutZorderKey)
+    a15HistoryParse, a17Positions, a01StreamCandles, a01CandlesReplay,
+    layoutZorderKey)
 }

@@ -114,6 +114,34 @@ class ChDialectSpec extends SparkSuite {
     assert(out.contains("transaq_trades.board IN ('US$1', 'B')"), out)
   }
 
+  // ---- hardening pinned by the round-5 ADVICE ----
+
+  test("a table name that is only a PREFIX of a longer identifier is not 'present'") {
+    // transaq_trades_v2 must not count as transaq_trades: with only one
+    // real table in FROM there is no ambiguity and `board` stays bare
+    val out = ChDialect.translate(
+      "SELECT board FROM transaq_trades_v2 JOIN other o ON transaq_trades_v2.secid = o.secid " +
+        "WHERE board = 'TQBR'",
+      Map.empty, twoTables)
+    assert(out.contains("WHERE board = 'TQBR'"), out)
+    assert(!out.contains("transaq_trades.board"), out)
+  }
+
+  test("a table name inside a FROM string literal is not 'present'") {
+    val out = ChDialect.translate(
+      "SELECT board, note FROM transaq_securities " +
+        "WHERE note = 'from transaq_trades join x'",
+      Map.empty, twoTables)
+    // only one REAL table → no ambiguity qualification anywhere
+    assert(out.contains("SELECT board, note"), out)
+  }
+
+  test("a macro that prefixes an unknown variable does not clobber it") {
+    val out = ChDialect.substituteMacros(
+      "SELECT $interval, $intervalx, ${interval}", Map("interval" -> "5"))
+    assert(out == "SELECT 5, $intervalx, 5", out)
+  }
+
   test("unbalanced parentheses fail loudly, not out of bounds") {
     assertThrows[IllegalArgumentException] {
       ChDialect.translate("SELECT a FROM t WHERE (a > 1", Map.empty, Map.empty)
