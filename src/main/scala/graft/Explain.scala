@@ -25,7 +25,10 @@ object Explain {
       // round-5 representatives: verbatim dashboard SQL, as-of custom
       // exec, histogram quantiles, zero-shuffle mixing, z-order kernel
       "ch_q05_dashboard_sql", "qx_asof_custom", "llm_length_quantiles",
-      "llm_mix_sample", "layout_zorder_key", "dedup_trades_lastby")
+      "llm_mix_sample", "layout_zorder_key", "dedup_trades_lastby",
+      // round-6 representatives: fused capped-collect posting index,
+      // oracled exact-machine replay, frozen-model LM scoring
+      "llm_ngram_jaccard", "a01_candles_replay", "llm_lm_score_holdout")
     names.foreach { n =>
       println(s"\n================ $n ================")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

@@ -201,6 +201,87 @@ object LlmQueries {
        |ORDER BY doc_a, doc_b""".stripMargin
   ) { (spark, dir) => minhashPairs(spark, dir).orderBy("doc_a", "doc_b") }
 
+  /** Every 5th doc_id plays the INCOMING batch; the rest are the frozen,
+    * already-indexed corpus.
+    */
+  private val IncrementalMod = 5
+
+  /** Incremental near-dup (round 6): dedup a NEW batch against an
+    * EXISTING corpus — the shape every growing training set actually
+    * runs (dedup tonight's crawl against everything already kept),
+    * which the symmetric [[minhashLsh]] pair stream does not cover.
+    *
+    * 100 TB shape: the seen corpus's band table is the FROZEN index (in
+    * production it is precomputed once and appended to — here both sides
+    * derive from one shared signature pipeline); the new batch's bands
+    * are tiny and BROADCAST, so candidate generation is one scan of the
+    * index with zero corpus shuffle, and only candidates (bounded by
+    * band collisions) reach the exact-Jaccard verification join.
+    */
+  val incrementalNearDup = QueryDef.sql(
+    "llm_incremental_neardup", {
+      val bandsSql = (0 until NumBands)
+        .map(b => s"SELECT doc_id, $b AS band, md5(concat(mh${2 * b}, mh${2 * b + 1})) AS bkey FROM mh")
+        .mkString("\nUNION ALL\n")
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         |sh AS (SELECT doc_id, ${Text.bigramsSql} AS shset FROM toks),
+         |shx AS (SELECT doc_id, unnest(shset) AS sh FROM sh),
+         |mh AS (SELECT doc_id, ${Text.minhashAggsSql(NumHashes).mkString(",\n  ")}
+         |       FROM shx GROUP BY doc_id),
+         |bands AS ($bandsSql),
+         |cand AS (SELECT DISTINCT n.doc_id AS new_doc, s.doc_id AS dup_of
+         |         FROM bands n JOIN bands s
+         |           ON n.band = s.band AND n.bkey = s.bkey
+         |         WHERE n.doc_id % $IncrementalMod = 0
+         |           AND s.doc_id % $IncrementalMod <> 0)
+         |SELECT new_doc, dup_of, jaccard FROM (
+         |  SELECT new_doc, dup_of,
+         |    CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(a.shset, b.shset))) AS jaccard
+         |  FROM cand JOIN sh a ON a.doc_id = cand.new_doc
+         |            JOIN sh b ON b.doc_id = cand.dup_of) v
+         |WHERE jaccard >= $JaccardThreshold
+         |ORDER BY new_doc, dup_of""".stripMargin
+    }
+  ) { (spark, dir) =>
+    val isBatch = pmod(col("doc_id"), lit(IncrementalMod)) === 0
+    val shx = documents(spark, dir)
+      .withColumn("tk", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(Text.bigramsExpr)).as("sh"))
+    val shDim = shx.select(col("sh")).distinct()
+      .select(col("sh") +: (0 until NumHashes)
+        .map(i => md5(concat(lit(s"$i|"), col("sh"))).as(s"h$i")): _*)
+    val mh = shx.join(broadcast(shDim), "sh").groupBy("doc_id")
+      .agg(min(col("h0")).as("mh0"),
+        (1 until NumHashes).map(i => min(col(s"h$i")).as(s"mh$i")): _*)
+      .cache()
+    val bandCols = (0 until NumBands).map(b => struct(lit(b).as("band"),
+      md5(concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))).as("bkey")))
+    val bands = mh.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    // the frozen index side scans once; the new batch's bands broadcast
+    val cand = bands.filter(!isBatch).as("s")
+      .join(broadcast(bands.filter(isBatch).as("n")),
+        col("s.band") === col("n.band") && col("s.bkey") === col("n.bkey"))
+      .select(col("n.doc_id").as("new_doc"), col("s.doc_id").as("dup_of"))
+      .distinct()
+    val isets = shx
+      .withColumn("shid", expr("CAST(conv(substr(md5(sh), 1, 15), 16, 10) AS BIGINT)"))
+      .groupBy("doc_id")
+      .agg(collect_list(col("shid")).as("iset"), count(lit(1)).as("sz"))
+      .cache()
+    cand
+      .join(isets.select(col("doc_id").as("new_doc"), col("iset").as("sa"),
+        col("sz").as("za")), "new_doc")
+      .join(isets.select(col("doc_id").as("dup_of"), col("iset").as("sb"),
+        col("sz").as("zb")), "dup_of")
+      .withColumn("i", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jaccard", expr("CAST(i AS DOUBLE) / (za + zb - i)"))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select(col("new_doc"), col("dup_of"), col("jaccard"))
+      .orderBy("new_doc", "dup_of")
+  }
+
   /** Document-frequency cutoff for the Jaccard inverted index: shingles
     * appearing in more than this many documents of a source are dropped
     * from the index AND from set sizes (Jaccard is then computed over the
@@ -1546,7 +1627,8 @@ object LlmQueries {
   }
 
   val all: Seq[QueryDef] = Seq(
-    textStats, langId, exactDedup, minhashLsh, dedupClusters, ngramJaccard,
+    textStats, langId, exactDedup, minhashLsh, incrementalNearDup,
+    dedupClusters, ngramJaccard,
     simhash, fingerprint, embedTopk, annLsh, annIvf, annIvfTrained,
     embedNearDup, tokenCount, imageMeta, audioMeta, imageResize,
     frameSample, qualityScore, piiScrub, repetition,
