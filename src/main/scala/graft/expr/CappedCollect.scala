@@ -50,7 +50,13 @@ case class CappedLongs(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[CappedLongsBuffer] {
 
-  private lazy val cap: Int = capExpr.eval().asInstanceOf[Number].intValue()
+  private lazy val cap: Int = {
+    val c = capExpr.eval().asInstanceOf[Number].intValue()
+    // loud guard (GuardsSpec convention): a non-positive cap is a caller
+    // bug, not an empty-collect request
+    require(c > 0, s"graft_capped_longs cap must be positive, got $c")
+    c
+  }
 
   override def children: Seq[Expression] = Seq(child, capExpr)
   override def nullable: Boolean = false

@@ -61,6 +61,12 @@ object SemDedup {
     * The one driver-side action is the sizing `count()` — a scalar
     * statistic, same role as the stats AQE reads; everything else is a
     * lazy plan.
+    *
+    * Codebook init follows [[Ivf.initCent]]: the vectors with vec_id in
+    * [0, K). On a SPARSE id space fewer than K seeds may exist — the
+    * assignment still functions (clusters just run larger, and the
+    * oversized guard below catches the consequence), but callers with
+    * sparse ids should densify first for the intended cluster sizing.
     */
   def guardedAssign(emb: DataFrame, targetClusterSize: Int,
       maxClusterSize: Int): DataFrame = {

@@ -1626,6 +1626,88 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  // ---- DSIR-style data selection: hashed-feature importance weights ----
+
+  /** Feature space: word unigrams hashed into this many buckets (the
+    * "hashed n-gram" trick that makes DSIR's density ratio estimable
+    * from counts alone — feature cardinality is FIXED regardless of
+    * vocabulary size).
+    */
+  private val DsirBuckets = 256
+
+  /** Weight quantum (same no-floating-point lever as tfidf/lm_score). */
+  private val DsirQuantum = 1000000L
+
+  /** The target-domain slice the mixture should look like. */
+  private val DsirTargetLang = "en"
+
+  /** DSIR-style importance weighting (data selection for language
+    * models via importance resampling): score every document by how much
+    * its hashed-unigram distribution looks like the TARGET domain
+    * relative to the raw corpus. Per bucket b, the quantized density
+    * ratio is `q(b) = ((target_count(b)+1) · 10^6) div (corpus_count(b) +
+    * 256)` (Laplace-smoothed, integer-exact in both engines); a doc's
+    * weight is the count-weighted mean of q over its tokens. A
+    * resampling step keeps docs proportionally to weight — here the
+    * weight itself is the oracle-checked artifact (deterministic; no RNG).
+    *
+    * 100 TB shape: ONE explode pass compacts to a per-(doc, bucket)
+    * count table (≤ 256 rows per doc, partial-aggregated); both the
+    * 256-row ratio table (re-aggregated from it) and the per-doc scores
+    * (broadcast-joined against it) derive from that cached compact, so
+    * the corpus text is scanned once and nothing corpus-sized shuffles
+    * twice.
+    *
+    * Measured on the fixture (sf0.01): mean weight orders
+    * en > de > fr > es > zh — target-first as designed, though the
+    * synthetic docs share one small vocabulary across `lang` labels, so
+    * the separation is narrow here by construction (real corpora
+    * separate by orders of magnitude).
+    */
+  val dsirWeight = QueryDef.sql(
+    "llm_dsir_weight", {
+      val bucket = s"(${Text.hexPrefixIntSql("md5(w)", 4)}) % $DsirBuckets"
+      s"""WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+         |            FROM documents),
+         |docb AS (SELECT doc_id, lang, $bucket AS b, CAST(count(*) AS BIGINT) AS c
+         |         FROM tok GROUP BY doc_id, lang, b),
+         |q AS (SELECT b,
+         |        ((sum(CASE WHEN lang = '$DsirTargetLang' THEN c ELSE 0 END) + 1) * $DsirQuantum)
+         |          // (sum(c) + $DsirBuckets) AS q
+         |      FROM docb GROUP BY b),
+         |scored AS (SELECT doc_id, CAST(sum(c * q) AS BIGINT) AS sum_q,
+         |                  CAST(sum(c) AS BIGINT) AS n_tokens
+         |           FROM docb JOIN q USING (b) GROUP BY doc_id)
+         |SELECT d.doc_id, d.lang,
+         |  coalesce(n_tokens, 0) AS n_tokens,
+         |  coalesce(sum_q, 0) AS sum_q,
+         |  CASE WHEN coalesce(n_tokens, 0) > 0 THEN sum_q // n_tokens ELSE 0 END AS dsir_weight
+         |FROM documents d LEFT JOIN scored ON d.doc_id = scored.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    }
+  ) { (spark, dir) =>
+    val bucket = s"(${Text.hexPrefixIntSql("md5(w)", 4)}) % $DsirBuckets"
+    val docb = documents(spark, dir)
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("w"))
+      .withColumn("b", expr(bucket))
+      .groupBy("doc_id", "lang", "b").agg(count(lit(1)).as("c"))
+      .cache()
+    val q = docb.groupBy("b")
+      .agg(((sum(when(col("lang") === DsirTargetLang, col("c")).otherwise(0L)) + 1)
+        * DsirQuantum).as("tgt"), sum(col("c")).as("all"))
+      .selectExpr("b", s"tgt div (`all` + $DsirBuckets) AS q")
+    val scored = docb.join(broadcast(q), "b")
+      .groupBy("doc_id")
+      .agg(sum(col("c") * col("q")).as("sum_q"), sum(col("c")).as("n_tokens"))
+    documents(spark, dir).select("doc_id", "lang")
+      .join(scored, Seq("doc_id"), "left")
+      .selectExpr("doc_id", "lang",
+        "coalesce(n_tokens, CAST(0 AS BIGINT)) AS n_tokens",
+        "coalesce(sum_q, CAST(0 AS BIGINT)) AS sum_q",
+        "CASE WHEN coalesce(n_tokens, 0) > 0 THEN sum_q div n_tokens ELSE CAST(0 AS BIGINT) END AS dsir_weight")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     textStats, langId, exactDedup, minhashLsh, incrementalNearDup,
     dedupClusters, ngramJaccard,
@@ -1634,5 +1716,5 @@ object LlmQueries {
     frameSample, qualityScore, piiScrub, repetition,
     contamination, urlHostStats, tfidfTopk, semDedup, topNgrams,
     seqPack, splitAssign, curation, mixSample, lengthQuantiles, lmScore,
-    lmScoreHoldout)
+    lmScoreHoldout, dsirWeight)
 }
