@@ -110,6 +110,57 @@ class PropertySpec extends SparkSuite {
     })
   }
 
+  // ---- round-6 aggregate laws --------------------------------------------
+
+  /** The capped collect's contract: paired with the exact count, the
+    * `count <= cap` filter yields COMPLETE, partitioning-invariant lists;
+    * over-cap groups are bounded at cap and never read complete.
+    */
+  test("graft_capped_longs + count law: complete under cap, bounded over, partition-invariant") {
+    graft.expr.GraftFunctions.register(spark)
+    val rowGen = for {
+      g <- Gen.choose(0, 4)
+      v <- Gen.choose(0L, 1000L)
+    } yield PG(g, v)
+    assertProp(Prop.forAll(Gen.listOfN(40, rowGen), Gen.oneOf(1, 3, 7)) { (rows, parts) =>
+      val cap = 6
+      val got = rows.toDF().repartition(parts)
+        .createOrReplaceTempView("pg")
+      val out = spark.sql(
+        s"SELECT g, sort_array(graft_capped_longs(v, $cap)) AS l, count(1) AS c " +
+          "FROM pg GROUP BY g")
+        .collect().map(r => r.getInt(0) -> (r.getSeq[Long](1), r.getLong(2))).toMap
+      val want = rows.groupBy(_.g).view.mapValues(_.map(_.v).sorted).toMap
+      out.forall { case (g, (l, c)) =>
+        c == want(g).length &&
+          (if (c <= cap) l == want(g)
+           else l.length == cap && l.forall(want(g).contains))
+      }
+    })
+  }
+
+  /** The last-by tiebreak law: even with DUPLICATE ords (contract
+    * violation), the winner is a pure function of the data — identical
+    * under every partitioning.
+    */
+  test("graft_last_by is partitioning-invariant even under duplicate ords") {
+    graft.expr.GraftFunctions.register(spark)
+    val rowGen = for {
+      g <- Gen.choose(0, 3)
+      ord <- Gen.choose(0L, 5L) // small range → frequent collisions
+      v <- Gen.alphaStr.map(_.take(6))
+    } yield PV(g, v, 0d, ord)
+    assertProp(Prop.forAll(Gen.listOfN(25, rowGen)) { rows =>
+      def run(parts: Int): Map[Int, String] = {
+        rows.toDF().repartition(parts).createOrReplaceTempView("pld")
+        spark.sql("SELECT k1, graft_last_by(k2, seq) FROM pld GROUP BY k1")
+          .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+      }
+      val a = run(1)
+      Seq(2, 5).forall(run(_) == a)
+    })
+  }
+
   // ---- the dashboard's own internal redundancy (Q1 vs Q2) ----------------
 
   test("Q1 and Q2 agree on net notional for shared leaders (sf0.001)") {
@@ -128,3 +179,4 @@ class PropertySpec extends SparkSuite {
 case class PT(sec_code: String, tick_no: Long, last: Double,
     quantity: Long, ts: Timestamp)
 case class PV(k1: Int, k2: String, payload: Double, seq: Long)
+case class PG(g: Int, v: Long)
