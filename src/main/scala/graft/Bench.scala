@@ -69,10 +69,14 @@ object Bench {
       try {
         exec(SparkEntry.queries(n), sfDir)
         val t = (System.nanoTime() - t0) / 1e9
-        times(n) = times.get(n).fold(t)(math.min(_, t))
+        // a query that failed its OTHER pass stays an error, never a time:
+        // an intermittent failure must not re-enter the warm total
+        // ("failures masquerading as fast runs", round-1 note above)
+        if (!errors.contains(n)) times(n) = times.get(n).fold(t)(math.min(_, t))
       } catch {
         case e: Throwable =>
           errors(n) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+          times.remove(n)
       }
     }
 

@@ -64,9 +64,16 @@ case class CappedLongs(
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
-    if (child.dataType == LongType) TypeCheckSuccess
-    else TypeCheckFailure(
-      s"graft_capped_longs value must be BIGINT, got ${child.dataType.simpleString}")
+    if (child.dataType != LongType)
+      TypeCheckFailure(
+        s"graft_capped_longs value must be BIGINT, got ${child.dataType.simpleString}")
+    else if (!capExpr.foldable)
+      TypeCheckFailure("graft_capped_longs cap must be a literal")
+    else capExpr.dataType match {
+      case ByteType | ShortType | IntegerType | LongType => TypeCheckSuccess
+      case t => TypeCheckFailure(
+        s"graft_capped_longs cap must be integral, got ${t.simpleString}")
+    }
   }
 
   override def createAggregationBuffer(): CappedLongsBuffer =

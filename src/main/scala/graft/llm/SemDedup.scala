@@ -113,9 +113,19 @@ object SemDedup {
 
     val refined = ok.unionByName(subAssigned)
     val refinedSizes = refined.groupBy("cluster_key").agg(count(lit(1)).as("rsz"))
-    refined.join(refinedSizes, "cluster_key")
+    val flaggedOut = refined.join(refinedSizes, "cluster_key")
       .select(col("vec_id"), col("cluster_key"), col("split"),
         (col("rsz") > maxClusterSize).as("capped"))
+    // zero-norm vectors have no cosine geometry — Ivf.assign excludes
+    // them from scoring, and silently LOSING them would contradict this
+    // module's loud-exclusion rule. Surface them under the reserved
+    // cluster key -1, capped (= excluded from the pair stage, visible in
+    // cappedClusters); their right handling is exact dedup, same as an
+    // unsplittable identical-vector cluster.
+    val zeroNorm = emb.filter(col("nrm") <= 0)
+      .select(col("vec_id"), lit(-1L).as("cluster_key"),
+        lit(false).as("split"), lit(true).as("capped"))
+    flaggedOut.unionByName(zeroNorm)
   }
 
   /** Within-cluster near-dup pairs over a guarded assignment — capped

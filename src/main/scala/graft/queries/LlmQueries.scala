@@ -245,6 +245,12 @@ object LlmQueries {
     }
   ) { (spark, dir) =>
     val isBatch = pmod(col("doc_id"), lit(IncrementalMod)) === 0
+    // shx feeds three consumers (dictionary, signatures, verify sets) but
+    // is NOT cached: the two CACHED artifacts (`mh`, `isets`) sit just
+    // downstream, so each derivation runs once per cache fill and warm
+    // runs never recompute it — caching the occurrence stream itself
+    // would hold corpus×shingles rows for no steady-state gain (the same
+    // trade [[minhashLsh]] makes).
     val shx = documents(spark, dir)
       .withColumn("tk", split(col("text"), " "))
       .select(col("doc_id"), explode(expr(Text.bigramsExpr)).as("sh"))

@@ -34,8 +34,11 @@ class SemDedupSpec extends SparkSuite {
       4L -> Seq(0L, 700L, 700L, 0L))
     val skew = (5L to 55L).map(i => i -> Seq(A, B, C)((i - 5).toInt % 3))
     val ident = (56L to 107L).map(i => i -> Seq(0L, 0L, 1000L, 0L))
+    // one all-zero vector: no cosine geometry — must surface flagged,
+    // never vanish
+    val zero = Seq(108L -> Seq(0L, 0L, 0L, 0L))
     import spark.implicits._
-    (seeds ++ skew ++ ident).toDF("vec_id", "qv")
+    (seeds ++ skew ++ ident ++ zero).toDF("vec_id", "qv")
       .withColumn("nrm", expr(graft.llm.Embed.normExprOf("qv")))
       .cache()
   }
@@ -51,9 +54,12 @@ class SemDedupSpec extends SparkSuite {
     assert(SemDedup.chooseK(Long.MaxValue / 4, 1000) == (1 << 20)) // cap
   }
 
-  test("every vector is assigned exactly once") {
+  test("every vector is assigned exactly once — including the zero-norm one") {
     val ids = assignment.select("vec_id").collect().map(_.getLong(0)).sorted
-    assert(ids.toSeq == (0L to 107L))
+    assert(ids.toSeq == (0L to 108L))
+    val z = assignment.filter(col("vec_id") === 108L).collect()
+    assert(z.length == 1 && z(0).getLong(1) == -1L && z(0).getBoolean(3),
+      "zero-norm vector must land in the reserved capped cluster -1")
   }
 
   test("the skewed d0 cluster splits into bounded, variant-pure sub-clusters") {
@@ -79,12 +85,15 @@ class SemDedupSpec extends SparkSuite {
   }
 
   test("the identical-vector cluster cannot split and is flagged capped — loudly") {
-    val identRows = assignment.filter(col("vec_id") >= 56 || col("vec_id") === 2)
+    val identRows = assignment.filter(
+      (col("vec_id") >= 56 && col("vec_id") <= 107) || col("vec_id") === 2)
       .collect().map(r => (r.getLong(1), r.getBoolean(3)))
     assert(identRows.forall(_._2), "identical d2 cluster must be capped")
     assert(identRows.map(_._1).distinct.length == 1)
     val capped = SemDedup.cappedClusters(assignment).collect()
-    assert(capped.length == 1 && capped(0).getLong(1) == 53)
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(capped.size == 2, s"identical cluster + zero-norm reserve: $capped")
+    assert(capped(-1L) == 1L && capped.values.toSeq.contains(53L))
   }
 
   test("guardedPairs covers the split clusters and excludes the capped quadratic") {
