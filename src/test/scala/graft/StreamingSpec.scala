@@ -67,6 +67,44 @@ class StreamingSpec extends SparkSuite {
     assert(c.open == 101.5 && c.close == 106.0 && c.volume == 1)
   }
 
+  test("checkpoint restart: keyed candle state survives a full query stop/start") {
+    // the round-6 recovery proof: not just state ACROSS micro-batches
+    // (previous test) but across a QUERY RESTART — the checkpoint's
+    // offsets + state store must restore the open candle so the rebooted
+    // query emits exactly what an uninterrupted run would (the
+    // reference's in-memory map loses this state on process restart;
+    // the Spark port does not).
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val ms = MemoryStream[Tick]
+    val outDir = Files.createTempDirectory("candles_rs_out").toString
+    val ckDir = Files.createTempDirectory("candles_rs_ck").toString
+
+    val q1 = CandleStream.sinkToParquet(
+      CandleStream.candles(ms.toDS(), D), outDir, ckDir)
+    ms.addData(batch1)
+    q1.processAllAvailable()
+    q1.stop() // hard stop mid-stream: sec1's 10:01 candle is OPEN state
+
+    // new query object, same checkpoint — recovery path
+    val q2 = CandleStream.sinkToParquet(
+      CandleStream.candles(ms.toDS(), D), outDir, ckDir)
+    ms.addData(batch2)
+    q2.processAllAvailable()
+    q2.stop()
+
+    val got = spark.read.parquet(outDir).as[graft.schema.Candle]
+      .collect().sortBy(c => (c.secId, c.date.getTime)).toSeq
+    val want = (batch1 ++ batch2).groupBy(_.secId).toSeq.flatMap { case (_, ts) =>
+      CandleCore.replay(ts.sortBy(t => (t.ts.getTime, t.tickNo)).iterator, D)
+    }.sortBy(c => (c.secId, c.date.getTime))
+    assert(got == want)
+    // the candle that PROVES recovery: opened before the stop, emitted after
+    val c = got.find(c => c.secId == 1 && c.date == Timestamp.valueOf("2024-12-06 10:02:00")).get
+    assert(c.open == 101.5 && c.close == 106.0 && c.volume == 1)
+  }
+
   test("watermarked window port: late ticks drop, on-time windows ≡ batchCandles") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
