@@ -1393,6 +1393,37 @@ object LlmQueries {
       .orderBy("vec_id")
   }
 
+  /** The guarded production path of [[semDedup]], driver-gated (round 6):
+    * [[graft.llm.SemDedup.guardedAssign]] with K derived from the corpus
+    * count. On the twinned fixture at the correctness SFs (N = 550,
+    * `chooseK(550, 35) = 16`) no cluster exceeds the bound, so the
+    * guarded output must equal the PLAIN K=16 assignment mapped to
+    * refined keys — which is exactly what the static oracle states
+    * (`cent_id·64`, no splits, nothing capped). The guard-FIRING paths
+    * (split, cap, zero-norm reserve) cannot be oracled statically — K and
+    * the fired set depend on runtime counts — and are pinned by
+    * SemDedupSpec on a skewed fixture instead. At bench SF (N = 2050 →
+    * K = 59) the same entry exercises the corpus-derived-K path under
+    * timing.
+    */
+  val semDedupGuarded = QueryDef.sql(
+    "llm_semdedup_guarded",
+    s"""WITH ${graft.fixtures.Fixtures.embeddingsNearDupCte},
+       |emb AS (${Embed.preparedSqlFrom("emb_nd")}),
+       |cent AS (${Ivf.initCentSql(IvfK, 0)}),
+       |${Ivf.assignCtesSql(IvfK)}
+       |SELECT vec_id,
+       |  CAST(cent_id AS BIGINT) * ${graft.llm.SemDedup.SubCap} AS cluster_key,
+       |  false AS split, false AS capped
+       |FROM assign ORDER BY vec_id""".stripMargin
+  ) { (spark, dir) =>
+    val emb = Embed.prepared(
+      graft.fixtures.Fixtures.embeddingsNearDup(spark, dir)).cache()
+    graft.llm.SemDedup.guardedAssign(emb,
+        targetClusterSize = 35, maxClusterSize = 550)
+      .orderBy("vec_id")
+  }
+
   // ---- data mixing: deterministic per-source sampling ----
 
   /** Per-source sampling rates (percent) — the mixture config a training
@@ -1720,7 +1751,8 @@ object LlmQueries {
     simhash, fingerprint, embedTopk, annLsh, annIvf, annIvfTrained,
     embedNearDup, tokenCount, imageMeta, audioMeta, imageResize,
     frameSample, qualityScore, piiScrub, repetition,
-    contamination, urlHostStats, tfidfTopk, semDedup, topNgrams,
+    contamination, urlHostStats, tfidfTopk, semDedup, semDedupGuarded,
+    topNgrams,
     seqPack, splitAssign, curation, mixSample, lengthQuantiles, lmScore,
     lmScoreHoldout, dsirWeight)
 }
