@@ -1424,6 +1424,55 @@ object LlmQueries {
       .orderBy("vec_id")
   }
 
+  // ---- context-window chunking ----
+
+  /** Chunk geometry: 64-token windows advancing by 48 (16-token overlap,
+    * the standard embedding/RAG prep so no boundary sentence is lost to
+    * a split).
+    */
+  private val ChunkSize = 64
+  private val ChunkStride = 48
+
+  /** Context-window chunking (the embedding/retrieval prep step of a
+    * training-data pipeline): split each document into fixed-size token
+    * windows with overlap. `nchunks = 1 + ceil((n - C) / stride)` for
+    * n > C — the last window may run short but every token is covered
+    * and no window starts beyond the text (stride < C guarantees it).
+    * All arithmetic is integer so both engines agree exactly.
+    *
+    * 100 TB shape: pure map-side explode (`sequence` over the chunk
+    * index, `slice` per window) — zero shuffle, zero state; the ORDER BY
+    * is presentation-only. Chunk multiplicity is bounded by ~n/stride,
+    * so output size is linear in corpus tokens.
+    */
+  val chunkSplit = QueryDef.sql(
+    "llm_chunk_split",
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |sized AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n FROM toks),
+       |nch AS (SELECT *, CASE WHEN n <= $ChunkSize THEN 1
+       |                       ELSE 1 + (n - $ChunkSize + $ChunkStride - 1) // $ChunkStride
+       |                  END AS nchunks
+       |        FROM sized),
+       |ch AS (SELECT doc_id, tk, n, unnest(range(0, nchunks)) AS ci FROM nch)
+       |SELECT doc_id, CAST(ci AS BIGINT) AS chunk_id,
+       |  CAST(least($ChunkSize, n - ci * $ChunkStride) AS BIGINT) AS chunk_tokens,
+       |  array_to_string(list_slice(tk, ci * $ChunkStride + 1, ci * $ChunkStride + $ChunkSize), ' ') AS chunk_text
+       |FROM ch
+       |ORDER BY doc_id, chunk_id""".stripMargin
+  ) { (spark, dir) =>
+    documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .withColumn("n", size(col("tk")).cast("long"))
+      .withColumn("nchunks", when(col("n") <= ChunkSize, lit(1L))
+        .otherwise(lit(1L) + expr(s"(n - $ChunkSize + $ChunkStride - 1) div $ChunkStride")))
+      .select(col("doc_id"), col("tk"), col("n"),
+        explode(expr("sequence(0, nchunks - 1)")).as("ci"))
+      .select(col("doc_id"), col("ci").cast("long").as("chunk_id"),
+        least(lit(ChunkSize.toLong), col("n") - col("ci") * ChunkStride).as("chunk_tokens"),
+        array_join(expr(s"slice(tk, ci * $ChunkStride + 1, $ChunkSize)"), " ").as("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   // ---- data mixing: deterministic per-source sampling ----
 
   /** Per-source sampling rates (percent) — the mixture config a training
@@ -1754,5 +1803,5 @@ object LlmQueries {
     contamination, urlHostStats, tfidfTopk, semDedup, semDedupGuarded,
     topNgrams,
     seqPack, splitAssign, curation, mixSample, lengthQuantiles, lmScore,
-    lmScoreHoldout, dsirWeight)
+    lmScoreHoldout, dsirWeight, chunkSplit)
 }
