@@ -14,11 +14,15 @@ import org.apache.spark.sql.SparkSession
   *     queries hit an already-loaded ClickHouse table;
   *   - the timed pass executes with a `noop` sink — unlike `count()`, this
   *     cannot let the optimizer drop ORDER BY stages, so sorts are paid;
-  *   - warm time per query = MIN of two timed passes (round 6): single
-  *     samples under ~100 resident caches swing ±20% on GC luck, which
-  *     round 5 mistook for regressions (PERF_NOTES.md);
+  *   - warm time per query = MIN of two timed reps taken back-to-back
+  *     (round 7; round 6's min over two full passes put ~104 other
+  *     entries' cache churn between a key's reps and produced warm > cold
+  *     inversions — PERF_NOTES.md round 7);
   *   - failures are reported in an `errors` map and EXCLUDED from totals
-  *     instead of masquerading as fast runs (round-1 advice).
+  *     instead of masquerading as fast runs (round-1 advice);
+  *   - a `streaming` section reports rows/s through both streaming candle
+  *     ports (round 7), and warm > cold + ε keys are flagged in an
+  *     `inversions` section instead of passing as real numbers.
   *
   * Cold lane (round 3): a second timed pass with ALL caches dropped
   * before each query (memoized derived tables + Spark's plan-keyed block
@@ -57,24 +61,29 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
-    // Warm lane is the MIN of two timed passes (round 6): with ~100
-    // entries' caches resident, single samples swing ±20% on GC/eviction
-    // luck — r5's three flagged "regressions" were exactly that (see
-    // PERF_NOTES.md, AbProbe). Min-of-2 reports the demonstrated
-    // steady-state cost; one extra pass ≈ +70 s total.
+    // Warm lane is the MIN of two timed reps taken BACK-TO-BACK per key
+    // (round 7). Round 6 took the min over two full PASSES, so an entry's
+    // two reps were separated by ~104 other entries' cache traffic — block
+    // eviction + GC between reps inflated "warm" for cache-heavy keys to
+    // the point of warm > cold inversions (r6 verdict item 3; PERF_NOTES.md
+    // round 7 shows llm_semdedup at 2.59 s pass-min vs 0.85 s adjacent-rep
+    // steady state). Adjacent reps measure what "warm" claims: the
+    // steady-state cost of THIS query with its own working set resident.
     val times = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    for (_ <- 1 to 2; n <- names) {
-      val t0 = System.nanoTime()
+    for (n <- names) {
       try {
-        exec(SparkEntry.queries(n), sfDir)
-        val t = (System.nanoTime() - t0) / 1e9
-        // a query that failed its OTHER pass stays an error, never a time:
-        // an intermittent failure must not re-enter the warm total
-        // ("failures masquerading as fast runs", round-1 note above)
-        if (!errors.contains(n)) times(n) = times.get(n).fold(t)(math.min(_, t))
+        val reps = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          exec(SparkEntry.queries(n), sfDir)
+          (System.nanoTime() - t0) / 1e9
+        }
+        times(n) = reps.min
       } catch {
         case e: Throwable =>
+          // a rep that fails stays an error, never a time: an intermittent
+          // failure must not enter the warm total ("failures masquerading
+          // as fast runs", round-1 note above)
           errors(n) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
           times.remove(n)
       }
@@ -91,6 +100,64 @@ object Bench {
       } catch { case _: Throwable => () } // already reported in `errors`
     }
 
+    // Streaming-throughput lane (round 7, r6 verdict item 7): the
+    // reference is a streaming ETL (process.go:15-173), but the bench
+    // measured only batch. Feed the tick fixture through MemoryStream in
+    // wire order in fixed micro-batches and time both streaming ports
+    // end-to-end — the exact keyed state machine (flatMapGroupsWithState)
+    // and the watermarked window aggregation. rows/s covers the timed
+    // batches only (the first batch is excluded: sink + state-store
+    // setup). Failures degrade to an "error" field, never fail the bench.
+    val streamingJson: String = try {
+      import org.apache.spark.sql.{DataFrame, Dataset}
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import graft.schema.Tick
+      import spark.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val tickRows = graft.fixtures.Fixtures.ticks(spark, sfDir).selectExpr(
+        "secid AS secId", "sec_code AS secCode", "ts", "time", "last",
+        "open", "quantity", "tick_no AS tickNo").as[Tick]
+        .collect().sortBy(t => (t.ts.getTime, t.tickNo))
+      val batchSize = 50000
+      val batches = tickRows.grouped(batchSize).toSeq
+      def runStream(mk: Dataset[Tick] => DataFrame): Double = {
+        val ms = MemoryStream[Tick]
+        val ck = java.nio.file.Files.createTempDirectory("bench_ck").toString
+        val q = mk(ms.toDS()).writeStream.outputMode("append")
+          .format("noop").option("checkpointLocation", ck).start()
+        ms.addData(batches.head.toSeq)
+        q.processAllAvailable()
+        val t0 = System.nanoTime()
+        batches.tail.foreach { b => ms.addData(b.toSeq); q.processAllAvailable() }
+        val sec = (System.nanoTime() - t0) / 1e9
+        q.stop()
+        (tickRows.length - batches.head.length) / sec
+      }
+      val day = java.time.LocalDate.of(2024, 12, 6)
+      val exact = runStream(ds => graft.streaming.CandleStream.candles(ds, day).toDF())
+      val windowed = runStream(ds => graft.streaming.CandleStream.candlesWindowed(ds, "2 minutes"))
+      s"""{"candles_rows_per_sec":${exact.round},"candles_windowed_rows_per_sec":${windowed.round},""" +
+        s""""rows":${tickRows.length},"batch_size":$batchSize,"batches":${batches.length}}"""
+    } catch { case e: Throwable =>
+      val msg = Option(e.getMessage).getOrElse(e.getClass.getName).take(120)
+        .replaceAll("[\"\\\\\\n]", " ")
+      System.err.println(s"[bench] streaming lane failed: $msg")
+      s"""{"error":"$msg"}"""
+    }
+
+    // Lane sanity (round 7, r6 verdict item 3): warm is the same work as
+    // cold minus scan/derivation, so warm > cold + ε means the measurement
+    // itself is suspect (cache eviction between a key's reps, GC luck) —
+    // flag it in the artifact rather than letting it pass as a real number.
+    // ε absorbs benign jitter on sub-second keys.
+    val inversions = times.collect {
+      case (n, w) if coldTimes.get(n).exists(c => w > c + math.max(0.25, 0.15 * c)) =>
+        n -> (w, coldTimes(n))
+    }
+    if (inversions.nonEmpty)
+      System.err.println(s"[bench] warm>cold inversions (measurement suspects): " +
+        inversions.map { case (n, (w, c)) => f"$n w=$w%.2f c=$c%.2f" }.mkString(", "))
+
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
@@ -99,16 +166,26 @@ object Bench {
     val qs = times.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val cqs = coldTimes.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
+    val invs = inversions.map { case (k, (w, c)) =>
+      s"${jstr(k)}:{\"warm\":$w,\"cold\":$c}" }.mkString("{", ",", "}")
     val total = times.values.sum
     val coldTotal = coldTimes.values.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total":$coldTotal,"cold_queries":$cqs,"errors":$es,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total":$coldTotal,"cold_queries":$cqs,"errors":$es,"inversions":$invs,"streaming":$streamingJson,"sf":"$sfDir"}"""
     println(line)
     // The driver's stdout capture has truncated the per-query head in past
     // rounds (r4/r5 verdicts) — ALSO persist the full artifact to a file
     // (committed per round) so every entry's warm+cold time is judgeable.
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-        "BENCH_FULL.json")), line)
+    // A run with errors must not clobber the committed artifact of a clean
+    // run (round-6 ADVICE): it is diverted to a .failed sibling instead.
+    val out0 = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json"))
+    val out = if (errors.nonEmpty && java.nio.file.Files.exists(out0)) {
+      val diverted = out0.resolveSibling(out0.getFileName.toString + ".failed")
+      System.err.println(s"[bench] ${errors.size} error(s) — keeping existing " +
+        s"$out0, writing this run to $diverted")
+      diverted
+    } else out0
+    try java.nio.file.Files.writeString(out, line)
     catch { case e: Throwable =>
       System.err.println(s"[bench] artifact write failed: ${e.getMessage}") }
     spark.stop()

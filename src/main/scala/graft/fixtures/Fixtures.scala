@@ -102,9 +102,24 @@ object Fixtures {
     spark.catalog.clearCache()
   }
 
+  /** Carry the reference DDL's fixed/short string widths as column
+    * metadata ([[graft.ingest.Dedup.FixedBytesKey]]) so the dedup read
+    * path can prove the payload BIGINT-packable and self-route to its
+    * all-hash columnar plan (round 7).
+    */
+  private def declareFixedBytes(df: DataFrame, cols: (String, Long)*): DataFrame =
+    cols.foldLeft(df) { case (d, (c, n)) =>
+      d.withMetadata(c, new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(d.schema(c).metadata)
+        .putLong(graft.ingest.Dedup.FixedBytesKey, n).build())
+    }
+
   def trades(spark: SparkSession, dir: String): DataFrame =
     memo(spark, dir, "trades") {
-      spark.read.parquet(s"$dir/lineitem.parquet").selectExpr(tradeColsSpark: _*)
+      // period: LowCardinality(FixedString(1)), db.go:60
+      declareFixedBytes(
+        spark.read.parquet(s"$dir/lineitem.parquet").selectExpr(tradeColsSpark: _*),
+        "period" -> 1L)
     }
 
   /** DuckDB twin of [[trades]] (date/interval dialect differs). */
@@ -214,12 +229,20 @@ object Fixtures {
   )
 
   def ticks(spark: SparkSession, dir: String): DataFrame =
-    memo(spark, dir, "ticks") {
-      spark.read.parquet(s"$dir/lineitem.parquet")
-        .selectExpr(tickInner: _*)
-        .selectExpr(tickCols :+
-          "timestampadd(SECOND, sod, CAST(l_shipdate AS TIMESTAMP)) AS ts": _*)
-    }
+    memo(spark, dir, "ticks") { ticksUncached(spark, dir) }
+
+  /** [[ticks]] WITHOUT the memo cache: consumers that read a strict column
+    * subset (e.g. the windowed candle agg — five of the eight columns) can
+    * let Catalyst prune the unused wire derivations (the HH:mm:ss string
+    * concat is the expensive one) all the way to the parquet scan, where
+    * the cached form materializes every column on a cold cache (an
+    * InMemoryRelation caches its full plan — caching defeats pruning).
+    */
+  def ticksUncached(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .selectExpr(tickInner: _*)
+      .selectExpr(tickCols :+
+        "timestampadd(SECOND, sod, CAST(l_shipdate AS TIMESTAMP)) AS ts": _*)
 
   val ticksCte: String =
     s"""ticks AS (SELECT ${tickCols.mkString(",\n  ")},
@@ -256,7 +279,9 @@ object Fixtures {
       .withColumn("ts", expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
 
   def quotes(spark: SparkSession, dir: String): DataFrame =
-    events(spark, dir).selectExpr(quoteCols: _*)
+    // source: LowCardinality(String), db.go:102 — short enum-like values,
+    // declared ≤ 8 bytes (the columnar pack's guard enforces it at runtime)
+    declareFixedBytes(events(spark, dir).selectExpr(quoteCols: _*), "source" -> 8L)
 
   val quotesCte: String =
     s"quotes AS (SELECT ${quoteCols.mkString(",\n  ")}\nFROM events)"

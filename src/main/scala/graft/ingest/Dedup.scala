@@ -13,13 +13,18 @@ import org.apache.spark.sql.functions._
   * the key — the layout a bucketed 100 TB table would already have,
   * making the shuffle elidable). No window function, no GLOBAL sort.
   *
-  * PLAN REALITY (verified via `graft.Explain dedup_trades`): the
+  * PLAN REALITY (verified via `graft.Explain dedup_trades`): the generic
   * `max_by(struct(...), seq)` buffer holds a struct, which
   * HashAggregateExec's fixed-width mutable-buffer rule rejects, so both
   * aggregation levels compile to SortAggregate, each preceded by a
   * per-partition external (spillable) Sort. Still linear, partial-
-  * aggregated, skew-free — but the sorts are the dominant cost of this
-  * entry. Three faster shapes exist and all ship here:
+  * aggregated, skew-free — but the sorts dominate. Since round 7
+  * [[lastWriteWins]] SELF-ROUTES to the columnar all-hash plan whenever
+  * the schema proves every payload column fixed-width (types +
+  * [[Dedup.FixedBytesKey]] string declarations), so the SortAggregate
+  * shape is only reached for genuinely unpackable payloads (long /
+  * unbounded strings, arrays). Three faster shapes exist and all ship
+  * here:
   * [[lastWriteWinsColumnar]] (per-column max_by — all-hash plan when
   * every payload column is fixed-width; ~2× faster on trades, where
   * the one string column is a single char), [[lastWriteWinsHash]] (the
@@ -36,14 +41,57 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Column-metadata key declaring a StringType column's values fixed at
+    * ≤ N bytes of printable ASCII (the reference's `FixedString(N)` /
+    * short `LowCardinality(String)` DDL, db.go:60,102, carried into the
+    * Spark schema). [[lastWriteWins]] reads it to prove a string payload
+    * BIGINT-packable; [[lastWriteWinsColumnar]]'s runtime guard still
+    * fails loudly if the data violates the declaration.
+    */
+  val FixedBytesKey = "graft_fixed_bytes"
+
+  private def isFixedWidth(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: NumericType | BooleanType | DateType | TimestampType |
+           TimestampNTZType => true
+      case _ => false
+    }
+  }
+
+  private def declaredPackable(f: org.apache.spark.sql.types.StructField): Boolean =
+    f.dataType == org.apache.spark.sql.types.StringType &&
+      f.metadata.contains(FixedBytesKey) && {
+        val n = f.metadata.getLong(FixedBytesKey); n >= 1 && n <= 8
+      }
+
   /** Last write wins per `keys`, "last" = max `seq` (must be unique within
     * a key for a deterministic winner — ingest sequence / arrival offset).
+    *
+    * SELF-ROUTING (round 7): when every payload column is provably
+    * fixed-width — numeric/boolean/date/timestamp by type, or StringType
+    * declared ≤ 8 ASCII bytes via [[FixedBytesKey]] metadata — the call
+    * delegates to [[lastWriteWinsColumnar]], whose per-column max_by plan
+    * stays on partial/final HashAggregateExec (~2× faster on trades than
+    * the struct-max_by SortAggregate below, and the same plan the
+    * dedicated columnar entry runs). Payloads that can't be proven
+    * packable keep the generic struct-max_by path, which accepts
+    * arbitrary columns. Output column order (keys first, then payload in
+    * input order) is identical on both routes.
     */
   def lastWriteWins(df: DataFrame, keys: Seq[String], seq: String): DataFrame = {
     val others = df.columns.filterNot(keys.contains).toSeq
-    df.groupBy(keys.map(col): _*)
-      .agg(max_by(struct(others.map(col): _*), col(seq)).as("_latest"))
-      .select(keys.map(col) ++ others.map(o => col("_latest").getField(o).as(o)): _*)
+    val payload = others.filterNot(_ == seq)
+    val packable = payload.filter(c => declaredPackable(df.schema(c))).toSet
+    val routable =
+      payload.forall(c => packable(c) || isFixedWidth(df.schema(c).dataType))
+    if (routable)
+      lastWriteWinsColumnar(df, keys, seq, packable)
+        .select((keys ++ others).map(col): _*)
+    else
+      df.groupBy(keys.map(col): _*)
+        .agg(max_by(struct(others.map(col): _*), col(seq)).as("_latest"))
+        .select(keys.map(col) ++ others.map(o => col("_latest").getField(o).as(o)): _*)
   }
 
   /** [[lastWriteWins]] on the HASH path for ARBITRARY payload columns:

@@ -11,11 +11,18 @@ import graft.schema.Schemas
   */
 object IngestQueries {
 
-  /** A16 (batch form) — tick→1-minute OHLCV candles. */
+  /** A16 (batch form) — tick→1-minute OHLCV candles. Reads the UNCACHED
+    * tick projection (round 7): the agg touches five of the eight tick
+    * columns, and only without the memo cache can Catalyst prune the
+    * unused wire derivations (the HH:mm:ss concat dominates) down to the
+    * parquet scan — cold 3.7 s → 1.4 s, warm 1.8 s → 1.4 s at sf0.1
+    * (tools/ColdProbe). The exact-replay entries keep the cached form:
+    * they read every column, so pruning buys nothing there.
+    */
   val a16CandlesBatch = QueryDef.sql(
     "a16_candles_batch",
     withCtes(CandleBuilder.batchCandlesSql, ticksCte)
-  ) { (spark, dir) => CandleBuilder.batchCandles(ticks(spark, dir)) }
+  ) { (spark, dir) => CandleBuilder.batchCandles(ticksUncached(spark, dir)) }
 
   private val tradeCols = Seq("time", "secid", "sec_code", "trade_no", "board",
     "price", "quantity", "buy_sell", "open_interest", "period", "ingest_seq")

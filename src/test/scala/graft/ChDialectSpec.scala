@@ -81,6 +81,34 @@ class ChDialectSpec extends SparkSuite {
     }
   }
 
+  // ---- plan accountability (round 7, r6 verdict item 1) ----
+  // The transliterated Q-series pins broadcast(securities) explicitly;
+  // the verbatim SQL path must get the same physical shape from Catalyst
+  // on its own (the dim is ≤65k rows in the reference, db.go:35 — a
+  // sort-merge join here would shuffle the 100 TB fact side). Assert it
+  // for every panel + templating query that joins the securities view.
+  test("every translated panel joins securities via broadcast, never sort-merge") {
+    graft.expr.GraftFunctions.register(spark)
+    val translatedAll: Seq[(String, String)] =
+      (0 until 20).map(i => s"panel $i" -> ChQueries.translatePanel(spark, dir, i)) ++
+        ChDashboard.templatingSqls().map { case (n, raw) =>
+          s"templating $n" -> ChQueries.translateSql(spark, dir, raw)
+        }
+    val joining: Seq[(String, DataFrame)] = translatedAll
+      .collect { case (n, sql) if sql.contains("transaq_securities") =>
+        n -> spark.sql(sql)
+      }
+    assert(joining.size >= 10) // most panels + both templating queries join
+    val fmt = org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    for ((label, df) <- joining) {
+      val plan = df.queryExecution.explainString(fmt)
+      assert(plan.contains("BroadcastHashJoin"),
+        s"panel $label: securities join is not broadcast:\n$plan")
+      assert(!plan.contains("SortMergeJoin"),
+        s"panel $label: sort-merge join in the verbatim path:\n$plan")
+    }
+  }
+
   test("translate rejects nothing it shouldn't: ANSI SQL passes through") {
     val ansi = "SELECT sec_code, sum(quantity) AS q FROM transaq_trades GROUP BY sec_code"
     val out = ChDialect.translate(ansi, ChQueries.params,
