@@ -9,20 +9,22 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 
 /** Bounded collect state: at most `cap` BIGINT values, in arrival order.
-  * Once full it stops absorbing — by design, not by accident: callers pair
-  * it with an exact `count(*)` in the same aggregation and DISCARD any
-  * group whose count exceeds the cap, so a truncated list is never read.
+  * Once full it stops absorbing and REMEMBERS that it dropped values —
+  * a truncated buffer evaluates to NULL (see [[CappedLongs]]), so a
+  * partial list can never be mistaken for a complete one.
   */
 final class CappedLongsBuffer(val cap: Int) {
   var values: Array[Long] = new Array[Long](math.min(cap, 16))
   var size: Int = 0
+  var truncated: Boolean = false
 
-  def add(v: Long): Unit = if (size < cap) {
-    if (size == values.length)
-      values = java.util.Arrays.copyOf(values, math.min(cap, values.length * 2))
-    values(size) = v
-    size += 1
-  }
+  def add(v: Long): Unit =
+    if (size < cap) {
+      if (size == values.length)
+        values = java.util.Arrays.copyOf(values, math.min(cap, values.length * 2))
+      values(size) = v
+      size += 1
+    } else truncated = true
 }
 
 /** `graft_capped_longs(col, cap)` — `collect_list` for BIGINT with a HARD
@@ -42,6 +44,16 @@ final class CappedLongsBuffer(val cap: Int) {
   *
   * A [[TypedImperativeAggregate]] (ObjectHashAggregate path) with
   * partial/final combine; merge concatenates up to the cap.
+  *
+  * TRUNCATION CONTRACT (round-7, hardening a round-6 advice note): a
+  * group that overflowed its cap evaluates to NULL, not to a partial
+  * list — arrival-order truncation is partition-dependent, and an
+  * unpaired caller must not be able to read a nondeterministic prefix
+  * as data. A group with EXACTLY cap values is complete and returns its
+  * full list. The intended idiom is unchanged: pair with `count(*)` and
+  * keep `count <= cap − 1`-style groups (every kept list is then
+  * complete AND non-null); the NULL is the backstop for callers that
+  * skip the pairing.
   */
 case class CappedLongs(
     child: Expression,
@@ -59,7 +71,7 @@ case class CappedLongs(
   }
 
   override def children: Seq[Expression] = Seq(child, capExpr)
-  override def nullable: Boolean = false
+  override def nullable: Boolean = true // truncated groups evaluate to NULL
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
@@ -70,7 +82,16 @@ case class CappedLongs(
     else if (!capExpr.foldable)
       TypeCheckFailure("graft_capped_longs cap must be a literal")
     else capExpr.dataType match {
-      case ByteType | ShortType | IntegerType | LongType => TypeCheckSuccess
+      case ByteType | ShortType | IntegerType | LongType =>
+        // the cap is evaluated HERE, at analysis, so a NULL or
+        // non-positive literal fails with its name instead of an opaque
+        // NPE at execution (round-6 advice)
+        capExpr.eval() match {
+          case null => TypeCheckFailure("graft_capped_longs cap must not be NULL")
+          case n: Number if n.intValue() <= 0 => TypeCheckFailure(
+            s"graft_capped_longs cap must be positive, got ${n.intValue()}")
+          case _ => TypeCheckSuccess
+        }
       case t => TypeCheckFailure(
         s"graft_capped_longs cap must be integral, got ${t.simpleString}")
     }
@@ -87,18 +108,21 @@ case class CappedLongs(
 
   override def merge(b: CappedLongsBuffer, o: CappedLongsBuffer): CappedLongsBuffer = {
     var i = 0
-    while (i < o.size && b.size < b.cap) { b.add(o.values(i)); i += 1 }
+    while (i < o.size) { b.add(o.values(i)); i += 1 } // add() flags overflow
+    b.truncated ||= o.truncated
     b
   }
 
   override def eval(b: CappedLongsBuffer): Any =
-    new GenericArrayData(java.util.Arrays.copyOf(b.values, b.size))
+    if (b.truncated) null
+    else new GenericArrayData(java.util.Arrays.copyOf(b.values, b.size))
 
   override def serialize(b: CappedLongsBuffer): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(b.cap)
     out.writeInt(b.size)
+    out.writeBoolean(b.truncated)
     var i = 0
     while (i < b.size) { out.writeLong(b.values(i)); i += 1 }
     out.flush()
@@ -109,6 +133,7 @@ case class CappedLongs(
     val in = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
     val b = new CappedLongsBuffer(in.readInt())
     val n = in.readInt()
+    b.truncated = in.readBoolean()
     var i = 0
     while (i < n) { b.add(in.readLong()); i += 1 }
     b

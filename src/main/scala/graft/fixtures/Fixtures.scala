@@ -517,6 +517,32 @@ object Fixtures {
        |    list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) + $twinNoise) AS embedding
        |  FROM embeddings WHERE vec_id < 50)""".stripMargin
 
+  /** [[embeddingsNearDup]] plus an EXACT re-delivery of every 5th base
+    * vector under a fresh id (+200000) — the embedding-table analog of
+    * [[tradesVersioned]]: a re-crawled document re-embedded under a new
+    * ingest id produces a bit-identical vector. Gives the capped-cluster
+    * exact-dedup fold (`llm_semdedup_capped`) true positives: identical
+    * embeddings quantize identically, so they collapse under the
+    * hash-groupBy where the perturbed twins (≈0.99 cosine) do not.
+    */
+  def embeddingsRedelivered(spark: SparkSession, dir: String): DataFrame =
+    memo(spark, dir, "embeddings_redelivered") {
+      embeddingsNearDup(spark, dir).unionAll(
+        spark.read.parquet(s"$dir/embeddings.parquet")
+          .where("vec_id % 5 = 0")
+          .selectExpr("vec_id + 200000 AS vec_id", "label",
+            "transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding"))
+    }
+
+  /** DuckDB twin of [[embeddingsRedelivered]] (expects `emb_nd` in scope). */
+  val embeddingsRedeliveredCte: String =
+    """emb_rd AS (
+      |  SELECT * FROM emb_nd
+      |  UNION ALL
+      |  SELECT vec_id + 200000 AS vec_id, label,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+      |  FROM embeddings WHERE vec_id % 5 = 0)""".stripMargin
+
   /** Prepend CTEs to a query body: `withCtes(body, tradesCte, ...)`. */
   def withCtes(body: String, ctes: String*): String =
     s"WITH ${ctes.mkString(",\n")}\n$body"

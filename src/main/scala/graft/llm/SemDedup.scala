@@ -152,4 +152,32 @@ object SemDedup {
   def cappedClusters(assignment: DataFrame): DataFrame =
     assignment.filter(col("capped"))
       .groupBy("cluster_key").agg(count(lit(1)).as("sz"))
+
+  /** The exact-dedup route capped clusters are flagged FOR (round 7 —
+    * round 6 flagged them but ran nothing): group each capped cluster's
+    * members by their quantized vector — identical qv = exact duplicate
+    * at the quantizer's resolution, the only well-defined equality for
+    * clusters whose pairwise-cosine stage is excluded (identical-vector
+    * clusters tie every cosine anyway) — and keep the lowest vec_id.
+    * Returns a verdict row (vec_id, cluster_key, dup_of, dropped) for
+    * EVERY capped member: `dup_of` = the keeper's id, −1 for the keeper
+    * itself. The zero-norm reserve cluster −1 flows through the same
+    * fold (all-zero qv groups collapse like any other).
+    *
+    * 100 TB shape: one hash-groupBy on (cluster_key, qv) + an equi-join
+    * back — linear in capped membership, partial-aggregated map-side,
+    * and the very skew that capped the cluster (thousands of identical
+    * vectors) is what the hash aggregate collapses before the exchange.
+    */
+  def cappedExactDedup(emb: DataFrame, assignment: DataFrame): DataFrame = {
+    val mem = assignment.filter(col("capped"))
+      .join(emb.select("vec_id", "qv"), "vec_id")
+    val keep = mem.groupBy(col("cluster_key"), col("qv"))
+      .agg(min("vec_id").as("keeper"))
+    mem.join(keep, Seq("cluster_key", "qv"))
+      .select(col("vec_id"), col("cluster_key"),
+        when(col("vec_id") === col("keeper"), lit(-1L))
+          .otherwise(col("keeper")).as("dup_of"),
+        (col("vec_id") =!= col("keeper")).as("dropped"))
+  }
 }

@@ -1412,16 +1412,76 @@ object LlmQueries {
        |emb AS (${Embed.preparedSqlFrom("emb_nd")}),
        |cent AS (${Ivf.initCentSql(IvfK, 0)}),
        |${Ivf.assignCtesSql(IvfK)}
-       |SELECT vec_id,
-       |  CAST(cent_id AS BIGINT) * ${graft.llm.SemDedup.SubCap} AS cluster_key,
-       |  false AS split, false AS capped
-       |FROM assign ORDER BY vec_id""".stripMargin
+       |SELECT vec_id, cluster_key, split, capped FROM (
+       |  SELECT vec_id,
+       |    CAST(cent_id AS BIGINT) * ${graft.llm.SemDedup.SubCap} AS cluster_key,
+       |    false AS split, false AS capped
+       |  FROM assign
+       |  UNION ALL
+       |  -- zero-norm vectors: the assign CTE's nrm > 0 filter drops them,
+       |  -- the Scala path surfaces them under the reserved capped key -1 —
+       |  -- keep both renderings TOTAL so a future zero-norm fixture vector
+       |  -- fails on values, not on a confusing row-count diff (r6 advice)
+       |  SELECT vec_id, CAST(-1 AS BIGINT) AS cluster_key,
+       |    false AS split, true AS capped
+       |  FROM emb WHERE nrm <= 0
+       |) u ORDER BY vec_id""".stripMargin
   ) { (spark, dir) =>
     val emb = Embed.prepared(
       graft.fixtures.Fixtures.embeddingsNearDup(spark, dir)).cache()
     graft.llm.SemDedup.guardedAssign(emb,
         targetClusterSize = 35, maxClusterSize = 550)
       .orderBy("vec_id")
+  }
+
+  /** The exact-dedup fold capped clusters are routed to
+    * ([[graft.llm.SemDedup.cappedExactDedup]], round 7 — round 6 flagged
+    * capped clusters but ran nothing over them). Driver-oracled via a
+    * deterministic capped scenario both engines can state: the K=16
+    * assignment over the REDELIVERED embedding fixture (exact re-crawl
+    * copies under fresh ids, [[graft.fixtures.Fixtures
+    * .embeddingsRedelivered]]), with clusters whose size exceeds 1.1× the
+    * mean marked capped — a relative threshold, so it fires at every SF
+    * (both engines derive it from identical integer counts, so the double
+    * compare agrees). The redelivered copies quantize identically to
+    * their originals and collapse under the fold; the ≈0.99-cosine twins
+    * do NOT (exact dedup is precision-honest). The guard-FIRING composition
+    * guardedAssign → cappedExactDedup (runtime-K, unsplittable identical
+    * cluster, zero-norm reserve key) is pinned by SemDedupSpec.
+    */
+  val semDedupCapped = QueryDef.sql(
+    "llm_semdedup_capped",
+    s"""WITH ${graft.fixtures.Fixtures.embeddingsNearDupCte},
+       |${graft.fixtures.Fixtures.embeddingsRedeliveredCte},
+       |emb AS (${Embed.preparedSqlFrom("emb_rd")}),
+       |cent AS (${Ivf.initCentSql(IvfK, 0)}),
+       |${Ivf.assignCtesSql(IvfK)},
+       |sizes AS (SELECT cent_id, COUNT(*) AS sz FROM assign GROUP BY cent_id),
+       |capped AS (SELECT cent_id FROM sizes
+       |           WHERE sz > 1.1 * (SELECT AVG(sz) FROM sizes)),
+       |mem AS (SELECT a.vec_id, a.cent_id, e.qv
+       |        FROM assign a JOIN capped USING (cent_id) JOIN emb e USING (vec_id)),
+       |keep AS (SELECT cent_id, qv, MIN(vec_id) AS keeper
+       |         FROM mem GROUP BY cent_id, qv)
+       |SELECT m.vec_id, CAST(m.cent_id AS BIGINT) * ${graft.llm.SemDedup.SubCap} AS cluster_key,
+       |  CASE WHEN m.vec_id = k.keeper THEN CAST(-1 AS BIGINT) ELSE k.keeper END AS dup_of,
+       |  m.vec_id <> k.keeper AS dropped
+       |FROM mem m JOIN keep k ON m.cent_id = k.cent_id AND m.qv = k.qv
+       |ORDER BY m.vec_id""".stripMargin
+  ) { (spark, dir) =>
+    val emb = Embed.prepared(
+      graft.fixtures.Fixtures.embeddingsRedelivered(spark, dir)).cache()
+    val assigned = Ivf.assign(emb, Ivf.initCent(emb, IvfK, 0), IvfK)
+    val sizes = assigned.groupBy("cent_id").agg(count(lit(1)).as("sz"))
+    // K rows — the mean is a broadcast scalar, same role as in guardedAssign
+    val meanSz = sizes.agg(avg("sz").as("mean_sz"))
+    val flagged = sizes.crossJoin(broadcast(meanSz))
+      .select(col("cent_id"), (col("sz") > lit(1.1) * col("mean_sz")).as("capped"))
+    val assignment = assigned.join(broadcast(flagged), "cent_id")
+      .select(col("vec_id"),
+        (col("cent_id").cast("long") * graft.llm.SemDedup.SubCap).as("cluster_key"),
+        lit(false).as("split"), col("capped"))
+    graft.llm.SemDedup.cappedExactDedup(emb, assignment).orderBy("vec_id")
   }
 
   // ---- context-window chunking ----
@@ -1801,6 +1861,7 @@ object LlmQueries {
     embedNearDup, tokenCount, imageMeta, audioMeta, imageResize,
     frameSample, qualityScore, piiScrub, repetition,
     contamination, urlHostStats, tfidfTopk, semDedup, semDedupGuarded,
+    semDedupCapped,
     topNgrams,
     seqPack, splitAssign, curation, mixSample, lengthQuantiles, lmScore,
     lmScoreHoldout, dsirWeight, chunkSplit)

@@ -124,25 +124,42 @@ class FunctionsSpec extends SparkSuite {
     }
   }
 
-  test("graft_capped_longs: complete under the cap, bounded over it, merges across partitions") {
+  test("graft_capped_longs: complete at/under the cap, NULL over it, merges across partitions") {
     GraftFunctions.register(spark)
     import spark.implicits._
-    // group 1: 5 values (< cap) — list must be complete
-    // group 2: 40 values (> cap 8) — list must be capped at 8, count exact
-    val rows = (1 to 5).map(i => (1, i.toLong)) ++ (1 to 40).map(i => (2, i.toLong))
+    // group 1: 5 values (< cap) — complete list
+    // group 2: 40 values (> cap 8) — truncated: NULL, never a partial
+    //   prefix an unpaired caller could mistake for data (round-7 contract)
+    // group 3: exactly 8 values (== cap) — full but NOT truncated: complete
+    val rows = (1 to 5).map(i => (1, i.toLong)) ++ (1 to 40).map(i => (2, i.toLong)) ++
+      (1 to 8).map(i => (3, i.toLong))
     new scala.util.Random(7).shuffle(rows).toDF("g", "v")
       .repartition(5).createOrReplaceTempView("cl")
     val got = spark.sql(
       """SELECT g, sort_array(graft_capped_longs(v, 8)) AS l, count(1) AS c
         |FROM cl GROUP BY g""".stripMargin)
-      .collect().map(r => (r.getInt(0), r.getSeq[Long](1), r.getLong(2))).sortBy(_._1)
-    assert(got(0)._2 == (1L to 5L) && got(0)._3 == 5L)
-    assert(got(1)._2.length == 8 && got(1)._2.toSet.subsetOf((1L to 40L).toSet))
-    assert(got(1)._3 == 40L) // the paired exact count is what gates truncation
+      .collect().map(r => (r.getInt(0), Option(r.getSeq[Long](1)), r.getLong(2))).sortBy(_._1)
+    assert(got(0)._2.contains(1L to 5L) && got(0)._3 == 5L)
+    assert(got(1)._2.isEmpty, "over-cap group must evaluate to NULL")
+    assert(got(1)._3 == 40L) // the paired exact count still gates the filter
+    assert(got(2)._2.contains(1L to 8L) && got(2)._3 == 8L)
     // stays on the object-hash path alongside a declarative count
     val plan = spark.sql(
       "SELECT g, graft_capped_longs(v, 8), count(1) FROM cl GROUP BY g")
       .queryExecution.executedPlan.toString
     assert(plan.contains("ObjectHashAggregate"), plan)
+  }
+
+  test("graft_capped_longs: NULL or non-positive cap literal fails at analysis, loudly") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    Seq((1, 1L)).toDF("g", "v").createOrReplaceTempView("cl0")
+    for (capSql <- Seq("CAST(NULL AS INT)", "0", "-3")) {
+      val e = intercept[Exception] {
+        spark.sql(s"SELECT graft_capped_longs(v, $capSql) FROM cl0 GROUP BY g").collect()
+      }
+      assert(e.getMessage.contains("graft_capped_longs cap"),
+        s"cap=$capSql raised: ${e.getMessage}")
+    }
   }
 }

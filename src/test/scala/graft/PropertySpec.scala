@@ -114,9 +114,10 @@ class PropertySpec extends SparkSuite {
 
   /** The capped collect's contract: paired with the exact count, the
     * `count <= cap` filter yields COMPLETE, partitioning-invariant lists;
-    * over-cap groups are bounded at cap and never read complete.
+    * over-cap groups evaluate to NULL (round 7 — a partition-dependent
+    * prefix must never be readable as data).
     */
-  test("graft_capped_longs + count law: complete under cap, bounded over, partition-invariant") {
+  test("graft_capped_longs + count law: complete under cap, NULL over, partition-invariant") {
     graft.expr.GraftFunctions.register(spark)
     val rowGen = for {
       g <- Gen.choose(0, 4)
@@ -129,12 +130,12 @@ class PropertySpec extends SparkSuite {
       val out = spark.sql(
         s"SELECT g, sort_array(graft_capped_longs(v, $cap)) AS l, count(1) AS c " +
           "FROM pg GROUP BY g")
-        .collect().map(r => r.getInt(0) -> (r.getSeq[Long](1), r.getLong(2))).toMap
+        .collect().map(r => r.getInt(0) -> (Option(r.getSeq[Long](1)), r.getLong(2))).toMap
       val want = rows.groupBy(_.g).view.mapValues(_.map(_.v).sorted).toMap
       out.forall { case (g, (l, c)) =>
         c == want(g).length &&
-          (if (c <= cap) l == want(g)
-           else l.length == cap && l.forall(want(g).contains))
+          (if (c <= cap) l.contains(want(g)) // at/under cap: complete
+           else l.isEmpty) // over cap: NULL, partition-invariantly
       }
     })
   }

@@ -96,6 +96,20 @@ class SemDedupSpec extends SparkSuite {
     assert(capped(-1L) == 1L && capped.values.toSeq.contains(53L))
   }
 
+  test("cappedExactDedup collapses the identical capped cluster and keeps the zero vector") {
+    val verdicts = SemDedup.cappedExactDedup(emb, assignment).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    // every capped member — the identical d2 cluster (seed 2 + 56..107)
+    // and the zero-norm reserve — gets a verdict, nobody else does
+    assert(verdicts.keySet == (56L to 107L).toSet + 2L + 108L)
+    // the identical vectors collapse to the lowest id (seed 2), which is kept
+    assert(verdicts(2L)._2 == -1L && !verdicts(2L)._3)
+    for (i <- 56L to 107L)
+      assert(verdicts(i) == ((verdicts(2L)._1, 2L, true)), s"member $i")
+    // the zero vector is alone in its qv group: kept, never dropped
+    assert(verdicts(108L) == ((-1L, -1L, false)))
+  }
+
   test("guardedPairs covers the split clusters and excludes the capped quadratic") {
     val pairs = SemDedup.guardedPairs(emb, assignment, threshold = 0.99).cache()
     // within-variant cosines are exactly 1.0: C(17,2) pairs per variant

@@ -33,7 +33,15 @@ object ChCheck {
     var bad = 0
     for (n <- 1 to 22) {
       val ch = f"ch_q$n%02d_dashboard_sql"
-      val q = graft.queries.TradeQueries.all(n - 1).name
+      // twin lookup by NAME, not list position (r6 advice): a reordered or
+      // extended TradeQueries.all must fail loudly, not compare wrong twins
+      val prefix = f"q$n%02d_"
+      val q = graft.queries.TradeQueries.all.map(_.name)
+        .filter(_.startsWith(prefix)) match {
+        case Seq(one) => one
+        case other => sys.error(s"[chcheck] twin lookup for $ch: expected " +
+          s"exactly one $prefix* query, got $other")
+      }
       val (a, b) = (rows(ch), rows(q))
       val ok = a == b
       if (!ok) {
