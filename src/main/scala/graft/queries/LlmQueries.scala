@@ -117,8 +117,31 @@ object LlmQueries {
   private val NumBands = 6
   private val JaccardThreshold = 0.5
 
+  /** Band-bucket size cap (round 7 — the 10× ScaleProbe caught the band
+    * self-join going quadratic: candidate pairs 89k at sf0.1 → 8.1M at
+    * 10× the docs, a 91× growth, with buckets over this cap carrying 74%
+    * of them). A bucket of B docs contributes B(B−1)/2 candidate pairs,
+    * so bucket size is to LSH what document frequency is to the inverted
+    * index — and this is the same cut as [[DfCutoff]], applied to band
+    * buckets: buckets larger than the cap are dropped from candidate
+    * generation. An oversized bucket means the banding has stopped
+    * discriminating there — on this fixture because the tiny synthetic
+    * vocabulary gives RANDOM doc pairs ~0.17 background Jaccard (measured
+    * candidate precision: 256 verified of 64k candidates at sf0.1 —
+    * 0.4%); on a real corpus because of a mass-duplicated boilerplate
+    * cluster, which is [[exactDedup]]'s job (identical text) upstream and
+    * shows up at every band simultaneously. Chosen above the max bucket
+    * size at both correctness SFs (no behavior change where the oracle
+    * gates: 808/808 candidates at sf0.01) and measured at sf0.1 to lose
+    * ZERO verified pairs (256/256) while cutting sf1 candidates 8.1M →
+    * 2.1M (339 → 338 verified). Applied identically in the DuckDB twins.
+    */
+  private val LshBucketCap = 64
+
   /** DuckDB CTE chain ending in `pairs` (doc_a < doc_b, exact jaccard ≥
-    * threshold) — shared by the pair entry and [[dedupClusters]].
+    * threshold) — shared by the pair entry and [[dedupClusters]]. Bucket
+    * sizes are computed and oversized buckets dropped ([[LshBucketCap]])
+    * exactly as the Spark side does.
     */
   private val minhashPairsCtes: String = {
     val bandsSql = (0 until NumBands)
@@ -130,9 +153,12 @@ object LlmQueries {
        |mh AS (SELECT doc_id, ${Text.minhashAggsSql(NumHashes).mkString(",\n  ")}
        |       FROM shx GROUP BY doc_id),
        |bands AS ($bandsSql),
+       |bsz AS (SELECT band, bkey, count(*) AS c FROM bands GROUP BY band, bkey),
        |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        |         FROM bands x JOIN bands y
-       |           ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+       |           ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+       |         JOIN bsz ON bsz.band = x.band AND bsz.bkey = x.bkey
+       |         WHERE bsz.c <= $LshBucketCap),
        |pairs AS (SELECT doc_a, doc_b, jaccard FROM (
        |  SELECT doc_a, doc_b,
        |    CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE)
@@ -167,10 +193,23 @@ object LlmQueries {
       md5(concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))).as("bkey")))
     val bands = mh.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
-    val cand = bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b")).distinct()
+    // bucket aggregation instead of a band SELF-JOIN (round 7): collect
+    // each bucket's members under the [[LshBucketCap]] hard buffer
+    // (over-cap buckets evaluate NULL and the paired count discards them
+    // — the graft_capped_longs contract) and emit candidate pairs
+    // MAP-SIDE from each sorted member list, the same fused shape as
+    // [[ngramJaccard]]'s posting lists. Kills both scale hazards the 10×
+    // probe measured: the self-join's quadratic growth on oversized
+    // buckets, and a second shuffle of the full band table.
+    val cand = bands.groupBy(col("band"), col("bkey"))
+      .agg(expr(s"graft_capped_longs(doc_id, ${LshBucketCap + 1})").as("raw"),
+        count(lit(1)).as("c"))
+      .filter(col("c") <= LshBucketCap)
+      .select(sort_array(col("raw")).as("docs"))
+      .select(explode(expr(
+        "flatten(transform(docs, (x, i) -> transform(slice(docs, i + 2, size(docs)), y -> named_struct('a', x, 'b', y))))"
+      )).as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b")).distinct()
     // verify on INTEGER shingle-id sets (60-bit md5 prefix): int-array
     // intersects are far cheaper than string sets, and the arrays shuffled
     // to the candidate join are 4× smaller; |A∪B| = |A|+|B|-|A∩B|
@@ -191,8 +230,10 @@ object LlmQueries {
   }
 
   /** Banded MinHash-LSH near-duplicate pairs over word-bigram shingles.
-    * Candidates come ONLY from band-bucket equi-joins (never an all-pairs
-    * product); survivors are verified with exact set Jaccard.
+    * Candidates come ONLY from band buckets (never an all-pairs product)
+    * — generated map-side from capped bucket member lists
+    * ([[LshBucketCap]]), not a band self-join — and survivors are
+    * verified with exact set Jaccard.
     */
   val minhashLsh = QueryDef.sql(
     "llm_minhash_lsh",
@@ -217,6 +258,14 @@ object LlmQueries {
     * are tiny and BROADCAST, so candidate generation is one scan of the
     * index with zero corpus shuffle, and only candidates (bounded by
     * band collisions) reach the exact-Jaccard verification join.
+    *
+    * Bucket-size note (round 7): the symmetric pair stream caps band
+    * buckets ([[LshBucketCap]]) because a bucket of B docs yields B²/2
+    * pairs; HERE a hot seen-side bucket yields at most B × (batch docs
+    * in that bucket) candidates — linear in the batch — and the 10×
+    * ScaleProbe measured 6× time at 10× data (sublinear). The cap is
+    * therefore not applied on this path; if batch sizes ever approach
+    * corpus size, the symmetric entry is the right tool anyway.
     */
   val incrementalNearDup = QueryDef.sql(
     "llm_incremental_neardup", {

@@ -1,0 +1,117 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-7 empirical scale probe (VERDICT r6 item 8): the 100 TB
+  * arguments for the superlinear-risk entries are plan-level — show one
+  * order of magnitude of measured slope. Materializes a synthetic
+  * sf1-scale corpus (10× sf0.1) under /tmp and times the five flagged
+  * entries at both scales.
+  *
+  * Scaling construction (deterministic, workload-shape preserving):
+  *   - documents ×10: replica r of a doc keeps the original text for
+  *     r=0 and otherwise rewrites it as a seeded Fisher–Yates shuffle of
+  *     its words. The seed is a hash of the TEXT (plus r), not the id, so
+  *     two exact-duplicate docs shuffle identically in every replica —
+  *     exact-dup density per doc is constant across scale — while docs
+  *     that merely SHARE bigrams get different permutations, so replicas
+  *     do not become near-dups of each other (a naive verbatim ×10 would
+  *     square the candidate-pair count at 10× the data and measure a
+  *     self-inflicted explosion, not the pipeline's slope).
+  *   - embeddings ×10: replica r rotates the 64-dim vector by 7r
+  *     positions (norm-preserving, cosine-decorrelating), ids offset.
+  *
+  * Times are warm min-of-2 after a warmup pass, per the bench lane;
+  * output row counts ride along so a slope reading can check the
+  * workload actually stayed proportionate.
+  *
+  * Run with `sbt "Test/runMain graft.tools.ScaleProbe"`.
+  */
+object ScaleProbe {
+  private val Entries = Seq(
+    "llm_minhash_lsh", "llm_ngram_jaccard", "llm_semdedup_guarded",
+    "llm_dedup_clusters", "llm_incremental_neardup")
+  private val Reps = 10
+  private val IdStride = 10000000L
+
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val scaled = "/tmp/graft_sf1"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$scaled/documents.parquet")))
+      materialize(spark, base, scaled)
+
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+
+    val results = for (dir <- Seq(base, scaled); n <- Entries) yield {
+      graft.fixtures.Fixtures.clearDerivedCache(spark)
+      noop(graft.SparkEntry.queries(n)(spark, dir)) // warmup + cache fill
+      val t = (1 to 2).map(_ => timed(noop(graft.SparkEntry.queries(n)(spark, dir)))).min
+      val rows = graft.SparkEntry.queries(n)(spark, dir).count()
+      (dir, n, t, rows)
+    }
+    println(f"[scale] ${"entry"}%-26s ${"sf0.1 s"}%8s ${"rows"}%8s ${"sf1 s"}%8s ${"rows"}%9s ${"t-ratio"}%8s  (data x$Reps)")
+    for (n <- Entries) {
+      val Some((_, _, t0, r0)) = results.find(r => r._1 == base && r._2 == n)
+      val Some((_, _, t1, r1)) = results.find(r => r._1 == scaled && r._2 == n)
+      println(f"[scale] $n%-26s $t0%8.3f $r0%8d $t1%8.3f $r1%9d ${t1 / t0}%8.2f")
+    }
+    spark.stop()
+  }
+
+  /** Build the 10× corpus under `scaled` (idempotent per /tmp lifetime). */
+  private def materialize(spark: SparkSession, base: String, scaled: String): Unit = {
+    val shuffleWords = udf { (text: String, r: Int) =>
+      if (r == 0) text
+      else {
+        val words = text.split(' ')
+        val rnd = new scala.util.Random(
+          scala.util.hashing.MurmurHash3.stringHash(text) * 31L + r)
+        // Fisher–Yates over the word array: same text + same r => same output
+        var i = words.length - 1
+        while (i > 0) {
+          val j = rnd.nextInt(i + 1)
+          val tmp = words(i); words(i) = words(j); words(j) = tmp
+          i -= 1
+        }
+        words.mkString(" ")
+      }
+    }
+    val reps = spark.range(0, Reps).select(col("id").cast("int").as("r"))
+    spark.read.parquet(s"$base/documents.parquet")
+      .crossJoin(broadcast(reps))
+      .select(
+        (col("doc_id") + col("r") * IdStride).as("doc_id"),
+        shuffleWords(col("text"), col("r")).as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$scaled/documents.parquet")
+
+    val rot = udf { (v: Seq[Float], r: Int) =>
+      if (r == 0) v
+      else { val k = (7 * r) % v.length; v.drop(k) ++ v.take(k) }
+    }
+    spark.read.parquet(s"$base/embeddings.parquet")
+      .crossJoin(broadcast(reps))
+      .select(
+        (col("vec_id") + col("r") * IdStride).as("vec_id"),
+        rot(col("embedding"), col("r")).as("embedding"),
+        col("label"))
+      .write.mode("overwrite").parquet(s"$scaled/embeddings.parquet")
+    println(s"[scale] materialized $scaled (documents x$Reps, embeddings x$Reps)")
+  }
+}
