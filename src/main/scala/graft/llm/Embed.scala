@@ -103,6 +103,39 @@ object Embed {
   /** Single sign-bucket from dots d0..d{bits-1} (= band 0's key). */
   def bucketSql(bits: Int): String = bandKeySql(0, bits)
 
+  /** Adaptive LSH signature width (round 7): the number of bits that
+    * keeps EXPECTED bucket occupancy ≈ `target` at corpus size `n` —
+    * `max(minBits, ceil(log2(ceil(n / target))))`. With constant
+    * occupancy, random-collision candidate pairs stay LINEAR in n
+    * (buckets × target²/2) instead of n²/2^bits; the price is a mild,
+    * quantified recall drift per added bit (a cos ≈ 0.99 pair agrees on
+    * a given sign bit with p ≈ 0.955, so a 4-band match at 8 bits ≈ 0.99
+    * recall, at 11 bits ≈ 0.97 — tunable back up with more bands).
+    *
+    * The floor+correct spelling (instead of a bare `ceil(log2 ...)`)
+    * makes the result immune to cross-engine log rounding: both engines
+    * floor their own log2, then correct against an EXACT integer
+    * comparison (`2^f < q`), so any 1-ULP disagreement in the log is
+    * repaired and both sides land on the true `ceil(log2(q))`.
+    * [[adaptiveBitsSql]] is the DuckDB twin of this arithmetic.
+    */
+  def adaptiveBits(n: Long, minBits: Int, target: Int): Int = {
+    val q = math.max(1L, (n + target - 1) / target)
+    val f = math.floor(math.log(q.toDouble) / math.log(2.0)).toInt
+    val c = if (math.pow(2.0, f) < q.toDouble) f + 1 else f
+    math.max(minBits, c)
+  }
+
+  /** DuckDB twin of [[adaptiveBits]] as a CTE: `SELECT bits FROM params`.
+    * `fromSql` is the table/CTE whose COUNT(*) is the corpus size.
+    */
+  def adaptiveBitsCteSql(fromSql: String, minBits: Int, target: Int): String =
+    s"""params AS (
+       |  SELECT GREATEST($minBits, CAST(FLOOR(LOG2(q)) AS INT) +
+       |    (CASE WHEN POW(2, CAST(FLOOR(LOG2(q)) AS INT)) < q THEN 1 ELSE 0 END)) AS bits
+       |  FROM (SELECT GREATEST(1, CAST(FLOOR((COUNT(*) + ${target - 1}) / $target.0) AS BIGINT)) AS q
+       |        FROM $fromSql) t)""".stripMargin
+
   /** Spark-side prepared embedding table: (vec_id, label, qv, nrm). */
   def prepared(embeddings: DataFrame): DataFrame =
     embeddings

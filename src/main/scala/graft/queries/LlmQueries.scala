@@ -566,7 +566,9 @@ object LlmQueries {
   // ---- embedding near-dup: banded multi-bit hyperplane LSH ----
 
   private val NdBands = 4
-  private val NdBits = 8
+  private val NdBits = 8 // MINIMUM signature width; widens with the corpus
+  private val NdMaxBits = 16 // static plane layout: band b owns planes [16b, 16b+16)
+  private val NdTargetBucket = 16 // expected bucket occupancy the width maintains
 
   /** Embedding-cosine NEAR-DUP (the dedup-shaped variant of similarity
     * search), run over [[graft.fixtures.Fixtures.embeddingsNearDup]] (base
@@ -589,20 +591,42 @@ object LlmQueries {
     * table carries only (vec_id, band, bkey) — vectors are joined back
     * for verification from the cached prepared table, so the exploded
     * shuffle payload stays 3 small integers per row.
+    *
+    * Round 7 — ADAPTIVE signature width: any FIXED bit count leaves the
+    * N²/2^bits random-collision term quadratic, which is exactly what
+    * the 10× ScaleProbe measures. The width now derives from the corpus
+    * ([[graft.llm.Embed.adaptiveBits]]: keep expected bucket occupancy ≈
+    * [[NdTargetBucket]]), computed with the same floor+integer-correct
+    * arithmetic in both engines, over a STATIC [[NdMaxBits]]-bit plane
+    * layout (band b owns planes [16b, 16b+16); the full 16-bit key is
+    * masked down to the runtime width, so the SQL twin stays static).
+    * At the correctness SFs and sf0.1 the formula yields the historical
+    * 8 bits — behavior unchanged where the oracle gates; it widens only
+    * when the corpus does (sf1 → 11 bits). Like [[graft.llm.SemDedup
+    * .chooseK]], the knob is f(corpus), not a constant. Past
+    * [[NdMaxBits]] the mask saturates harmlessly (the 16-bit key mod a
+    * larger power of two is the identity, in both engines alike) —
+    * ~1M vectors per 2^16-bucket band at target occupancy; beyond that
+    * the static layout itself would grow (more planes/bands), a
+    * one-constant change.
     */
   val embedNearDup = QueryDef.sql(
     "llm_embed_neardup", {
-      val dots = (0 until NdBands * NdBits)
+      val dots = (0 until NdBands * NdMaxBits)
         .map(j => s"${Embed.hyperplaneDotSql(j)} AS d$j").mkString(",\n  ")
       val bandsSql = (0 until NdBands)
-        .map(b => s"SELECT vec_id, $b AS band, ${Embed.bandKeySql(b, NdBits)} AS bkey FROM dots")
+        .map(b => s"SELECT vec_id, $b AS band, ${Embed.bandKeySql(b, NdMaxBits)} AS key FROM dots")
         .mkString("\nUNION ALL\n")
       s"""WITH ${graft.fixtures.Fixtures.embeddingsNearDupCte},
          |emb AS (${Embed.preparedSqlFrom("emb_nd")}),
+         |${Embed.adaptiveBitsCteSql("emb", NdBits, NdTargetBucket)},
          |dots AS (SELECT vec_id, $dots FROM emb),
          |bands AS ($bandsSql),
+         |bandsm AS (SELECT vec_id, band,
+         |             key % CAST(POW(2, (SELECT bits FROM params)) AS BIGINT) AS bkey
+         |           FROM bands),
          |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-         |         FROM bands a JOIN bands b
+         |         FROM bandsm a JOIN bandsm b
          |           ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id)
          |SELECT vec_a, vec_b, cos_sim FROM (
          |  SELECT vec_a, vec_b,
@@ -615,10 +639,14 @@ object LlmQueries {
   ) { (spark, dir) =>
     val emb = Embed.prepared(
       graft.fixtures.Fixtures.embeddingsNearDup(spark, dir)).cache()
+    // corpus-derived signature width; the count is a scalar over the
+    // cached prepared table (the chooseK precedent)
+    val bits = Embed.adaptiveBits(emb.count(), NdBits, NdTargetBucket)
+    val mask = 1L << bits
     val bandCols = (0 until NdBands).map(b => struct(lit(b).as("band"),
-      expr(Embed.bandKeyDotsExpr(b, NdBits)).as("bkey")))
+      (expr(Embed.bandKeyDotsExpr(b, NdMaxBits)) % lit(mask)).as("bkey")))
     val bands = emb
-      .withColumn("dots", expr(s"hyperplane_dots(qv, ${NdBands * NdBits})"))
+      .withColumn("dots", expr(s"hyperplane_dots(qv, ${NdBands * NdMaxBits})"))
       .select(col("vec_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("vec_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
     val cand = bands.as("a").join(bands.as("b"),

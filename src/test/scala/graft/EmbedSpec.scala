@@ -61,15 +61,32 @@ class EmbedSpec extends SparkSuite {
     assert(r.getSeq[Long](4) == r.getSeq[Long](5), "hyperplane_dots")
   }
 
-  test("hyperplane family: 32 genuinely distinct balanced planes") {
+  test("hyperplane family: 64 genuinely distinct balanced planes") {
     // the round-2 modular formula collapsed to 7 distinct planes (mod-7
-    // period in j) — banded signatures need independence
-    val planes = (0 until 32).map(Embed.hyperplaneVec)
-    assert(planes.distinct.size == 32)
+    // period in j) — banded signatures need independence; round 7's
+    // adaptive width uses the full 4×16 static layout
+    val planes = (0 until 64).map(Embed.hyperplaneVec)
+    assert(planes.distinct.size == 64)
     planes.foreach { p =>
       assert(p.forall(h => h >= -3 && h <= 3))
       // roughly balanced: |mean| well inside one unit
       assert(math.abs(p.sum.toDouble / p.size) < 1.0)
     }
+  }
+
+  test("adaptiveBits: exact ceil-log2 of target occupancy, with the minimum floor") {
+    // ground truth via integer bit length: ceil(log2(q)) = bitLength(q-1)
+    def ceilLog2(q: Long): Int = if (q <= 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros(q - 1)
+    val interesting = Seq(1L, 15L, 16L, 17L, 255L, 256L, 257L,
+      2050L, 2900L, 20900L, 1L << 20, (1L << 20) + 1, (1L << 40) - 1, 1L << 40)
+    for (n <- interesting ++ (1L to 400L)) {
+      val q = math.max(1L, (n + 15) / 16)
+      assert(Embed.adaptiveBits(n, 8, 16) == math.max(8, ceilLog2(q)), s"n=$n")
+    }
+    // the historical 8-bit behavior is preserved through sf0.1-scale corpora
+    assert(Embed.adaptiveBits(2900, 8, 16) == 8)
+    // and widens with the corpus: ~20.9k vectors -> 11 bits, 1e9 -> 26
+    assert(Embed.adaptiveBits(20900, 8, 16) == 11)
+    assert(Embed.adaptiveBits(1000000000L, 8, 16) == 26)
   }
 }

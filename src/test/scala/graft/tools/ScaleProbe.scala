@@ -31,7 +31,10 @@ import org.apache.spark.sql.functions._
 object ScaleProbe {
   private val Entries = Seq(
     "llm_minhash_lsh", "llm_ngram_jaccard", "llm_semdedup_guarded",
-    "llm_dedup_clusters", "llm_incremental_neardup")
+    "llm_dedup_clusters", "llm_incremental_neardup",
+    // round-7 second wave: every other bucketed/banded/indexed pipeline
+    "llm_embed_neardup", "llm_ann_lsh", "llm_tfidf_topk", "llm_simhash",
+    "llm_doc_fingerprint", "llm_exact_dedup", "llm_semdedup_capped")
   private val Reps = 10
   private val IdStride = 10000000L
 
