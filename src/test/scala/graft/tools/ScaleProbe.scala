@@ -34,7 +34,16 @@ object ScaleProbe {
     "llm_dedup_clusters", "llm_incremental_neardup",
     // round-7 second wave: every other bucketed/banded/indexed pipeline
     "llm_embed_neardup", "llm_ann_lsh", "llm_tfidf_topk", "llm_simhash",
-    "llm_doc_fingerprint", "llm_exact_dedup", "llm_semdedup_capped")
+    "llm_doc_fingerprint", "llm_exact_dedup", "llm_semdedup_capped",
+    // round-7 third wave — the trade side: hash-agg dedup, stateful
+    // candles, the custom as-of exec + its window twin, sessionization,
+    // salted skew join, and a broadcast-join dashboard query. Scaled
+    // lineitem/events keep the SAME 60 securities and the same trading
+    // days at 10x row density — "one day at 10x volume", which is what a
+    // scale-up actually looks like for a market feed.
+    "dedup_trades", "dedup_quotes", "a16_candles_batch", "qx_asof_custom",
+    "qx_asof_trade_quote", "evt_sessions", "qx_salted_turnover",
+    "q01_netto_buy_topk")
   private val Reps = 10
   private val IdStride = 10000000L
 
@@ -53,6 +62,8 @@ object ScaleProbe {
 
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$scaled/documents.parquet")))
       materialize(spark, base, scaled)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$scaled/lineitem.parquet")))
+      materializeTrades(spark, base, scaled)
 
     def noop(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
@@ -116,5 +127,37 @@ object ScaleProbe {
         col("label"))
       .write.mode("overwrite").parquet(s"$scaled/embeddings.parquet")
     println(s"[scale] materialized $scaled (documents x$Reps, embeddings x$Reps)")
+  }
+
+  /** 10× the trade-side source tables. Offsets keep every derived key
+    * unique and every dim-shaping modulus intact:
+    *   - lineitem: l_orderkey + r·10⁶ — trade_no/tick_no stay unique
+    *     (the formula is (orderkey·8+linenumber)·10¹⁰ + …, max ≈ 7.7e17
+    *     < 2⁶³), secid/sec_code (l_partkey % 60) and the trading-day
+    *     spread (orderkey % 3 stays uniform) are untouched, so the
+    *     scaled feed is the SAME market at 10× message rate.
+    *   - events: event_id + r·10⁹ (quote_seq unique), user_id + r·6·10⁶
+    *     (divisible by 60, so user_id % 60 — the secid mapping — is
+    *     replica-invariant, while sessionization sees 10× distinct
+    *     users).
+    *   - part: copied as-is — the securities dim does NOT grow with
+    *     volume, which is exactly why broadcasting it is right at 100 TB.
+    */
+  private def materializeTrades(spark: SparkSession, base: String, scaled: String): Unit = {
+    val reps = spark.range(0, Reps).select(col("id").as("r"))
+    spark.read.parquet(s"$base/lineitem.parquet")
+      .crossJoin(broadcast(reps))
+      .withColumn("l_orderkey", col("l_orderkey") + col("r") * 1000000L)
+      .drop("r")
+      .write.mode("overwrite").parquet(s"$scaled/lineitem.parquet")
+    spark.read.parquet(s"$base/events.parquet")
+      .crossJoin(broadcast(reps))
+      .withColumn("event_id", col("event_id") + col("r") * 1000000000L)
+      .withColumn("user_id", col("user_id") + col("r") * 6000000L)
+      .drop("r")
+      .write.mode("overwrite").parquet(s"$scaled/events.parquet")
+    spark.read.parquet(s"$base/part.parquet")
+      .write.mode("overwrite").parquet(s"$scaled/part.parquet")
+    println(s"[scale] materialized $scaled (lineitem x$Reps, events x$Reps, part dim as-is)")
   }
 }
