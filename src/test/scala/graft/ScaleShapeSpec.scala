@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Plan-level pins for the round-7 scale fixes — the two quadratics the
+  * 10× ScaleProbe caught must not regress silently:
+  *
+  *  1. `llm_minhash_lsh` candidates come from CAPPED band buckets
+  *     (`graft_capped_longs` aggregation + map-side pair explode), not a
+  *     band self-join — the plan must carry the capped aggregate and no
+  *     cartesian/nested-loop join anywhere.
+  *  2. `llm_embed_neardup` signature width is corpus-adaptive: the band
+  *     key is the full 16-bit key masked by 2^bits, with bits derived
+  *     from the corpus ([[graft.llm.Embed.adaptiveBits]]); at fixture
+  *     scale the historical 8 bits (mask 256) must appear in the plan,
+  *     and no cartesian/nested-loop join anywhere.
+  *
+  * Plus an executable law for the shared map-side pair generator (the
+  * sorted-list slice/transform both LSH and the ngram posting lists use).
+  */
+class ScaleShapeSpec extends SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("llm_minhash_lsh: capped-bucket aggregation, no self-join blowup shapes") {
+    val p = plan("llm_minhash_lsh")
+    assert(p.contains("graft_capped_longs"),
+      "band buckets must aggregate under the hard-capped collect:\n" + p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "candidate generation must stay equi-join/aggregate shaped:\n" + p.take(2000))
+  }
+
+  test("llm_embed_neardup: adaptive-width mask in the plan, no blowup shapes") {
+    val p = plan("llm_embed_neardup")
+    // fixture-scale corpora resolve to the historical 8 bits -> key % 256
+    assert(p.contains("% 256"),
+      "band key must be masked to the corpus-adaptive width:\n" + p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "candidate generation must stay equi-join shaped:\n" + p.take(2000))
+  }
+
+  test("map-side pair generator law: sorted list -> exactly C(k,2) ordered pairs") {
+    import spark.implicits._
+    // the exact expression minhashPairs and ngramJaccard explode
+    val pairExpr =
+      "flatten(transform(docs, (x, i) -> transform(slice(docs, i + 2, size(docs)), y -> named_struct('a', x, 'b', y))))"
+    val rows = Seq(Seq(5L, 1L, 9L, 3L)).toDF("raw")
+      .select(sort_array(col("raw")).as("docs"))
+      .select(explode(expr(pairExpr)).as("p"))
+      .select(col("p.a"), col("p.b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = Seq(1L, 3L, 5L, 9L).combinations(2).map(s => (s(0), s(1))).toSeq
+    assert(rows.sorted.toSeq == want.sorted, s"got ${rows.toSeq}")
+    assert(rows.forall { case (a, b) => a < b })
+  }
+}
