@@ -259,13 +259,18 @@ object LlmQueries {
     * index with zero corpus shuffle, and only candidates (bounded by
     * band collisions) reach the exact-Jaccard verification join.
     *
-    * Bucket-size note (round 7): the symmetric pair stream caps band
-    * buckets ([[LshBucketCap]]) because a bucket of B docs yields B²/2
-    * pairs; HERE a hot seen-side bucket yields at most B × (batch docs
-    * in that bucket) candidates — linear in the batch — and the 10×
-    * ScaleProbe measured 6× time at 10× data (sublinear). The cap is
-    * therefore not applied on this path; if batch sizes ever approach
-    * corpus size, the symmetric entry is the right tool anyway.
+    * Bucket-size note (round 7): a hot index bucket of B docs yields
+    * B × (batch docs in that bucket) candidates. That is "linear in the
+    * batch" only while the batch is small and buckets are bounded; this
+    * entry's batch is a FIXED FRACTION of the corpus (every 5th doc),
+    * so uncapped buckets make candidate volume quadratic in N — the
+    * same degeneracy the symmetric entry measured. The frozen index is
+    * therefore built WITH the [[LshBucketCap]] cut (production shape: a
+    * band index stores capped member lists per bucket; an over-cap
+    * bucket means the banding stopped discriminating there), via the
+    * same `graft_capped_longs` aggregation — and candidate generation
+    * becomes bucket-granular: broadcast batch bands join the compacted
+    * index, and only MATCHING buckets' member lists explode.
     */
   val incrementalNearDup = QueryDef.sql(
     "llm_incremental_neardup", {
@@ -278,9 +283,13 @@ object LlmQueries {
          |mh AS (SELECT doc_id, ${Text.minhashAggsSql(NumHashes).mkString(",\n  ")}
          |       FROM shx GROUP BY doc_id),
          |bands AS ($bandsSql),
+         |bsz AS (SELECT band, bkey, count(*) AS c FROM bands
+         |        WHERE doc_id % $IncrementalMod <> 0 GROUP BY band, bkey),
          |cand AS (SELECT DISTINCT n.doc_id AS new_doc, s.doc_id AS dup_of
          |         FROM bands n JOIN bands s
          |           ON n.band = s.band AND n.bkey = s.bkey
+         |         JOIN bsz ON bsz.band = s.band AND bsz.bkey = s.bkey
+         |           AND bsz.c <= $LshBucketCap
          |         WHERE n.doc_id % $IncrementalMod = 0
          |           AND s.doc_id % $IncrementalMod <> 0)
          |SELECT new_doc, dup_of, jaccard FROM (
@@ -314,11 +323,20 @@ object LlmQueries {
       md5(concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))).as("bkey")))
     val bands = mh.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
-    // the frozen index side scans once; the new batch's bands broadcast
-    val cand = bands.filter(!isBatch).as("s")
-      .join(broadcast(bands.filter(isBatch).as("n")),
-        col("s.band") === col("n.band") && col("s.bkey") === col("n.bkey"))
-      .select(col("n.doc_id").as("new_doc"), col("s.doc_id").as("dup_of"))
+    // the frozen index: per-(band, bkey) CAPPED member lists — one hash
+    // aggregate over the seen side, over-cap (degenerate) buckets cut
+    // exactly as the symmetric entry cuts them. The new batch's bands
+    // broadcast and join at BUCKET granularity; only matching buckets'
+    // member lists explode, so candidate volume is bounded by
+    // cap × |matching buckets| instead of bucket² mass.
+    val idx = bands.filter(!isBatch)
+      .groupBy(col("band"), col("bkey"))
+      .agg(expr(s"graft_capped_longs(doc_id, ${LshBucketCap + 1})").as("raw"),
+        count(lit(1)).as("c"))
+      .filter(col("c") <= LshBucketCap)
+    val cand = idx
+      .join(broadcast(bands.filter(isBatch)), Seq("band", "bkey"))
+      .select(col("doc_id").as("new_doc"), explode(col("raw")).as("dup_of"))
       .distinct()
     val isets = shx
       .withColumn("shid", expr("CAST(conv(substr(md5(sh), 1, 15), 16, 10) AS BIGINT)"))

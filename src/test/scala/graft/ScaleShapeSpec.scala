@@ -33,6 +33,16 @@ class ScaleShapeSpec extends SparkSuite {
       "candidate generation must stay equi-join/aggregate shaped:\n" + p.take(2000))
   }
 
+  test("llm_incremental_neardup: capped frozen index, broadcast batch, no blowup shapes") {
+    val p = plan("llm_incremental_neardup")
+    assert(p.contains("graft_capped_longs"),
+      "the frozen band index must store capped member lists:\n" + p.take(2000))
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      "the batch side must broadcast against the index:\n" + p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "candidate generation must stay equi-join/aggregate shaped:\n" + p.take(2000))
+  }
+
   test("llm_embed_neardup: adaptive-width mask in the plan, no blowup shapes") {
     val p = plan("llm_embed_neardup")
     // fixture-scale corpora resolve to the historical 8 bits -> key % 256
