@@ -86,11 +86,26 @@ object Fixtures {
   // wire projection per query would model re-ingesting on every read.
   private val tableCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  // NOT computeIfAbsent: a builder may memoize ANOTHER table (e.g.
+  // embeddingsRedelivered builds on embeddingsNearDup), and a nested
+  // computeIfAbsent on the same map throws "Recursive update" whenever
+  // the two keys share a hash bin — which depends on the applicationId
+  // string, i.e. nondeterministically per JVM (found by ScaleProbe,
+  // round 7). Build outside the map, then putIfAbsent; a lost race
+  // returns the winner — both builds share one plan-keyed Spark cache
+  // entry, so the duplicate .cache() is idempotent and nothing needs
+  // unpersisting.
   private def memo(spark: SparkSession, dir: String, name: String)(
-      build: => DataFrame): DataFrame =
-    tableCache.computeIfAbsent(
-      spark.sparkContext.applicationId + "#" + dir + "#" + name,
-      _ => build.cache())
+      build: => DataFrame): DataFrame = {
+    val key = spark.sparkContext.applicationId + "#" + dir + "#" + name
+    val existing = tableCache.get(key)
+    if (existing != null) existing
+    else {
+      val built = build.cache()
+      val prev = tableCache.putIfAbsent(key, built)
+      if (prev != null) prev else built
+    }
+  }
 
   /** Drop every memoized derived table AND Spark's block cache (which is
     * keyed by canonicalized plan, so even non-memoized `.cache()` calls

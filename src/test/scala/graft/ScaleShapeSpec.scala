@@ -52,6 +52,16 @@ class ScaleShapeSpec extends SparkSuite {
       "candidate generation must stay equi-join shaped:\n" + p.take(2000))
   }
 
+  test("nested fixture memoization is recursion-safe from a cold cache") {
+    // embeddingsRedelivered's builder memoizes embeddingsNearDup INSIDE
+    // its own memo call. The old computeIfAbsent-based memo threw
+    // "Recursive update" whenever the two keys shared a hash bin — a
+    // nondeterministic latent failure (the key embeds applicationId)
+    // that ScaleProbe tripped in round 7. Pin the cold-cache nested path.
+    graft.fixtures.Fixtures.clearDerivedCache(spark)
+    assert(graft.fixtures.Fixtures.embeddingsRedelivered(spark, dir).count() > 0)
+  }
+
   test("map-side pair generator law: sorted list -> exactly C(k,2) ordered pairs") {
     import spark.implicits._
     // the exact expression minhashPairs and ngramJaccard explode

@@ -43,7 +43,15 @@ object ScaleProbe {
     // scale-up actually looks like for a market feed.
     "dedup_trades", "dedup_quotes", "a16_candles_batch", "qx_asof_custom",
     "qx_asof_trade_quote", "evt_sessions", "qx_salted_turnover",
-    "q01_netto_buy_topk")
+    "q01_netto_buy_topk",
+    // round-7 fourth wave — the remaining non-trivially-shaped llm
+    // pipelines (two-level prefix sum, shuffle-hashed LM stats join,
+    // histogram quantiles, DSIR ratios, corpus n-gram top-k, broadcast
+    // contamination) and the exact candle replay (per-key sorted
+    // mapGroups — the fidelity port of the Go state machine)
+    "llm_seq_pack", "llm_lm_score", "llm_length_quantiles",
+    "llm_dsir_weight", "llm_top_ngrams", "llm_contamination",
+    "a01_candles_replay")
   private val Reps = 10
   private val IdStride = 10000000L
 
