@@ -28,7 +28,11 @@ object Explain {
       "llm_mix_sample", "layout_zorder_key", "dedup_trades_lastby",
       // round-6 representatives: fused capped-collect posting index,
       // oracled exact-machine replay, frozen-model LM scoring
-      "llm_ngram_jaccard", "a01_candles_replay", "llm_lm_score_holdout")
+      "llm_ngram_jaccard", "a01_candles_replay", "llm_lm_score_holdout",
+      // round-7 representatives: capped-bucket LSH candidates,
+      // adaptive-width embedding near-dup, capped frozen-index
+      // incremental near-dup, capped-cluster exact dedup
+      "llm_embed_neardup", "llm_incremental_neardup", "llm_semdedup_capped")
     names.foreach { n =>
       println(s"\n================ $n ================")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")
