@@ -97,7 +97,16 @@ object Bench {
       try {
         exec(SparkEntry.queries(n), sfDir)
         coldTimes(n) = (System.nanoTime() - t0) / 1e9
-      } catch { case _: Throwable => () } // already reported in `errors`
+      } catch {
+        case e: Throwable =>
+          // a COLD-ONLY failure (query passed warm, failed with caches
+          // dropped) is its own bug class — the round-7 memoizer crash
+          // hid exactly here behind an "already reported" assumption.
+          // Record it; never let the key silently vanish from cold_*.
+          if (!errors.contains(n))
+            errors(s"$n (cold)") =
+              Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+      }
     }
 
     // Streaming-throughput lane (round 7, r6 verdict item 7): the
