@@ -45,9 +45,13 @@ class ScaleShapeSpec extends SparkSuite {
 
   test("llm_embed_neardup: adaptive-width mask in the plan, no blowup shapes") {
     val p = plan("llm_embed_neardup")
-    // fixture-scale corpora resolve to the historical 8 bits -> key % 256
-    assert(p.contains("% 256"),
-      "band key must be masked to the corpus-adaptive width:\n" + p.take(2000))
+    // derive the expected mask from the corpus itself so the pin survives
+    // fixture growth (at today's SFs this is the historical 8 bits -> 256)
+    val n = graft.llm.Embed.prepared(
+      graft.fixtures.Fixtures.embeddingsNearDup(spark, dir)).count()
+    val mask = 1L << graft.llm.Embed.adaptiveBits(n, 8, 16)
+    assert(p.contains(s"% $mask"),
+      s"band key must be masked to the corpus-adaptive width (expected % $mask):\n" + p.take(2000))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "candidate generation must stay equi-join shaped:\n" + p.take(2000))
   }
