@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.fixtures.Fixtures.{documents, embeddings}
-import graft.llm.{Embed, Ivf, Multimodal, RawMedia, Text}
+import graft.llm.{Embed, Ivf, Multimodal, Pq, RawMedia, Text}
 
 /** The LLM-training-data-pipeline operator surface (builder brief):
   * deduplication (exact, MinHash-LSH, SimHash, n-gram Jaccard), similarity
@@ -731,6 +731,40 @@ object LlmQueries {
       (c, _) => Ivf.lloydIter(emb, c, IvfK))
       .cache() // K rows — stops the search's two broadcasts re-running Lloyd
     Ivf.search(emb, trained, IvfK, NumQueries, IvfProbes, 3)
+  }
+
+  /** PQ shortlist size (ADC candidates per query before exact re-rank).
+    * ~8× over-retrieve for top-3 — PqProbe on the (near-random, worst
+    * case) fixture measures recall@3 0.22/0.39/0.61 at shortlist
+    * 10/25/50 with the trained codebook; 25 is the knee of that curve.
+    */
+  private val PqShortlist = 25
+
+  /** Product-quantization ANN — the MEMORY scale path alongside IVF
+    * (compute) and LSH (bucketing): corpus stored as 4×4-bit codes
+    * (128× smaller than the float vectors), queries scan codes via a
+    * broadcast ADC distance table, and raw vectors are touched only to
+    * re-rank a [[PqShortlist]]-bounded shortlist. Codebooks are trained
+    * in-engine (one deterministic Lloyd step per subspace — all M
+    * subspaces in ONE exploded stream, two hash aggregates total); every
+    * distance is exact integer L2² so the oracle replays training,
+    * encoding, and ADC bit-identically. See [[graft.llm.Pq]] for the
+    * 100 TB argument.
+    */
+  val annPq = QueryDef.sql(
+    "llm_ann_pq",
+    s"""WITH emb AS (SELECT * FROM (${Embed.preparedSql}) e0 WHERE nrm > 0),
+       |${Pq.subvecsSql},
+       |${Pq.initCbSql(NumQueries)},
+       |${Pq.lloydIterSql(NumQueries)},
+       |${Pq.searchSql(NumQueries, PqShortlist, 3)}""".stripMargin
+  ) { (spark, dir) =>
+    val emb = Embed.prepared(embeddings(spark, dir))
+      .filter(col("nrm") > 0).cache()
+    val subn = Pq.subvecs(emb)
+    // M·K rows — cache stops the search's two consumers re-running Lloyd
+    val cb = Pq.lloydIter(subn, Pq.initCb(subn, NumQueries), NumQueries).cache()
+    Pq.search(emb, subn, cb, NumQueries, PqShortlist, 3)
   }
 
   // ---- token counting: whitespace + a BPE-ish regex pre-tokenizer ----
@@ -1952,7 +1986,7 @@ object LlmQueries {
   val all: Seq[QueryDef] = Seq(
     textStats, langId, exactDedup, minhashLsh, incrementalNearDup,
     dedupClusters, ngramJaccard,
-    simhash, fingerprint, embedTopk, annLsh, annIvf, annIvfTrained,
+    simhash, fingerprint, embedTopk, annLsh, annIvf, annIvfTrained, annPq,
     embedNearDup, tokenCount, imageMeta, audioMeta, imageResize,
     frameSample, qualityScore, piiScrub, repetition,
     contamination, urlHostStats, tfidfTopk, semDedup, semDedupGuarded,
