@@ -767,6 +767,80 @@ object LlmQueries {
     Pq.search(emb, subn, cb, NumQueries, PqShortlist, 3)
   }
 
+  /** Span-level exact dedup (the "deduplicating training data" substring
+    * shape, distinct from doc-level [[exactDedup]] and doc-pair
+    * [[ngramJaccard]]): every word-8-gram SPAN occurrence is hashed, the
+    * corpus-wide first occurrence of each repeated span is kept, and
+    * every other occurrence is marked dropped — the policy a substring
+    * deduper applies before training. Output is the per-doc removal
+    * ledger (span count, dropped count, dropped fraction).
+    *
+    * Scale shape: the global span index is ONE fixed-width hash
+    * aggregate — count + min(packed first-occurrence key) per hash, no
+    * posting lists, no [[graft.expr.CappedLongs]] buffer needed — then
+    * one equi-join of the span stream back to it. Both sides are linear
+    * in corpus token count; nothing is quadratic in anything. The packed
+    * key is `doc_id·2^20 + pos` (docs bounded at 1M tokens; doc_id
+    * headroom to 2^43), so "first global occurrence" is a single BIGINT
+    * min both engines resolve identically.
+    */
+  val spanDedup = QueryDef.sql(
+    "llm_span_dedup",
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |spans AS (SELECT doc_id,
+       |    unnest(range(1, len(tk) - 6)) AS pos,
+       |    unnest(list_transform(${Text.wordNgramsSql(8, distinct = false)},
+       |                          g -> ${Text.hexPrefixInt60Sql("md5(g)")})) AS h
+       |  FROM toks),
+       |packed AS (SELECT doc_id, h, doc_id * 1048576 + pos AS pack FROM spans),
+       |stats AS (SELECT h, count(*) AS cnt, min(pack) AS keeper
+       |          FROM packed GROUP BY h),
+       |marked AS (SELECT p.doc_id,
+       |    CASE WHEN s.cnt > 1 AND p.pack != s.keeper THEN 1 ELSE 0 END AS dropped
+       |  FROM packed p JOIN stats s USING (h)),
+       |perdoc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+       |    CAST(sum(dropped) AS BIGINT) AS n_dropped
+       |  FROM marked GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  coalesce(p.n_spans, CAST(0 AS BIGINT)) AS n_spans,
+       |  coalesce(p.n_dropped, CAST(0 AS BIGINT)) AS n_dropped,
+       |  CASE WHEN coalesce(p.n_spans, 0) > 0
+       |    THEN CAST(p.n_dropped AS DOUBLE) / p.n_spans
+       |    ELSE CAST(0 AS DOUBLE) END AS dup_frac
+       |FROM documents d LEFT JOIN perdoc p USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  ) { (spark, dir) => spanDedupLedger(documents(spark, dir)) }
+
+  /** [[spanDedup]]'s core over any (doc_id, text) table — also driven by
+    * SpanDedupSpec on a planted-duplicate corpus.
+    */
+  def spanDedupLedger(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val spans = docs
+      .withColumn("tk", split(col("text"), " "))
+      .select(col("doc_id"),
+        posexplode(expr("word_ngrams(tk, 8, false)")).as(Seq("pos0", "g")))
+      // md5 AFTER the explode — codegen'd projection, not a lambda body
+      .select(col("doc_id"),
+        expr("CAST(conv(substr(md5(g), 1, 15), 16, 10) AS BIGINT)").as("h"),
+        expr("doc_id * CAST(1048576 AS BIGINT) + pos0 + 1").as("pack"))
+    val stats = spans.groupBy("h")
+      .agg(count(lit(1)).as("cnt"), min("pack").as("keeper"))
+    val perDoc = spans.join(stats, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("cnt") > 1 && col("pack") =!= col("keeper"), 1L)
+          .otherwise(0L)).as("n_dropped"))
+    docs.select("doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .selectExpr("doc_id",
+        "coalesce(n_spans, CAST(0 AS BIGINT)) AS n_spans",
+        "coalesce(n_dropped, CAST(0 AS BIGINT)) AS n_dropped",
+        """CASE WHEN coalesce(n_spans, 0) > 0
+          |  THEN CAST(n_dropped AS DOUBLE) / n_spans
+          |  ELSE CAST(0 AS DOUBLE) END AS dup_frac""".stripMargin)
+      .orderBy("doc_id")
+  }
+
   // ---- token counting: whitespace + a BPE-ish regex pre-tokenizer ----
 
   /** GPT-2-style pre-tokenizer classes (optional leading space + letter
@@ -1985,7 +2059,7 @@ object LlmQueries {
 
   val all: Seq[QueryDef] = Seq(
     textStats, langId, exactDedup, minhashLsh, incrementalNearDup,
-    dedupClusters, ngramJaccard,
+    dedupClusters, ngramJaccard, spanDedup,
     simhash, fingerprint, embedTopk, annLsh, annIvf, annIvfTrained, annPq,
     embedNearDup, tokenCount, imageMeta, audioMeta, imageResize,
     frameSample, qualityScore, piiScrub, repetition,
