@@ -841,6 +841,104 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Supervised token classifier (the model-based filtering shape: a
+    * CCNet/fastText-style classifier trained on labeled data, applied to
+    * a holdout — here predicting `lang` from word tokens, the label the
+    * corpus actually carries). Complements [[langId]] (unsupervised
+    * trigram profiles): this one has a train/holdout SPLIT (doc_id % 5),
+    * learned per-class token weights, and an accuracy ledger.
+    *
+    * Determinism trade, documented: a textbook multinomial NB sums
+    * log-probabilities, but `ln` is not bit-identical across engines
+    * ([[graft.llm.Embed.quantizeExpr]] note — only integer arithmetic
+    * is). The score here is the integer-quantized LIKELIHOOD RATIO
+    * sum_w q(P(w|c)) · Q / q(P(w)) — the same ratio family as
+    * [[dsirWeight]], generalized to multi-class argmax with the
+    * [[graft.llm.Ivf.packedKeySqlOf]] packed-key tiebreak (ties → lowest
+    * class_id, identically in both engines).
+    *
+    * Scale shape: weights are one hash aggregate over the train token
+    * stream joined to two broadcast-sized side aggregates (class totals,
+    * corpus total) and one corpus-sized token-frequency aggregate
+    * (shuffle-hashed, never broadcast — the [[lmScore]] lesson); scoring
+    * is one equi-join of the holdout token stream against the weight
+    * table and two hash aggregates. Linear end to end.
+    *
+    * Honesty note: the synthetic fixture's `lang` label carries no token
+    * signal (measured lift ≈ 1 for every frequent token), so holdout
+    * accuracy HERE is chance — the driver oracle gates the ledger's
+    * determinism. LangClassifySpec proves the operator learns (accuracy
+    * 1.0) on a planted corpus where classes own vocabulary.
+    */
+  val langClassify = QueryDef.sql(
+    "llm_lang_classify",
+    s"""WITH docs AS (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents),
+       |train AS (SELECT lang, unnest(tk) AS w FROM docs WHERE doc_id % 5 != 0),
+       |cls AS (SELECT lang AS clang,
+       |    CAST(row_number() OVER (ORDER BY lang) - 1 AS BIGINT) AS class_id
+       |  FROM (SELECT DISTINCT lang FROM docs WHERE doc_id % 5 != 0) l),
+       |cwc AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS c FROM train GROUP BY lang, w),
+       |nc AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM train GROUP BY lang),
+       |cw AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM train GROUP BY w),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM train),
+       |wt AS (SELECT cwc.w, cwc.lang AS clang,
+       |    ((cwc.c * 1000000) // nc.n) * 1000
+       |      // greatest((cw.c * 1000000) // tot.n, 1) AS wt
+       |  FROM cwc JOIN nc USING (lang) JOIN cw ON cw.w = cwc.w, tot),
+       |hold AS (SELECT doc_id, unnest(tk) AS w FROM docs WHERE doc_id % 5 = 0),
+       |scores AS (SELECT doc_id, clang, CAST(sum(wt) AS BIGINT) AS score
+       |           FROM hold JOIN wt USING (w) GROUP BY doc_id, clang),
+       |pred AS (SELECT doc_id, arg_max(clang, score * 8 + (7 - class_id)) AS pred_lang,
+       |    CAST(max(score * 8 + (7 - class_id)) // 8 AS BIGINT) AS score
+       |  FROM scores JOIN cls USING (clang) GROUP BY doc_id)
+       |SELECT d.doc_id, d.lang,
+       |  coalesce(p.pred_lang, 'none') AS pred_lang,
+       |  coalesce(p.score, CAST(0 AS BIGINT)) AS score,
+       |  coalesce(p.pred_lang, 'none') = d.lang AS correct
+       |FROM (SELECT doc_id, lang FROM docs WHERE doc_id % 5 = 0) d
+       |LEFT JOIN pred p USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  ) { (spark, dir) => langClassifyLedger(documents(spark, dir)) }
+
+  /** [[langClassify]]'s core over any (doc_id, lang, text) table — also
+    * driven by LangClassifySpec's accuracy measurement.
+    */
+  def langClassifyLedger(docsIn: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val docs = docsIn.select(col("doc_id"), col("lang"), split(col("text"), " ").as("tk"))
+    val train = docs.filter(col("doc_id") % 5 =!= 0)
+      .select(col("lang"), explode(col("tk")).as("w"))
+    val cls = docs.filter(col("doc_id") % 5 =!= 0).select("lang").distinct()
+      .withColumn("class_id", expr(
+        "CAST(row_number() OVER (ORDER BY lang) - 1 AS BIGINT)"))
+      .select(col("lang").as("clang"), col("class_id"))
+    val cwc = train.groupBy("lang", "w").agg(count(lit(1)).as("c"))
+    val nc = train.groupBy("lang").agg(count(lit(1)).as("n"))
+    val cw = train.groupBy("w").agg(count(lit(1)).as("cword"))
+    val tot = train.agg(count(lit(1)).as("ntot"))
+    val wt = cwc.join(broadcast(nc), "lang")
+      .join(cw.hint("shuffle_hash"), "w")
+      .crossJoin(broadcast(tot))
+      .selectExpr("w", "lang AS clang",
+        """((c * 1000000) div n) * 1000
+          |  div greatest((cword * 1000000) div ntot, CAST(1 AS BIGINT)) AS wt""".stripMargin)
+    val hold = docs.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), explode(col("tk")).as("w"))
+    val scores = hold.join(wt.hint("shuffle_hash"), "w")
+      .groupBy("doc_id", "clang").agg(sum("wt").as("score"))
+    val pred = scores.join(broadcast(cls), "clang")
+      .withColumn("pk", expr("score * 8 + (7 - class_id)"))
+      .groupBy("doc_id")
+      .agg(max_by(col("clang"), col("pk")).as("pred_lang"),
+        expr("CAST(max(pk) div 8 AS BIGINT)").as("score"))
+    docs.filter(col("doc_id") % 5 === 0).select("doc_id", "lang")
+      .join(pred, Seq("doc_id"), "left")
+      .selectExpr("doc_id", "lang",
+        "coalesce(pred_lang, 'none') AS pred_lang",
+        "coalesce(score, CAST(0 AS BIGINT)) AS score",
+        "coalesce(pred_lang, 'none') = lang AS correct")
+      .orderBy("doc_id")
+  }
+
   // ---- token counting: whitespace + a BPE-ish regex pre-tokenizer ----
 
   /** GPT-2-style pre-tokenizer classes (optional leading space + letter
@@ -2063,7 +2161,7 @@ object LlmQueries {
     simhash, fingerprint, embedTopk, annLsh, annIvf, annIvfTrained, annPq,
     embedNearDup, tokenCount, imageMeta, audioMeta, imageResize,
     frameSample, qualityScore, piiScrub, repetition,
-    contamination, urlHostStats, tfidfTopk, semDedup, semDedupGuarded,
+    contamination, urlHostStats, tfidfTopk, langClassify, semDedup, semDedupGuarded,
     semDedupCapped,
     topNgrams,
     seqPack, splitAssign, curation, mixSample, lengthQuantiles, lmScore,
