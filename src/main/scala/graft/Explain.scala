@@ -32,7 +32,10 @@ object Explain {
       // round-7 representatives: capped-bucket LSH candidates,
       // adaptive-width embedding near-dup, capped frozen-index
       // incremental near-dup, capped-cluster exact dedup
-      "llm_embed_neardup", "llm_incremental_neardup", "llm_semdedup_capped")
+      "llm_embed_neardup", "llm_incremental_neardup", "llm_semdedup_capped",
+      // late round-7 representatives: PQ codes + broadcast ADC table,
+      // span-index hash agg + join-back, classifier weight/score joins
+      "llm_ann_pq", "llm_span_dedup", "llm_lang_classify")
     names.foreach { n =>
       println(s"\n================ $n ================")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

@@ -825,7 +825,9 @@ object LlmQueries {
         expr("doc_id * CAST(1048576 AS BIGINT) + pos0 + 1").as("pack"))
     val stats = spans.groupBy("h")
       .agg(count(lit(1)).as("cnt"), min("pack").as("keeper"))
-    val perDoc = spans.join(stats, "h")
+    // the span index is corpus-sized — shuffle-hash it, never broadcast
+    // (the lmScore lesson; AQE would happily broadcast it at test SF)
+    val perDoc = spans.join(stats.hint("shuffle_hash"), "h")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_spans"),
         sum(when(col("cnt") > 1 && col("pack") =!= col("keeper"), 1L)
@@ -925,11 +927,16 @@ object LlmQueries {
       .select(col("doc_id"), explode(col("tk")).as("w"))
     val scores = hold.join(wt.hint("shuffle_hash"), "w")
       .groupBy("doc_id", "clang").agg(sum("wt").as("score"))
+    // argmax via pure-integer max(pk) + decode (a string-valued max_by
+    // would fall off the fixed-width hash-aggregate path), then the tiny
+    // class table maps class_id back to the language
     val pred = scores.join(broadcast(cls), "clang")
       .withColumn("pk", expr("score * 8 + (7 - class_id)"))
-      .groupBy("doc_id")
-      .agg(max_by(col("clang"), col("pk")).as("pred_lang"),
-        expr("CAST(max(pk) div 8 AS BIGINT)").as("score"))
+      .groupBy("doc_id").agg(max("pk").as("mpk"))
+      .selectExpr("doc_id", "CAST(mpk div 8 AS BIGINT) AS score",
+        "CAST(7 - (mpk % 8) AS BIGINT) AS class_id")
+      .join(broadcast(cls), "class_id")
+      .select(col("doc_id"), col("clang").as("pred_lang"), col("score"))
     docs.filter(col("doc_id") % 5 === 0).select("doc_id", "lang")
       .join(pred, Seq("doc_id"), "left")
       .selectExpr("doc_id", "lang",
