@@ -733,6 +733,100 @@ object LlmQueries {
     Ivf.search(emb, trained, IvfK, NumQueries, IvfProbes, 3)
   }
 
+  /** Bloom hash count (k). */
+  private val BloomK = 4
+
+  /** Bloom-filter membership pre-filter for incremental exact dedup —
+    * the at-scale ingest gate in front of [[incrementalNearDup]]-style
+    * batch-vs-frozen-corpus checks: the corpus is folded ONCE into a
+    * word-indexed bit table ([[BloomK]] md5-derived positions per doc,
+    * `bit_or` per 62-bit word — 62, not 64, because DuckDB raises on a
+    * sign-bit shift that Spark wraps silently), and each batch doc
+    * probes k positions against it. The ledger emits `bloom_hit`,
+    * ground-truth `exact_dup` (hash anti-check), and `false_pos` so the
+    * filter's precision is measured, not assumed; no-false-negative is
+    * structural (same text → same positions) and BloomSpec pins it.
+    *
+    * Filter size is CORPUS-ADAPTIVE (the [[graft.llm.Embed
+    * .adaptiveBits]] design): m = 2^ceil(log2(32·N)) bits keeps fill ≈
+    * k/32 ≈ 12% — and FP ≈ (k/32)^4 ≈ 2·10^-4 — at ANY corpus size,
+    * computed with the same floor+integer-corrected log arithmetic in
+    * both engines (a FIXED m saturates at 10× and the probe would
+    * measure a filter that answers "yes" to everything). The bit table
+    * is m/62 rows of one BIGINT: broadcastable to ~10^9 docs; beyond
+    * that the probe join on the word id is an ordinary equi-join and
+    * the plan shards — one line to flip, documented here rather than
+    * silently broadcast ([[spanDedup]] lesson).
+    */
+  val bloomDedup = QueryDef.sql(
+    "llm_bloom_dedup", {
+      val posSql = (i: Int) =>
+        s"${Text.hexPrefixInt60Sql(s"md5(concat('$i|', text))")} % (SELECT m FROM params)"
+      val posUnion = (0 until BloomK)
+        .map(i => s"SELECT doc_id, ${posSql(i)} AS p FROM batch")
+        .mkString("\nUNION ALL\n")
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 != 0),
+         |batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+         |params AS (
+         |  SELECT CAST(POW(2, GREATEST(16, CAST(FLOOR(LOG2(q)) AS INT) +
+         |    (CASE WHEN POW(2, CAST(FLOOR(LOG2(q)) AS INT)) < q THEN 1 ELSE 0 END))) AS BIGINT) AS m
+         |  FROM (SELECT GREATEST(1, COUNT(*) * 32) AS q FROM corpus) t),
+         |cpos AS (${(0 until BloomK)
+        .map(i => s"SELECT ${posSql(i)} AS p FROM corpus").mkString("\nUNION ALL\n")}),
+         |idx AS (SELECT p // 62 AS w,
+         |    CAST(bit_or(CAST(1 AS BIGINT) << CAST(p % 62 AS INT)) AS BIGINT) AS bits
+         |  FROM cpos GROUP BY p // 62),
+         |bpos AS ($posUnion),
+         |probes AS (SELECT b.doc_id,
+         |    CASE WHEN i.bits IS NOT NULL
+         |      AND ((i.bits >> CAST(b.p % 62 AS INT)) & 1) = 1 THEN 1 ELSE 0 END AS hit
+         |  FROM bpos b LEFT JOIN idx i ON i.w = b.p // 62),
+         |bloom AS (SELECT doc_id, CAST(sum(hit) AS BIGINT) = $BloomK AS bloom_hit
+         |          FROM probes GROUP BY doc_id),
+         |chash AS (SELECT DISTINCT md5(text) AS ch FROM corpus),
+         |truth AS (SELECT b.doc_id, ch IS NOT NULL AS exact_dup
+         |          FROM batch b LEFT JOIN chash ON md5(b.text) = ch)
+         |SELECT t.doc_id, bl.bloom_hit, t.exact_dup,
+         |  bl.bloom_hit AND NOT t.exact_dup AS false_pos
+         |FROM truth t JOIN bloom bl USING (doc_id)
+         |ORDER BY t.doc_id""".stripMargin
+    }
+  ) { (spark, dir) => bloomDedupLedger(documents(spark, dir)) }
+
+  /** [[bloomDedup]]'s core over any (doc_id, text) table — also driven
+    * by BloomSpec with planted duplicates.
+    */
+  def bloomDedupLedger(docsIn: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val corpus = docsIn.filter(col("doc_id") % 5 =!= 0).select("doc_id", "text")
+    val batch = docsIn.filter(col("doc_id") % 5 === 0).select("doc_id", "text")
+    // corpus-adaptive filter size — a driver-side count, the
+    // embedNearDup adaptive-width precedent
+    val m = 1L << Embed.adaptiveBits(32L * corpus.count(), 16, 1)
+    def posCol(i: Int) =
+      expr(s"CAST(conv(substr(md5(concat('$i|', text)), 1, 15), 16, 10) AS BIGINT) % $m")
+    def positions(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
+      explode(array((0 until BloomK).map(posCol): _*)).as("p"))
+    val idx = positions(corpus)
+      .groupBy(expr("p div 62").as("w"))
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(p % 62 AS INT)))").as("bits"))
+    val bloom = positions(batch)
+      .withColumn("w", expr("p div 62"))
+      .join(broadcast(idx), Seq("w"), "left")
+      .withColumn("hit", expr(
+        "CASE WHEN bits IS NOT NULL AND (shiftright(bits, CAST(p % 62 AS INT)) & 1) = 1 THEN 1 ELSE 0 END"))
+      .groupBy("doc_id").agg((sum("hit") === BloomK).as("bloom_hit"))
+    val chash = corpus.select(md5(col("text")).as("ch")).distinct()
+    // chash is corpus-sized — shuffle-hash, never broadcast (the
+    // spanDedup lesson; the ground-truth arm must not be the OOM)
+    val truth = batch.withColumn("bh", md5(col("text")))
+      .join(chash.hint("shuffle_hash"), col("bh") === col("ch"), "left")
+      .select(col("doc_id"), col("ch").isNotNull.as("exact_dup"))
+    truth.join(bloom, "doc_id")
+      .select(col("doc_id"), col("bloom_hit"), col("exact_dup"),
+        (col("bloom_hit") && !col("exact_dup")).as("false_pos"))
+      .orderBy("doc_id")
+  }
+
   /** PQ shortlist size (ADC candidates per query before exact re-rank).
     * ~8× over-retrieve for top-3 — PqProbe on the (near-random, worst
     * case) fixture measures recall@3 0.22/0.39/0.61 at shortlist
@@ -2168,7 +2262,8 @@ object LlmQueries {
     simhash, fingerprint, embedTopk, annLsh, annIvf, annIvfTrained, annPq,
     embedNearDup, tokenCount, imageMeta, audioMeta, imageResize,
     frameSample, qualityScore, piiScrub, repetition,
-    contamination, urlHostStats, tfidfTopk, langClassify, semDedup, semDedupGuarded,
+    contamination, urlHostStats, tfidfTopk, langClassify, bloomDedup,
+    semDedup, semDedupGuarded,
     semDedupCapped,
     topNgrams,
     seqPack, splitAssign, curation, mixSample, lengthQuantiles, lmScore,

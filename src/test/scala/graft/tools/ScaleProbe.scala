@@ -51,7 +51,14 @@ object ScaleProbe {
     // mapGroups — the fidelity port of the Go state machine)
     "llm_seq_pack", "llm_lm_score", "llm_length_quantiles",
     "llm_dsir_weight", "llm_top_ngrams", "llm_contamination",
-    "a01_candles_replay")
+    "a01_candles_replay",
+    // round-7 fifth wave — the late-round additions: PQ codes + ADC
+    // (broadcast codebook/table, two linear hash aggs), the span-dedup
+    // index (fixed-width hash agg + shuffle-hash join-back), and the
+    // classifier's train/score joins
+    "llm_ann_pq", "llm_span_dedup", "llm_lang_classify",
+    // bloom pre-filter: corpus-adaptive m must keep FP flat at 10x
+    "llm_bloom_dedup")
   private val Reps = 10
   private val IdStride = 10000000L
 
@@ -79,7 +86,9 @@ object ScaleProbe {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
 
-    val results = for (dir <- Seq(base, scaled); n <- Entries) yield {
+    // optional arg list narrows the run to named entries (new-wave dev loop)
+    val entries = if (args.nonEmpty) Entries.filter(args.contains) else Entries
+    val results = for (dir <- Seq(base, scaled); n <- entries) yield {
       graft.fixtures.Fixtures.clearDerivedCache(spark)
       noop(graft.SparkEntry.queries(n)(spark, dir)) // warmup + cache fill
       val t = (1 to 2).map(_ => timed(noop(graft.SparkEntry.queries(n)(spark, dir)))).min
@@ -87,7 +96,7 @@ object ScaleProbe {
       (dir, n, t, rows)
     }
     println(f"[scale] ${"entry"}%-26s ${"sf0.1 s"}%8s ${"rows"}%8s ${"sf1 s"}%8s ${"rows"}%9s ${"t-ratio"}%8s  (data x$Reps)")
-    for (n <- Entries) {
+    for (n <- entries) {
       val Some((_, _, t0, r0)) = results.find(r => r._1 == base && r._2 == n)
       val Some((_, _, t1, r1)) = results.find(r => r._1 == scaled && r._2 == n)
       println(f"[scale] $n%-26s $t0%8.3f $r0%8d $t1%8.3f $r1%9d ${t1 / t0}%8.2f")
