@@ -35,7 +35,11 @@ object Explain {
       "llm_embed_neardup", "llm_incremental_neardup", "llm_semdedup_capped",
       // late round-7 representatives: PQ codes + broadcast ADC table,
       // span-index hash agg + join-back, classifier weight/score joins
-      "llm_ann_pq", "llm_span_dedup", "llm_lang_classify")
+      "llm_ann_pq", "llm_span_dedup", "llm_lang_classify",
+      // sixth wave: bloom word-table probe join, BM25 postings join,
+      // host-cap window, CDC chunk stats join
+      "llm_bloom_dedup", "llm_bm25_topk", "llm_host_cap", "llm_cdc_chunk",
+      "llm_knn_graph")
     names.foreach { n =>
       println(s"\n================ $n ================")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

@@ -680,6 +680,87 @@ object LlmQueries {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Neighbors kept per node in the KNN graph. */
+  private val KnnK = 3
+
+  /** KNN-graph construction — per-NODE top-k neighbor edges over the
+    * whole corpus (where [[embedTopk]]/[[annLsh]] serve a fixed QUERY
+    * set, and [[embedNearDup]] emits threshold pairs): the edge list
+    * that graph-based curation consumes (SemDeDup-style cluster
+    * analysis, connected-component dedup via [[dedupClusters]], graph
+    * diversity sampling). Candidates come ONLY from shared adaptive-width
+    * LSH band buckets — the same banded machinery as [[embedNearDup]],
+    * reused verbatim — then each node ranks its bucket-mates by exact
+    * quantized cosine and keeps [[KnnK]]. Nodes whose buckets hold no
+    * other member emit no edges (documented: the graph is over
+    * LSH-connectable nodes, exactly the set a threshold variant sees).
+    *
+    * 100 TB shape: bucket occupancy is held ≈[[NdTargetBucket]] by the
+    * corpus-adaptive signature width, so candidate edges stay LINEAR in
+    * n; the per-src top-k is a window over those bounded candidate sets
+    * (WindowGroupLimit prunes to k per partition before the final sort).
+    * No all-pairs stage anywhere.
+    */
+  val knnGraph = QueryDef.sql(
+    "llm_knn_graph", {
+      val dots = (0 until NdBands * NdMaxBits)
+        .map(j => s"${Embed.hyperplaneDotSql(j)} AS d$j").mkString(",\n  ")
+      val bandsSql = (0 until NdBands)
+        .map(b => s"SELECT vec_id, $b AS band, ${Embed.bandKeySql(b, NdMaxBits)} AS key FROM dots")
+        .mkString("\nUNION ALL\n")
+      s"""WITH emb AS (${Embed.preparedSql}),
+         |${Embed.adaptiveBitsCteSql("emb", NdBits, NdTargetBucket)},
+         |dots AS (SELECT vec_id, $dots FROM emb),
+         |bands AS ($bandsSql),
+         |bandsm AS (SELECT vec_id, band,
+         |             key % CAST(POW(2, (SELECT bits FROM params)) AS BIGINT) AS bkey
+         |           FROM bands),
+         |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |         FROM bandsm a JOIN bandsm b
+         |           ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id),
+         |scored AS (SELECT vec_a, vec_b,
+         |    ${Embed.cosineSql(Embed.dotSql("a.qv", "b.qv"), "a.nrm", "b.nrm")} AS cos_sim
+         |  FROM cand JOIN emb a ON a.vec_id = cand.vec_a
+         |            JOIN emb b ON b.vec_id = cand.vec_b),
+         |edges AS (SELECT vec_a AS src, vec_b AS dst, cos_sim FROM scored
+         |          UNION ALL
+         |          SELECT vec_b AS src, vec_a AS dst, cos_sim FROM scored),
+         |ranked AS (SELECT src, dst, cos_sim, row_number() OVER (
+         |    PARTITION BY src ORDER BY cos_sim DESC, dst) AS rank
+         |  FROM edges)
+         |SELECT src, dst, cos_sim, CAST(rank AS BIGINT) AS rank
+         |FROM ranked WHERE rank <= $KnnK
+         |ORDER BY src, rank""".stripMargin
+    }
+  ) { (spark, dir) =>
+    val emb = Embed.prepared(embeddings(spark, dir)).cache()
+    val bits = Embed.adaptiveBits(emb.count(), NdBits, NdTargetBucket)
+    val mask = 1L << bits
+    val bandCols = (0 until NdBands).map(b => struct(lit(b).as("band"),
+      (expr(Embed.bandKeyDotsExpr(b, NdMaxBits)) % lit(mask)).as("bkey")))
+    val bands = emb
+      .withColumn("dots", expr(s"hyperplane_dots(qv, ${NdBands * NdMaxBits})"))
+      .select(col("vec_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b")).distinct()
+    val scored = cand
+      .join(emb.select(col("vec_id").as("vec_a"), col("qv").as("qa"), col("nrm").as("na")), "vec_a")
+      .join(emb.select(col("vec_id").as("vec_b"), col("qv").as("qb"), col("nrm").as("nb")), "vec_b")
+      .withColumn("cos_sim", expr(Embed.cosineSql(Embed.dotExpr("qa", "qb"), "na", "nb")))
+      .select(col("vec_a"), col("vec_b"), col("cos_sim"))
+    val edges = scored.select(col("vec_a").as("src"), col("vec_b").as("dst"), col("cos_sim"))
+      .unionAll(scored.select(col("vec_b").as("src"), col("vec_a").as("dst"), col("cos_sim")))
+    edges
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("src").orderBy(col("cos_sim").desc, col("dst"))))
+      .filter(col("rank") <= KnnK)
+      .select(col("src"), col("dst"), col("cos_sim"), col("rank").cast("long").as("rank"))
+      .orderBy("src", "rank")
+  }
+
   /** IVF-style ANN (the coarse-quantizer scale path alongside the LSH
     * variant): K=16 centroids partition the corpus into inverted lists;
     * a query probes only its nprobe=2 nearest lists, so the exact-scoring
@@ -933,6 +1014,108 @@ object LlmQueries {
         "coalesce(n_dropped, CAST(0 AS BIGINT)) AS n_dropped",
         """CASE WHEN coalesce(n_spans, 0) > 0
           |  THEN CAST(n_dropped AS DOUBLE) / n_spans
+          |  ELSE CAST(0 AS DOUBLE) END AS dup_frac""".stripMargin)
+      .orderBy("doc_id")
+  }
+
+  /** Expected CDC chunk length in words (boundary probability 1/8). */
+  private val CdcMod = 8
+
+  /** Content-defined chunking + block-level dedup — the rsync/FastCDC
+    * shape between [[spanDedup]] (overlapping fixed 8-grams, O(len)
+    * spans per doc) and [[exactDedup]] (whole-doc): chunk boundaries are
+    * decided by each WORD's own hash (`h(w) % CdcMod == 0` closes the
+    * chunk), so identical content produces identical chunks at ANY
+    * position — an insertion re-chunks only the block it lands in,
+    * where fixed-width blocks would shift every downstream boundary.
+    * Disjoint blocks mean O(len/CdcMod) units per doc, not O(len).
+    *
+    * Chunk identity is a FIXED-WIDTH signature, not the chunk text: each
+    * word contributes hexint40(md5(offset|word)) (offset = position
+    * within the chunk) and the chunk sums them — order-independent
+    * addition over order-CAPTURING terms, so both engines aggregate in
+    * any order and 2^40-bounded terms keep a 2^20-word chunk under 2^60
+    * (DuckDB raises on BIGINT overflow where Spark wraps — the bound is
+    * load-bearing). Matching (sig, len) pairs collide with probability
+    * ~2^-40·per-pair — accepted and documented, the standard CDC trade.
+    *
+    * 100 TB shape: two per-doc window passes (boundary prefix-sum, then
+    * chunk-start min) — both partition by doc_id, bounded by doc length,
+    * spillable; then one fixed-width hash aggregate per chunk, a
+    * corpus-sized (sig, len) stats aggregate joined back SHUFFLE-HASH
+    * (never broadcast — the [[spanDedupLedger]] lesson), and a per-doc
+    * rollup. Linear end to end.
+    */
+  val cdcChunk = QueryDef.sql(
+    "llm_cdc_chunk",
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |words AS (SELECT doc_id, unnest(range(1, len(tk) + 1)) AS pos,
+       |                 unnest(tk) AS w
+       |          FROM toks),
+       |marked AS (SELECT doc_id, pos, w,
+       |    CASE WHEN ${Text.hexPrefixIntSql("md5(w)", 8)} % $CdcMod = 0
+       |      THEN 1 ELSE 0 END AS bnd
+       |  FROM words),
+       |numbered AS (SELECT doc_id, pos, w,
+       |    sum(bnd) OVER (PARTITION BY doc_id ORDER BY pos) - bnd AS chunk_no
+       |  FROM marked),
+       |offs AS (SELECT doc_id, chunk_no, pos, w,
+       |    pos - min(pos) OVER (PARTITION BY doc_id, chunk_no) AS off
+       |  FROM numbered),
+       |chunks AS (SELECT doc_id, chunk_no,
+       |    CAST(sum(${Text.hexPrefixIntSql("md5(concat(off, '|', w))", 10)}) AS BIGINT) AS sig,
+       |    CAST(count(*) AS BIGINT) AS len,
+       |    doc_id * 1048576 + min(pos) AS pack
+       |  FROM offs GROUP BY doc_id, chunk_no),
+       |stats AS (SELECT sig, len, count(*) AS cnt, min(pack) AS keeper
+       |          FROM chunks GROUP BY sig, len),
+       |perdoc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+       |    CAST(sum(CASE WHEN s.cnt > 1 AND c.pack != s.keeper
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks
+       |  FROM chunks c JOIN stats s USING (sig, len) GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  coalesce(p.n_chunks, CAST(0 AS BIGINT)) AS n_chunks,
+       |  coalesce(p.n_dup_chunks, CAST(0 AS BIGINT)) AS n_dup_chunks,
+       |  CASE WHEN coalesce(p.n_chunks, 0) > 0
+       |    THEN CAST(p.n_dup_chunks AS DOUBLE) / p.n_chunks
+       |    ELSE CAST(0 AS DOUBLE) END AS dup_frac
+       |FROM documents d LEFT JOIN perdoc p USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  ) { (spark, dir) => cdcChunkLedger(documents(spark, dir)) }
+
+  /** [[cdcChunk]]'s core over any (doc_id, text) table — also driven by
+    * CdcSpec (boundary invariance under content shifts).
+    */
+  def cdcChunkLedger(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val byChunk = Window.partitionBy("doc_id", "chunk_no")
+    val chunks = docs
+      .withColumn("tk", split(col("text"), " "))
+      .select(col("doc_id"), posexplode(col("tk")).as(Seq("pos0", "w")))
+      .withColumn("pos", col("pos0") + 1)
+      .withColumn("bnd", expr(
+        s"CASE WHEN CAST(conv(substr(md5(w), 1, 8), 16, 10) AS BIGINT) % $CdcMod = 0 THEN 1 ELSE 0 END"))
+      .withColumn("chunk_no", sum("bnd").over(byDoc) - col("bnd"))
+      .withColumn("off", col("pos") - min("pos").over(byChunk))
+      .groupBy("doc_id", "chunk_no")
+      .agg(
+        sum(expr("CAST(conv(substr(md5(concat(off, '|', w)), 1, 10), 16, 10) AS BIGINT)")).as("sig"),
+        count(lit(1)).as("len"),
+        (col("doc_id") * lit(1048576L) + min("pos")).as("pack"))
+    val stats = chunks.groupBy("sig", "len")
+      .agg(count(lit(1)).as("cnt"), min("pack").as("keeper"))
+    val perDoc = chunks.join(stats.hint("shuffle_hash"), Seq("sig", "len"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("cnt") > 1 && col("pack") =!= col("keeper"), 1L)
+          .otherwise(0L)).as("n_dup_chunks"))
+    docs.select("doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .selectExpr("doc_id",
+        "coalesce(n_chunks, CAST(0 AS BIGINT)) AS n_chunks",
+        "coalesce(n_dup_chunks, CAST(0 AS BIGINT)) AS n_dup_chunks",
+        """CASE WHEN coalesce(n_chunks, 0) > 0
+          |  THEN CAST(n_dup_chunks AS DOUBLE) / n_chunks
           |  ELSE CAST(0 AS DOUBLE) END AS dup_frac""".stripMargin)
       .orderBy("doc_id")
   }
@@ -1476,6 +1659,50 @@ object LlmQueries {
       .orderBy("host")
   }
 
+  // ---- per-host document cap: domain-balancing curation ----
+
+  /** Max docs kept per host. */
+  private val HostCap = 20
+
+  /** Per-host document cap — the domain-balancing step web-scale
+    * curation applies after host extraction (a handful of boilerplate
+    * domains otherwise dominate the training mix): rank each doc within
+    * its host by doc_id (stable, deterministic) and keep the first
+    * [[HostCap]]. Emitted as a TOTAL ledger (doc_id, host, host_rank,
+    * keep) so downstream stages read one table, not a filtered view.
+    *
+    * 100 TB shape: one window sort PARTITIONED BY host — sort-per-host
+    * is spillable and the partition count is the host cardinality
+    * (millions on the web), so parallelism holds; a single mega-host is
+    * the skew hazard and AQE skew-split handles the numbering scan
+    * because ranks beyond the cap only feed a boolean. The upgrade path
+    * when even numbering a mega-host is too much is a bounded per-group
+    * "C smallest doc_ids" heap aggregate (the [[graft.expr.TopK]]
+    * pattern with an exact bounded buffer), which this ledger's oracle
+    * would gate unchanged.
+    */
+  val hostCap = QueryDef.sql(
+    "llm_host_cap",
+    s"""WITH rich AS (SELECT doc_id, ${richPiiExpr("VARCHAR")} AS rich FROM documents),
+       |hosts AS (SELECT doc_id,
+       |    string_split(regexp_extract(rich, '$UrlPat'), '/')[3] AS host
+       |  FROM rich),
+       |ranked AS (SELECT doc_id, host, row_number() OVER (
+       |    PARTITION BY host ORDER BY doc_id) AS host_rank FROM hosts)
+       |SELECT doc_id, host, CAST(host_rank AS BIGINT) AS host_rank,
+       |  host_rank <= $HostCap AS keep
+       |FROM ranked ORDER BY doc_id""".stripMargin
+  ) { (spark, dir) =>
+    documents(spark, dir)
+      .selectExpr("doc_id", s"${richPiiExpr("STRING")} AS rich")
+      .selectExpr("doc_id", s"split(regexp_extract(rich, '$UrlPat', 0), '/')[2] AS host")
+      .withColumn("host_rank", row_number().over(
+        Window.partitionBy("host").orderBy("doc_id")).cast("long"))
+      .select(col("doc_id"), col("host"), col("host_rank"),
+        (col("host_rank") <= HostCap).as("keep"))
+      .orderBy("doc_id")
+  }
+
   // ---- TF-IDF retrieval: sparse-vector cosine top-k ----
 
   private val TfidfQueries = 8
@@ -1552,6 +1779,95 @@ object LlmQueries {
         Window.partitionBy("query_id").orderBy(col("tfidf_cos").desc, col("doc_id"))))
       .filter(col("rank") <= TfidfTopN)
       .select(col("query_id"), col("doc_id"), col("tfidf_cos"),
+        col("rank").cast("long").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  // ---- BM25 retrieval: length-normalized lexical ranking ----
+
+  /** BM25 score scaled to integers — k1 = 1.2 and b = 0.75 spelled as
+    * exact rationals so BOTH engines compute the identical BIGINT.
+    * With A = (1024·total_tokens) div n_docs (avgdl in 1/1024 units),
+    * the per-term saturation tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+    * multiplied through by 20·A becomes
+    *   (1024 · 44·tf·A) div (20·A·tf + 6·A + 18432·dl)
+    * — every factor integer, bounded by 1024·44/20 ≈ 2252 regardless of
+    * corpus size (A is an AVERAGE, ~dl-sized, so the numerator never
+    * grows with N — the reason avgdl is quantized up front instead of
+    * carrying total_tokens through the formula). The idf leg reuses
+    * [[IdfCap]]'s capped rational proxy: monotone in 1/df like log-idf,
+    * but `ln`-free because ln is not bit-identical across engines (the
+    * [[langClassify]] precedent).
+    */
+  private def bm25TermSql(tf: String, dl: String) =
+    s"(45056 * $tf * A) // (20 * A * $tf + 6 * A + 18432 * $dl)"
+
+  /** BM25 top-k retrieval — the length-normalized complement of
+    * [[tfidfTopk]]'s raw-tf cosine: long docs stop winning on bulk (the
+    * b·dl/avgdl leg), repeated terms saturate (the k1 leg). Query docs
+    * are the first [[TfidfQueries]] doc_ids; query-term multiplicity
+    * multiplies the score (qtf · idf · saturation — the common k3→∞
+    * simplification, stated rather than implied).
+    *
+    * 100 TB shape: identical to tfidf — postings from one explode +
+    * hash aggregate, tiny query-side postings broadcast, the corpus
+    * side never shuffles; dl/A add one map-side join against a
+    * broadcast two-scalar table. Ranking is a per-query top-k window
+    * over only the docs sharing a query term.
+    */
+  val bm25Topk = QueryDef.sql(
+    "llm_bm25_topk",
+    s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |toks AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
+       |         FROM (SELECT doc_id, unnest(tk) AS t FROM docs) u
+       |         GROUP BY doc_id, t),
+       |dls AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM docs),
+       |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |                 (1024 * CAST(sum(dl) AS BIGINT)) // count(*) AS A
+       |          FROM dls),
+       |dfreq AS (SELECT t, CAST(count(*) AS BIGINT) AS dfv FROM toks GROUP BY t),
+       |w AS (SELECT toks.doc_id AS doc_id, toks.t AS t,
+       |        least((n_docs * 1024) // dfv, $IdfCap) *
+       |          ${bm25TermSql("tf", "dl")} AS w, tf
+       |      FROM toks JOIN dfreq ON toks.t = dfreq.t
+       |                JOIN dls ON toks.doc_id = dls.doc_id
+       |                CROSS JOIN stats),
+       |scored AS (SELECT q.doc_id AS query_id, c.doc_id AS doc_id,
+       |             CAST(sum(q.tf * c.w) AS BIGINT) AS bm25
+       |           FROM w q JOIN w c ON q.t = c.t
+       |           WHERE q.doc_id < $TfidfQueries AND q.doc_id <> c.doc_id
+       |           GROUP BY q.doc_id, c.doc_id),
+       |ranked AS (SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, doc_id, bm25, CAST(rank AS BIGINT) AS rank
+       |FROM ranked WHERE rank <= $TfidfTopN
+       |ORDER BY query_id, rank""".stripMargin
+  ) { (spark, dir) =>
+    val docs = documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+    val toks = docs.select(col("doc_id"), explode(col("tk")).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+    val dls = docs.select(col("doc_id"), size(col("tk")).cast("long").as("dl"))
+    val stats = dls.agg(count(lit(1)).as("n_docs"),
+      expr("(1024 * sum(dl)) div count(*)").as("A"))
+    val w = toks
+      .join(toks.groupBy("t").agg(count(lit(1)).as("dfv")), "t")
+      .join(dls, "doc_id")
+      .crossJoin(broadcast(stats))
+      .selectExpr("doc_id", "t", "tf",
+        s"least((n_docs * 1024) div dfv, CAST($IdfCap AS BIGINT)) * " +
+          s"${bm25TermSql("tf", "dl").replace("//", "div")} AS w")
+      .cache()
+    val qw = w.filter(col("doc_id") < TfidfQueries)
+      .select(col("doc_id").as("query_id"), col("t"), col("tf").as("qtf"))
+    w.join(broadcast(qw), "t")
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy("query_id", "doc_id").agg(sum(expr("qtf * w")).as("bm25"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("bm25").desc, col("doc_id"))))
+      .filter(col("rank") <= TfidfTopN)
+      .select(col("query_id"), col("doc_id"), col("bm25"),
         col("rank").cast("long").as("rank"))
       .orderBy("query_id", "rank")
   }
@@ -2258,11 +2574,12 @@ object LlmQueries {
 
   val all: Seq[QueryDef] = Seq(
     textStats, langId, exactDedup, minhashLsh, incrementalNearDup,
-    dedupClusters, ngramJaccard, spanDedup,
+    dedupClusters, ngramJaccard, spanDedup, cdcChunk,
     simhash, fingerprint, embedTopk, annLsh, annIvf, annIvfTrained, annPq,
-    embedNearDup, tokenCount, imageMeta, audioMeta, imageResize,
+    embedNearDup, knnGraph, tokenCount, imageMeta, audioMeta, imageResize,
     frameSample, qualityScore, piiScrub, repetition,
-    contamination, urlHostStats, tfidfTopk, langClassify, bloomDedup,
+    contamination, urlHostStats, hostCap, tfidfTopk, bm25Topk, langClassify,
+    bloomDedup,
     semDedup, semDedupGuarded,
     semDedupCapped,
     topNgrams,

@@ -58,7 +58,15 @@ object ScaleProbe {
     // classifier's train/score joins
     "llm_ann_pq", "llm_span_dedup", "llm_lang_classify",
     // bloom pre-filter: corpus-adaptive m must keep FP flat at 10x
-    "llm_bloom_dedup")
+    "llm_bloom_dedup",
+    // BM25: same postings shape as tfidf, plus the dl/avgdl join
+    "llm_bm25_topk",
+    // host cap: window-by-host numbering must stay linear; CDC: two
+    // per-doc windows + the (sig, len) stats join
+    "llm_host_cap", "llm_cdc_chunk",
+    // knn graph: banded candidates must stay linear under the adaptive
+    // width; per-src top-k window over bounded candidate sets
+    "llm_knn_graph")
   private val Reps = 10
   private val IdStride = 10000000L
 
