@@ -284,14 +284,24 @@ object Fixtures {
     "CAST(event_id AS BIGINT) AS quote_seq"
   )
 
-  /** events.parquet stores ts as INT64 TIMESTAMP(NANOS) — Spark reads it as
-    * a long (see the `nanosAsLong` config in Verify/Bench/tests) and we
-    * rebuild a µs timestamp; DuckDB reads the ns type natively. Both floor
-    * to whole µs, so derived values agree.
+  /** events.parquet has shipped `ts` two ways across testdata generations:
+    * INT64 TIMESTAMP(NANOS) — Spark surfaces a long under the
+    * `nanosAsLong` config (see Verify/Bench/tests) and we rebuild a µs
+    * timestamp — and INT64 TIMESTAMP(MICROS, isAdjustedToUTC=false), which
+    * Spark reads as TIMESTAMP_NTZ. Branch on the read schema so both
+    * generations land on the same session-TZ timestamp; DuckDB reads
+    * either physical type natively and both floor to whole µs, so derived
+    * values agree.
     */
-  def events(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+      case _ =>
+        raw.withColumn("ts", expr("CAST(ts AS TIMESTAMP)"))
+    }
+  }
 
   def quotes(spark: SparkSession, dir: String): DataFrame =
     // source: LowCardinality(String), db.go:102 — short enum-like values,

@@ -60,6 +60,15 @@ class AsOfJoinSpec extends SparkSuite {
 
   test("bucketed children satisfy the distribution: as-of joins with zero exchange") {
     val dir = "/root/testdata/sf0.001"
+    // A crashed predecessor run can leave the warehouse LOCATION behind with
+    // no catalog entry (the test catalog is in-memory per JVM), and
+    // Overwrite then refuses with LOCATION_ALREADY_EXISTS — clear both.
+    for (t <- Seq("graft_asof_t", "graft_asof_q")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      val loc = new java.io.File(wh, t)
+      if (loc.exists()) scala.reflect.io.Directory(loc).deleteRecursively()
+    }
     graft.sources.Sinks.materializeBucketed(
       graft.fixtures.Fixtures.trades(spark, dir)
         .selectExpr("secid", "time", "trade_no"), "graft_asof_t", 4, "secid")
