@@ -2572,6 +2572,272 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  // ---- deterministic training-data shuffle + sharding ----
+
+  /** Seed prefix for the shuffle hash — changing it re-deals the whole
+    * corpus (epoch reshuffle = new seed, zero state).
+    */
+  private val ShuffleSeed = "graft-shuffle-42|"
+
+  /** Output shard count. Tiny here; at 100 TB this is O(10^4–10^5)
+    * output files and the math below is unchanged.
+    */
+  private val NumShards = 8
+
+  /** Deterministic global shuffle (the pre-training "shuffle the corpus
+    * and write S shards" step): every doc gets a pseudo-random but
+    * reproducible position — shard = hash(seed, doc_id) mod S, position =
+    * rank of the hash WITHIN the shard. Training readers stream shards in
+    * position order and see a stable, seed-keyed permutation; no RNG
+    * state, no coordination.
+    *
+    * 100 TB shape: the hash and shard assignment are map-side; the only
+    * exchange is the ONE hash-partition by shard a sharded write needs
+    * anyway, and each shard sorts independently (spillable, parallel
+    * across shards). The trap this avoids is `row_number() OVER (ORDER BY
+    * hash)` — a GLOBAL total order that funnels the corpus through one
+    * partition; per-shard ranks give the same training-time semantics
+    * (readers consume whole shards) at full parallelism.
+    */
+  val shuffleShard = QueryDef.sql(
+    "llm_shuffle_shard", {
+      val h = s"md5(concat('$ShuffleSeed', CAST(doc_id AS VARCHAR)))"
+      s"""WITH keyed AS (SELECT doc_id, $h AS skey,
+         |    (${Text.hexPrefixIntSql(h, 4)}) % $NumShards AS shard
+         |  FROM documents)
+         |SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id) AS BIGINT) AS pos
+         |FROM keyed ORDER BY doc_id""".stripMargin
+    }
+  ) { (spark, dir) =>
+    val h = s"md5(concat('$ShuffleSeed', CAST(doc_id AS STRING)))"
+    documents(spark, dir)
+      .selectExpr("doc_id", s"$h AS skey",
+        s"(${Text.hexPrefixIntSql(h, 4)}) % $NumShards AS shard")
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("shard").orderBy(col("skey"), col("doc_id"))).cast("long"))
+      .selectExpr("doc_id", "CAST(shard AS BIGINT) AS shard", "pos")
+      .orderBy("doc_id")
+  }
+
+  // ---- near-dup cluster representative selection (keep-best) ----
+
+  /** Cluster-representative selection: near-dup dedup that keeps the
+    * BEST document of every duplicate cluster instead of the first —
+    * [[dedupClusters]]' connected components joined with
+    * [[qualityScore]]'s signal, argmax quality (ties → lowest doc_id)
+    * per cluster. This is the curation-grade dedup verdict: "drop the
+    * duplicates, but keep the cleanest copy".
+    *
+    * 100 TB shape: pairs come from the capped banded-LSH stream (never
+    * all-pairs), labels from the fenced iterative CC, quality is a
+    * map-side projection; the selection itself is one per-cluster window
+    * rank — a hash partition on cluster_id with small per-cluster sorts
+    * (cluster size is bounded by near-dup semantics; a pathological
+    * mega-cluster would already have been capped upstream at the LSH
+    * bucket stage).
+    */
+  val clusterBest = QueryDef.sql(
+    "llm_cluster_best",
+    s"""WITH RECURSIVE $minhashPairsCtes,
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(node, label) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node),
+       |lab AS (SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node),
+       |qual AS (SELECT doc_id, $qualityExpr AS quality FROM (
+       |    SELECT doc_id,
+       |      $qualityMetricsSql
+       |    FROM (SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents) d) m),
+       |ranked AS (SELECT l.doc_id, l.cluster_id, q.quality,
+       |    row_number() OVER (PARTITION BY l.cluster_id
+       |                       ORDER BY q.quality DESC, l.doc_id) AS rn
+       |  FROM lab l JOIN qual q USING (doc_id))
+       |SELECT doc_id, cluster_id, quality, rn = 1 AS is_best,
+       |  CASE WHEN rn = 1 THEN 'keep' ELSE 'drop_dup' END AS action
+       |FROM ranked ORDER BY doc_id""".stripMargin
+  ) { (spark, dir) =>
+    val pairs = minhashPairs(spark, dir).select(col("doc_a"), col("doc_b")).cache()
+    val nodes = documents(spark, dir).select(col("doc_id").as("node"))
+    val labels = minLabelComponents(nodes, pairs.toDF("src", "dst"))
+      .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+    val qual = documents(spark, dir)
+      .withColumn("tk", split(col("text"), " "))
+      .select(col("doc_id") +: qualityMetricCols: _*)
+      .select(col("doc_id"), expr(qualityExpr).as("quality"))
+    labels.join(qual, "doc_id")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("cluster_id").orderBy(col("quality").desc, col("doc_id"))))
+      .selectExpr("doc_id", "cluster_id", "quality", "rn = 1 AS is_best",
+        "CASE WHEN rn = 1 THEN 'keep' ELSE 'drop_dup' END AS action")
+      .orderBy("doc_id")
+  }
+
+  // ---- CCNet-style per-language perplexity bucketing ----
+
+  /** CCNet's head/middle/tail split: score every document under the
+    * corpus bigram LM ([[lmScore]]'s exact computation), then bucket by
+    * PER-LANGUAGE fluency terciles — 'head' is the most fluent third of
+    * each language, which is what CCNet feeds to pretraining first.
+    * Thresholds come from the same histogram-cumsum quantile idiom as
+    * [[lengthQuantiles]] (integer fluency → exact, no interpolation
+    * ambiguity across engines).
+    *
+    * 100 TB shape: scoring is [[lmScore]]'s plan (shuffle-hashed stats
+    * join, nothing iterative); the tercile table is built from a
+    * per-(lang, fluency) histogram — partial-aggregated, cardinality ≈
+    * languages × distinct integer scores, NOT corpus-sized — and joins
+    * back as a broadcast of |languages| rows. No global sort anywhere.
+    */
+  val ccnetBucket = QueryDef.sql(
+    "llm_ccnet_bucket",
+    s"""WITH docs AS (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents),
+       |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c1
+       |        FROM (SELECT unnest(tk) AS w FROM docs) u GROUP BY w),
+       |bi AS (SELECT bg, CAST(count(*) AS BIGINT) AS c2
+       |       FROM (SELECT unnest(${Text.wordNgramsSql(2, distinct = false)}) AS bg
+       |             FROM docs) b GROUP BY bg),
+       |q AS (SELECT bg, (c2 * $LmQuantum) // c1 AS q
+       |      FROM bi JOIN uni ON string_split(bg, ' ')[1] = uni.w),
+       |scored AS (SELECT doc_id, CAST(sum(q) AS BIGINT) AS sum_q,
+       |                  CAST(count(*) AS BIGINT) AS n_bigrams
+       |           FROM (SELECT doc_id, unnest(${Text.wordNgramsSql(2, distinct = false)}) AS bg
+       |                 FROM docs) o JOIN q USING (bg)
+       |           GROUP BY doc_id),
+       |flu AS (SELECT d.doc_id, d.lang,
+       |    CASE WHEN coalesce(n_bigrams, 0) > 0 THEN sum_q // n_bigrams ELSE 0 END AS lm_fluency
+       |  FROM docs d LEFT JOIN scored ON d.doc_id = scored.doc_id),
+       |hist AS (SELECT lang, lm_fluency, CAST(count(*) AS BIGINT) AS cnt
+       |         FROM flu GROUP BY lang, lm_fluency),
+       |cum AS (SELECT lang, lm_fluency,
+       |          sum(cnt) OVER (PARTITION BY lang ORDER BY lm_fluency) AS cum,
+       |          sum(cnt) OVER (PARTITION BY lang) AS n_total
+       |        FROM hist),
+       |thr AS (SELECT lang,
+       |    min(CASE WHEN cum * 3 >= n_total THEN lm_fluency END) AS t33,
+       |    min(CASE WHEN cum * 3 >= n_total * 2 THEN lm_fluency END) AS t66
+       |  FROM cum GROUP BY lang)
+       |SELECT f.doc_id, f.lang, f.lm_fluency,
+       |  CASE WHEN f.lm_fluency >= t.t66 THEN 'head'
+       |       WHEN f.lm_fluency >= t.t33 THEN 'middle'
+       |       ELSE 'tail' END AS bucket
+       |FROM flu f JOIN thr t USING (lang) ORDER BY f.doc_id""".stripMargin
+  ) { (spark, dir) =>
+    val docs = documents(spark, dir)
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("tk"))
+    val uni = docs.select(explode(col("tk")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    val bi = docs.select(explode(expr("word_ngrams(tk, 2, false)")).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c2"))
+    val q = bi.withColumn("w", expr("split(bg, ' ')[0]"))
+      .join(uni, "w")
+      .selectExpr("bg", s"(c2 * CAST($LmQuantum AS BIGINT)) div c1 AS q")
+    val scored = docs
+      .select(col("doc_id"), explode(expr("word_ngrams(tk, 2, false)")).as("bg"))
+      .join(q.hint("shuffle_hash"), "bg")
+      .groupBy("doc_id").agg(sum("q").as("sum_q"), count(lit(1)).as("n_bigrams"))
+    val flu = docs.select("doc_id", "lang")
+      .join(scored, Seq("doc_id"), "left")
+      .selectExpr("doc_id", "lang",
+        "CASE WHEN coalesce(n_bigrams, 0) > 0 THEN sum_q div n_bigrams ELSE CAST(0 AS BIGINT) END AS lm_fluency")
+    val byLang = Window.partitionBy("lang")
+    val cum = flu.groupBy("lang", "lm_fluency").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum("cnt").over(byLang.orderBy("lm_fluency")))
+      .withColumn("n_total", sum("cnt").over(byLang))
+    val thr = cum.groupBy("lang").agg(
+      min(when(col("cum") * 3 >= col("n_total"), col("lm_fluency"))).as("t33"),
+      min(when(col("cum") * 3 >= col("n_total") * 2, col("lm_fluency"))).as("t66"))
+    flu.join(broadcast(thr), "lang")
+      .selectExpr("doc_id", "lang", "lm_fluency",
+        """CASE WHEN lm_fluency >= t66 THEN 'head'
+          |     WHEN lm_fluency >= t33 THEN 'middle'
+          |     ELSE 'tail' END AS bucket""".stripMargin.replace("\n", ""))
+      .orderBy("doc_id")
+  }
+
+  // ---- int8 scalar quantization + recall ledger ----
+
+  /** Scalar-quantization code range (int8 symmetric: [-127, 127]). */
+  private val SqLevels = 127L
+
+  /** Int8 scalar quantization of the embedding corpus + a recall@10
+    * ledger against exact search — the OTHER standard embedding
+    * compression next to [[annPq]]'s product quantization: one scale per
+    * DIMENSION (corpus absmax), code_d = sign(v_d) · (|v_d|·127 div
+    * scale_d), all integer so both engines agree bit-for-bit. For each of
+    * the [[NumQueries]] probe queries the entry emits how many of the
+    * exact integer-dot top-10 survive in the symmetric code-dot top-10 —
+    * the number a deployment actually cares about (16× memory cut at
+    * what recall?).
+    *
+    * 100 TB shape: the scale table is a 64-row aggregate (posexplode →
+    * partial-aggregated max per dimension) broadcast back; encoding is a
+    * map-side projection; the ADC scan is the brute-force baseline
+    * (right up to ~10^9 vector·query products, same argument as
+    * [[embedTopk]]) — at larger scale the codes drop into the IVF/LSH
+    * bucketed variants unchanged, since they are just smaller integer
+    * vectors.
+    */
+  val sqRecall = QueryDef.sql(
+    "llm_sq_recall", {
+      val codeT = s"CASE WHEN qv[j] >= 0 THEN (qv[j] * $SqLevels) // s0.scales[j] " +
+        s"ELSE -((-qv[j] * $SqLevels) // s0.scales[j]) END"
+      s"""WITH emb AS (${Embed.preparedSql}),
+         |scal AS (SELECT i.i AS i, GREATEST(1, max(abs(e.qv[i.i]))) AS s
+         |         FROM emb e, range(1, ${Embed.Dim + 1}) i(i) GROUP BY i.i),
+         |sl AS (SELECT list(s ORDER BY i) AS scales FROM scal),
+         |coded AS (SELECT vec_id, qv,
+         |    list_transform(range(1, ${Embed.Dim + 1}), j -> $codeT) AS codes
+         |  FROM emb, sl s0),
+         |q AS (SELECT vec_id AS query_id, qv AS qqv, codes AS qcodes
+         |      FROM coded WHERE vec_id < $NumQueries),
+         |exact AS (SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY ${Embed.dotSql("qqv", "qv")} DESC, vec_id) AS rank
+         |    FROM coded, q WHERE vec_id != query_id) r WHERE rank <= 10),
+         |approx AS (SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY ${Embed.dotSql("qcodes", "codes")} DESC, vec_id) AS rank
+         |    FROM coded, q WHERE vec_id != query_id) r WHERE rank <= 10)
+         |SELECT e.query_id, CAST(count(a.vec_id) AS BIGINT) AS n_overlap,
+         |  CAST(count(a.vec_id) AS DOUBLE) / 10.0 AS recall_at_10
+         |FROM exact e LEFT JOIN approx a
+         |  ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+         |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
+    }
+  ) { (spark, dir) =>
+    val emb = Embed.prepared(embeddings(spark, dir))
+    val scales = emb.select(posexplode(col("qv")).as(Seq("pos", "x")))
+      .groupBy("pos").agg(greatest(max(abs(col("x"))), lit(1L)).as("s"))
+      .groupBy().agg(array_sort(collect_list(struct(col("pos"), col("s")))).as("ps"))
+      .select(col("ps.s").as("scales"))
+    val coded = emb.crossJoin(broadcast(scales))
+      .withColumn("codes", expr(
+        s"zip_with(qv, scales, (v, s) -> CASE WHEN v >= 0 THEN (v * $SqLevels) div s " +
+          s"ELSE -((-v * $SqLevels) div s) END)"))
+      .select(col("vec_id"), col("qv"), col("codes"))
+    val q = coded.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("qv").as("qqv"), col("codes").as("qcodes"))
+    def top10(rankBy: String): org.apache.spark.sql.DataFrame =
+      coded.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .withColumn("d", expr(rankBy))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("d").desc, col("vec_id"))))
+        .filter(col("rank") <= 10)
+        .select(col("query_id"), col("vec_id"))
+    val exact = top10(Embed.dotExpr("qqv", "qv"))
+    val approx = top10(Embed.dotExpr("qcodes", "codes"))
+    exact.join(approx.withColumn("hit", lit(1L)),
+        Seq("query_id", "vec_id"), "left")
+      .groupBy("query_id")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_overlap"))
+      .selectExpr("query_id", "n_overlap",
+        "CAST(n_overlap AS DOUBLE) / 10.0 AS recall_at_10")
+      .orderBy("query_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     textStats, langId, exactDedup, minhashLsh, incrementalNearDup,
     dedupClusters, ngramJaccard, spanDedup, cdcChunk,
@@ -2584,5 +2850,6 @@ object LlmQueries {
     semDedupCapped,
     topNgrams,
     seqPack, splitAssign, curation, mixSample, lengthQuantiles, lmScore,
-    lmScoreHoldout, dsirWeight, chunkSplit)
+    lmScoreHoldout, dsirWeight, chunkSplit,
+    shuffleShard, clusterBest, ccnetBucket, sqRecall)
 }
