@@ -72,6 +72,16 @@ object Bench {
     val times = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     for (n <- names) {
+      // Isolate keys from each other (round 7, second iteration): adjacent
+      // reps fixed the CROSS-PASS pollution, but entries that internally
+      // .cache() working sets (the LSH signature/int-set tables, the CC
+      // pair streams) leave them resident for every key that happens to
+      // run later in the alphabet — at 117 entries the accumulated blocks
+      // put map-side-only keys (pii_scrub, quality_score, repetition) at
+      // 3–6× their cold time from GC alone. Clear before each key's rep
+      // pair: rep 1 rebuilds THIS entry's own working set, rep 2 measures
+      // its steady state — which is what the warm lane claims to report.
+      graft.fixtures.Fixtures.clearDerivedCache(spark)
       try {
         val reps = (1 to 2).map { _ =>
           val t0 = System.nanoTime()

@@ -39,7 +39,11 @@ object Explain {
       // sixth wave: bloom word-table probe join, BM25 postings join,
       // host-cap window, CDC chunk stats join
       "llm_bloom_dedup", "llm_bm25_topk", "llm_host_cap", "llm_cdc_chunk",
-      "llm_knn_graph")
+      "llm_knn_graph",
+      // seventh wave: per-shard rank (no global sort), cluster argmax,
+      // tercile broadcast join, SQ scale aggregate + ADC scan
+      "llm_shuffle_shard", "llm_cluster_best", "llm_ccnet_bucket",
+      "llm_sq_recall")
     names.foreach { n =>
       println(s"\n================ $n ================")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

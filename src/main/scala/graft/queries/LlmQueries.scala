@@ -2690,6 +2690,10 @@ object LlmQueries {
     * per-(lang, fluency) histogram — partial-aggregated, cardinality ≈
     * languages × distinct integer scores, NOT corpus-sized — and joins
     * back as a broadcast of |languages| rows. No global sort anywhere.
+    * The fluency stream is consumed twice (output rows + histogram) and
+    * re-derived both times to keep the entry cache-free; a deployment
+    * persists the scored table between the two reads — linear either
+    * way, the recompute is a constant factor.
     */
   val ccnetBucket = QueryDef.sql(
     "llm_ccnet_bucket",

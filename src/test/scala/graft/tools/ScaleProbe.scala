@@ -66,7 +66,13 @@ object ScaleProbe {
     "llm_host_cap", "llm_cdc_chunk",
     // knn graph: banded candidates must stay linear under the adaptive
     // width; per-src top-k window over bounded candidate sets
-    "llm_knn_graph")
+    "llm_knn_graph",
+    // round-7 seventh wave — the curation additions: per-shard window
+    // rank (must stay a parallel per-shard sort), CC + per-cluster
+    // argmax, lm-score plan + per-lang histogram terciles, and the
+    // 64-row scale aggregate + brute-force ADC scan
+    "llm_shuffle_shard", "llm_cluster_best", "llm_ccnet_bucket",
+    "llm_sq_recall")
   private val Reps = 10
   private val IdStride = 10000000L
 
