@@ -2761,6 +2761,110 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  // ---- BPE tokenizer training: iterative merge learning ----
+
+  /** Number of BPE merge rounds to learn. Real vocabularies run this to
+    * 30–50k; the round COUNT only multiplies the compact-table loop, not
+    * the corpus scan, so 8 exercises every moving part.
+    */
+  private val BpeRounds = 8
+
+  /** Byte-pair-encoding tokenizer training — the subword-vocabulary
+    * induction step every pretraining pipeline runs before tokenizing:
+    * learn the top merge per round by weighted pair frequency over the
+    * corpus, greedily re-tokenize, repeat. Output is the learned merge
+    * table (round, lhs, rhs, merged, pair_count) — the artifact a
+    * tokenizer ships.
+    *
+    * 100 TB shape — the critical factorization: the corpus is scanned
+    * ONCE, into the (word, freq) table; ALL training rounds then run
+    * over that compact state (vocabulary-sized — millions of rows at web
+    * scale, never corpus-sized), exactly how production BPE trainers
+    * work. Per round: one partial-aggregated pair count over the state,
+    * one scalar argmax to the driver (the merge TABLE is driver state in
+    * any real trainer — same per-round-scalar pattern as Lloyd/CC), one
+    * map-side re-tokenization. State rides through the [[fence]]-style
+    * lineage cut so round k's plan doesn't replay rounds 0..k-1.
+    *
+    * Tokenization state is a delimiter-framed string (`|a|b|c|`) and a
+    * merge applies as THREE chained `replace` calls: `replace` is
+    * leftmost-non-overlapping with identical semantics in Spark and
+    * DuckDB, and each extra pass halves any run of boundary-sharing
+    * occurrences a single pass misses (runs longer than 2^3 adjacent
+    * merge sites per word don't exist at realistic word lengths — and
+    * both engines agree bit-for-bit regardless, so the oracle gates the
+    * variant exactly). The DuckDB twin unrolls the same rounds as
+    * chained CTEs with scalar-subquery argmaxes.
+    */
+  val bpeTrain = QueryDef.sql(
+    "llm_bpe_train", {
+      val rounds = (1 to BpeRounds).map { k =>
+        val prev = s"st${k - 1}"
+        s"""pc$k AS (SELECT pr, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+           |    SELECT freq, unnest(list_transform(range(1, len(tk)), i -> concat(tk[i], ' ', tk[i+1]))) AS pr
+           |    FROM (SELECT freq, list_filter(string_split(st, '|'), x -> x <> '') AS tk FROM $prev) t$k) u$k
+           |  GROUP BY pr),
+           |m$k AS (SELECT pr, cnt FROM pc$k ORDER BY cnt DESC, pr LIMIT 1),
+           |st$k AS (SELECT word, freq,
+           |    replace(replace(replace(st, p.pat, p.rep), p.pat, p.rep), p.pat, p.rep) AS st
+           |  FROM $prev, (SELECT concat('|', split_part(pr, ' ', 1), '|', split_part(pr, ' ', 2), '|') AS pat,
+           |               concat('|', replace(pr, ' ', ''), '|') AS rep FROM m$k) p)""".stripMargin
+      }.mkString(",\n")
+      val out = (1 to BpeRounds).map { k =>
+        s"""SELECT CAST($k AS BIGINT) AS merge_round, split_part(pr, ' ', 1) AS lhs,
+           |  split_part(pr, ' ', 2) AS rhs, replace(pr, ' ', '') AS merged, cnt AS pair_count
+           |FROM m$k""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH st0 AS (SELECT word, CAST(count(*) AS BIGINT) AS freq,
+         |    concat('|', regexp_replace(word, '(.)', '\\1|', 'g')) AS st
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) w
+         |  GROUP BY word),
+         |$rounds
+         |$out
+         |ORDER BY merge_round""".stripMargin
+    }
+  ) { (spark, dir) =>
+    def fence(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val out = df.sparkSession.createDataFrame(df.rdd, df.schema)
+      out.cache(); out.count()
+      out
+    }
+    // ONE corpus scan → compact (word, freq, state) table; everything
+    // after runs on vocabulary-sized data
+    var st = fence(documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .withColumn("st", concat(lit("|"), regexp_replace(col("word"), "(.)", "$1|"))))
+    val merges = (1 to BpeRounds).map { k =>
+      val top = st
+        .select(col("freq"),
+          expr("filter(split(st, '[|]'), x -> x <> '')").as("tk"))
+        .filter(size(col("tk")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(0, size(tk) - 2), i -> concat(tk[i], ' ', tk[i+1]))")).as("pr"))
+        .groupBy("pr").agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("pr"))
+        .limit(1).collect()
+      require(top.nonEmpty, s"BPE round $k: no pairs left to merge")
+      val (pr, cnt) = (top(0).getString(0), top(0).getLong(1))
+      // the pair is inlined into the next round's replace — guard the
+      // interpolation loudly (corpus tokens are plain words; anything
+      // else means the fixture changed under us)
+      require(pr.matches("[A-Za-z0-9]+ [A-Za-z0-9]+"), s"unexpected BPE pair: '$pr'")
+      val Array(a, b) = pr.split(' ')
+      val (pat, rep) = (s"|$a|$b|", s"|$a$b|")
+      val prev = st
+      st = fence(st.withColumn("st",
+        expr(s"replace(replace(replace(st, '$pat', '$rep'), '$pat', '$rep'), '$pat', '$rep')")))
+      prev.unpersist()
+      (k.toLong, a, b, a + b, cnt)
+    }
+    st.unpersist()
+    import spark.implicits._
+    merges.toDF("merge_round", "lhs", "rhs", "merged", "pair_count")
+      .orderBy("merge_round")
+  }
+
   // ---- int8 scalar quantization + recall ledger ----
 
   /** Scalar-quantization code range (int8 symmetric: [-127, 127]). */
@@ -2855,5 +2959,5 @@ object LlmQueries {
     topNgrams,
     seqPack, splitAssign, curation, mixSample, lengthQuantiles, lmScore,
     lmScoreHoldout, dsirWeight, chunkSplit,
-    shuffleShard, clusterBest, ccnetBucket, sqRecall)
+    shuffleShard, clusterBest, ccnetBucket, sqRecall, bpeTrain)
 }

@@ -72,7 +72,11 @@ object ScaleProbe {
     // argmax, lm-score plan + per-lang histogram terciles, and the
     // 64-row scale aggregate + brute-force ADC scan
     "llm_shuffle_shard", "llm_cluster_best", "llm_ccnet_bucket",
-    "llm_sq_recall")
+    "llm_sq_recall",
+    // BPE training: the one-corpus-scan → compact-state factorization
+    // must show (state size is vocabulary-bound, so rounds cost ~the
+    // same at any corpus scale; only the initial scan grows)
+    "llm_bpe_train")
   private val Reps = 10
   private val IdStride = 10000000L
 
