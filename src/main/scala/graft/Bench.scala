@@ -155,7 +155,38 @@ object Bench {
       val day = java.time.LocalDate.of(2024, 12, 6)
       val exact = runStream(ds => graft.streaming.CandleStream.candles(ds, day).toDF())
       val windowed = runStream(ds => graft.streaming.CandleStream.candlesWindowed(ds, "2 minutes"))
+      // document-ingest gate (round 7): the LLM-side streaming number —
+      // quality projection + watermark-bounded content dedup. The corpus
+      // is replayed 20× with fresh ids, so ~95% of rows hit the
+      // suppression path: the redelivery-heavy case the gate exists for.
+      val docGate: Double = {
+        val base = java.sql.Timestamp.valueOf("2024-12-06 10:00:00")
+        val docRows = graft.fixtures.Fixtures.documents(spark, sfDir)
+          .selectExpr("doc_id", "lang", "text").collect()
+        val docEvents = (0 until 20).flatMap { r =>
+          docRows.map { row =>
+            (row.getLong(0) + r * 1000000L,
+              new java.sql.Timestamp(base.getTime + r * 60000L),
+              row.getString(1), row.getString(2))
+          }
+        }
+        val ms = MemoryStream[(Long, java.sql.Timestamp, String, String)]
+        val ck = java.nio.file.Files.createTempDirectory("bench_ck").toString
+        val q = graft.streaming.DocStream
+          .curationGate(ms.toDS().toDF("doc_id", "ts", "lang", "text"), "ts", "10 minutes")
+          .writeStream.outputMode("append")
+          .format("noop").option("checkpointLocation", ck).start()
+        val docBatches = docEvents.grouped(10000).toSeq
+        ms.addData(docBatches.head)
+        q.processAllAvailable()
+        val t0 = System.nanoTime()
+        docBatches.tail.foreach { b => ms.addData(b); q.processAllAvailable() }
+        val sec = (System.nanoTime() - t0) / 1e9
+        q.stop()
+        (docEvents.length - docBatches.head.length) / sec
+      }
       s"""{"candles_rows_per_sec":${exact.round},"candles_windowed_rows_per_sec":${windowed.round},""" +
+        s""""doc_gate_rows_per_sec":${docGate.round},""" +
         s""""rows":${tickRows.length},"batch_size":$batchSize,"batches":${batches.length}}"""
     } catch { case e: Throwable =>
       val msg = Option(e.getMessage).getOrElse(e.getClass.getName).take(120)

@@ -1323,7 +1323,7 @@ object LlmQueries {
     * fixed-order double expression — the SAME expression text runs in
     * both engines.
     */
-  private val qualityExpr =
+  private[graft] val qualityExpr =
     """CAST(n_uniq AS DOUBLE) / n_tokens * 0.5
       | + (1.0 - CAST(stop_cnt AS DOUBLE) / n_tokens) * 0.3
       | + (CASE WHEN n_chars >= 200 THEN 1.0 WHEN n_chars >= 100 THEN 0.5 ELSE 0.0 END) * 0.2""".stripMargin.replace("\n", "")
@@ -1339,7 +1339,7 @@ object LlmQueries {
       |      len(list_filter(tk, t -> t IN ('the', 'a'))) AS stop_cnt,
       |      length(text) AS n_chars""".stripMargin
 
-  private def qualityMetricCols: Seq[org.apache.spark.sql.Column] = Seq(
+  private[graft] def qualityMetricCols: Seq[org.apache.spark.sql.Column] = Seq(
     expr("CAST(size(tk) AS BIGINT)").as("n_tokens"),
     expr("CAST(size(array_distinct(tk)) AS BIGINT)").as("n_uniq"),
     expr("CAST(size(filter(tk, t -> t IN ('the', 'a'))) AS BIGINT)").as("stop_cnt"),
