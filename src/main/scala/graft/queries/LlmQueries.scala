@@ -2824,6 +2824,21 @@ object LlmQueries {
          |ORDER BY merge_round""".stripMargin
     }
   ) { (spark, dir) =>
+    import spark.implicits._
+    bpeMerges(spark, dir)
+      .toDF("merge_round", "lhs", "rhs", "merged", "pair_count")
+      .orderBy("merge_round")
+  }
+
+  /** The training loop shared by [[bpeTrain]] (emits the merge table)
+    * and [[bpeApply]] (inlines the merges into the tokenizer): one
+    * corpus scan into the compact (word, freq, state) table, then
+    * [[BpeRounds]] rounds of pair-count argmax + greedy re-tokenization
+    * over vocabulary-sized data (see [[bpeTrain]]'s Scaladoc for the
+    * scale factorization and the replace-semantics contract).
+    */
+  private def bpeMerges(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[(Long, String, String, String, Long)] = {
     def fence(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
       val out = df.sparkSession.createDataFrame(df.rdd, df.schema)
       out.cache(); out.count()
@@ -2860,9 +2875,71 @@ object LlmQueries {
       (k.toLong, a, b, a + b, cnt)
     }
     st.unpersist()
-    import spark.implicits._
-    merges.toDF("merge_round", "lhs", "rhs", "merged", "pair_count")
-      .orderBy("merge_round")
+    merges
+  }
+
+  /** Tokenize the corpus with the merges [[bpeTrain]] learned — the
+    * apply side of BPE, which is what actually runs at 100 TB (training
+    * is vocabulary-sized; tokenization is the corpus-sized pass). Each
+    * document's text is framed once (`|c|h|a|r|...` — spaces ride along
+    * as single-char tokens no merge can cross, since learned pairs are
+    * word-internal) and the merge table is inlined as a chain of
+    * leftmost-non-overlapping `replace` calls in ROUND ORDER (later
+    * merges consume earlier outputs) — a pure map-side codegen
+    * projection, no joins, no state; the merge table is a broadcast-
+    * sized driver artifact exactly as in a production tokenizer.
+    * Emits per doc the BPE token count, the multi-char (merged) token
+    * count, and the md5 of the full tokenized state so the oracle
+    * verifies the TOKENIZATION BYTES, not just counts.
+    */
+  val bpeApply = QueryDef.sql(
+    "llm_bpe_apply", {
+      val rounds = (1 to BpeRounds).map { k =>
+        val prev = s"st${k - 1}"
+        s"""pc$k AS (SELECT pr, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+           |    SELECT freq, unnest(list_transform(range(1, len(tk)), i -> concat(tk[i], ' ', tk[i+1]))) AS pr
+           |    FROM (SELECT freq, list_filter(string_split(st, '|'), x -> x <> '') AS tk FROM $prev) t$k) u$k
+           |  GROUP BY pr),
+           |m$k AS (SELECT pr, cnt FROM pc$k ORDER BY cnt DESC, pr LIMIT 1),
+           |mp$k AS (SELECT concat('|', split_part(pr, ' ', 1), '|', split_part(pr, ' ', 2), '|') AS pat,
+           |         concat('|', replace(pr, ' ', ''), '|') AS rep FROM m$k),
+           |st$k AS (SELECT word, freq,
+           |    replace(replace(replace(st, p.pat, p.rep), p.pat, p.rep), p.pat, p.rep) AS st
+           |  FROM $prev, mp$k p)""".stripMargin
+      }.mkString(",\n")
+      val docRounds = (1 to BpeRounds).map { k =>
+        s"""doc$k AS (SELECT doc_id,
+           |    replace(replace(replace(st, p.pat, p.rep), p.pat, p.rep), p.pat, p.rep) AS st
+           |  FROM doc${k - 1}, mp$k p)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH st0 AS (SELECT word, CAST(count(*) AS BIGINT) AS freq,
+         |    concat('|', regexp_replace(word, '(.)', '\\1|', 'g')) AS st
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) w
+         |  GROUP BY word),
+         |$rounds,
+         |doc0 AS (SELECT doc_id,
+         |    concat('|', regexp_replace(text, '(.)', '\\1|', 'g')) AS st
+         |  FROM documents),
+         |$docRounds
+         |SELECT doc_id,
+         |  CAST(len(list_filter(string_split(st, '|'), x -> x <> '' AND x <> ' ')) AS BIGINT) AS n_tokens_bpe,
+         |  CAST(len(list_filter(string_split(st, '|'), x -> length(x) > 1)) AS BIGINT) AS n_merged,
+         |  md5(st) AS tok_hash
+         |FROM doc$BpeRounds ORDER BY doc_id""".stripMargin
+    }
+  ) { (spark, dir) =>
+    val chain = bpeMerges(spark, dir).foldLeft("st") { case (acc, (_, a, b, _, _)) =>
+      val (pat, rep) = (s"|$a|$b|", s"|$a$b|")
+      s"replace(replace(replace($acc, '$pat', '$rep'), '$pat', '$rep'), '$pat', '$rep')"
+    }
+    documents(spark, dir)
+      .withColumn("st", concat(lit("|"), regexp_replace(col("text"), "(.)", "$1|")))
+      .withColumn("st", expr(chain))
+      .selectExpr("doc_id",
+        "CAST(size(filter(split(st, '[|]'), x -> x <> '' AND x <> ' ')) AS BIGINT) AS n_tokens_bpe",
+        "CAST(size(filter(split(st, '[|]'), x -> length(x) > 1)) AS BIGINT) AS n_merged",
+        "md5(st) AS tok_hash")
+      .orderBy("doc_id")
   }
 
   // ---- int8 scalar quantization + recall ledger ----
@@ -2959,5 +3036,5 @@ object LlmQueries {
     topNgrams,
     seqPack, splitAssign, curation, mixSample, lengthQuantiles, lmScore,
     lmScoreHoldout, dsirWeight, chunkSplit,
-    shuffleShard, clusterBest, ccnetBucket, sqRecall, bpeTrain)
+    shuffleShard, clusterBest, ccnetBucket, sqRecall, bpeTrain, bpeApply)
 }

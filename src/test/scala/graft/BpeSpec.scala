@@ -41,4 +41,33 @@ class BpeSpec extends SparkSuite {
     val pairs = rows.map(r => (r._2, r._3))
     assert(pairs.distinct.length == pairs.length, "a pair was learned twice")
   }
+
+  test("bpe apply: tokenization is lossless and counts agree with the entry") {
+    // rebuild the tokenizer from the learned merge table (what a
+    // consumer of the artifact does) and assert the defining law:
+    // stripping token delimiters recovers the original text exactly
+    val merges = SparkEntry.queries("llm_bpe_train")(spark, dir)
+      .orderBy("merge_round").collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val chain = merges.foldLeft("st") { case (acc, (a, b)) =>
+      s"replace(replace(replace($acc, '|$a|$b|', '|$a$b|'), '|$a|$b|', '|$a$b|'), '|$a|$b|', '|$a$b|')"
+    }
+    val toks = graft.fixtures.Fixtures.documents(spark, dir)
+      .withColumn("st", concat(lit("|"), regexp_replace(col("text"), "(.)", "$1|")))
+      .withColumn("st", expr(chain))
+    assert(toks.filter(expr("replace(st, '|', '') <> text")).count() == 0,
+      "detokenize(tokenize(text)) must equal text")
+    // and the registered entry's counts describe exactly this tokenization
+    val want = toks.selectExpr("doc_id",
+      "CAST(size(filter(split(st, '[|]'), x -> x <> '' AND x <> ' ')) AS BIGINT) AS n_tokens_bpe")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val got = SparkEntry.queries("llm_bpe_apply")(spark, dir)
+      .select("doc_id", "n_tokens_bpe")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == want)
+    // merges actually fired corpus-wide
+    val merged = SparkEntry.queries("llm_bpe_apply")(spark, dir)
+      .agg(min("n_merged")).head().getLong(0)
+    assert(merged > 0, "every fixture doc should contain at least one learned merge")
+  }
 }

@@ -76,7 +76,10 @@ object ScaleProbe {
     // BPE training: the one-corpus-scan → compact-state factorization
     // must show (state size is vocabulary-bound, so rounds cost ~the
     // same at any corpus scale; only the initial scan grows)
-    "llm_bpe_train")
+    "llm_bpe_train",
+    // BPE apply: the corpus-sized tokenization pass — pure map-side
+    // replace chain, must scale exactly with text volume
+    "llm_bpe_apply")
   private val Reps = 10
   private val IdStride = 10000000L
 
