@@ -1872,6 +1872,130 @@ object LlmQueries {
       .orderBy("query_id", "rank")
   }
 
+  // ---- hybrid retrieval: reciprocal-rank fusion of BM25 + dense ----
+
+  /** Depth of each source rank list entering the fusion, and the RRF
+    * smoothing constant (60 is the canonical choice from the original
+    * reciprocal-rank-fusion evaluation; it damps the head so one list's
+    * #1 cannot outvote broad agreement lower down).
+    */
+  private val RrfDepth = 20
+  private val RrfC = 60L
+
+  /** Hybrid retrieval — reciprocal-rank fusion of the lexical
+    * ([[bm25Topk]]) and dense (quantized-cosine, [[embedTopk]]) rank
+    * lists: score(d) = Σ_lists 10^6 div (C + rank_list(d)), fused top-10
+    * per query with per-source membership flags. The RAG-stack shape:
+    * rank fusion needs no score calibration between incommensurable
+    * scorers (integer BM25 vs cosine), only ranks — which is why it
+    * ships in production hybrid search. Queries are the first
+    * [[TfidfQueries]] doc_ids; vec_id keys the same item's embedding
+    * (the fixture generates them in correspondence).
+    *
+    * 100 TB shape: both sources keep their own scale plans (postings
+    * equi-join / brute-force-to-ANN scan); the fusion itself touches
+    * only the two depth-[[RrfDepth]] rank lists per query — queries ×
+    * depth × 2 rows, broadcast-sized by construction. All-integer
+    * scores, deterministic ties by doc_id.
+    */
+  val rrfFusion = QueryDef.sql(
+    "llm_rrf_fusion",
+    s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |toks AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
+       |         FROM (SELECT doc_id, unnest(tk) AS t FROM docs) u
+       |         GROUP BY doc_id, t),
+       |dls AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM docs),
+       |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |                 (1024 * CAST(sum(dl) AS BIGINT)) // count(*) AS A
+       |          FROM dls),
+       |dfreq AS (SELECT t, CAST(count(*) AS BIGINT) AS dfv FROM toks GROUP BY t),
+       |w AS (SELECT toks.doc_id AS doc_id, toks.t AS t,
+       |        least((n_docs * 1024) // dfv, $IdfCap) *
+       |          ${bm25TermSql("tf", "dl")} AS w, tf
+       |      FROM toks JOIN dfreq ON toks.t = dfreq.t
+       |                JOIN dls ON toks.doc_id = dls.doc_id
+       |                CROSS JOIN stats),
+       |lexscored AS (SELECT q.doc_id AS query_id, c.doc_id AS doc_id,
+       |             CAST(sum(q.tf * c.w) AS BIGINT) AS bm25
+       |           FROM w q JOIN w c ON q.t = c.t
+       |           WHERE q.doc_id < $TfidfQueries AND q.doc_id <> c.doc_id
+       |           GROUP BY q.doc_id, c.doc_id),
+       |lex AS (SELECT query_id, doc_id, lex_rank FROM (
+       |    SELECT query_id, doc_id, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS lex_rank
+       |    FROM lexscored) r WHERE lex_rank <= $RrfDepth),
+       |emb AS (${Embed.preparedSql}),
+       |qe AS (SELECT vec_id AS query_id, qv AS qqv, nrm AS qnrm FROM emb
+       |       WHERE vec_id < $TfidfQueries),
+       |semscored AS (SELECT query_id, vec_id AS doc_id,
+       |    ${Embed.cosineSql(Embed.dotSql("qqv", "qv"), "qnrm", "nrm")} AS cos_sim
+       |  FROM emb, qe WHERE vec_id != query_id),
+       |sem AS (SELECT query_id, doc_id, sem_rank FROM (
+       |    SELECT query_id, doc_id, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY cos_sim DESC, doc_id) AS sem_rank
+       |    FROM semscored) r WHERE sem_rank <= $RrfDepth),
+       |fused AS (SELECT coalesce(l.query_id, s.query_id) AS query_id,
+       |    coalesce(l.doc_id, s.doc_id) AS doc_id,
+       |    coalesce(1000000 // ($RrfC + l.lex_rank), 0)
+       |      + coalesce(1000000 // ($RrfC + s.sem_rank), 0) AS rrf,
+       |    l.lex_rank IS NOT NULL AS in_lex,
+       |    s.sem_rank IS NOT NULL AS in_sem
+       |  FROM lex l FULL JOIN sem s
+       |    ON l.query_id = s.query_id AND l.doc_id = s.doc_id)
+       |SELECT query_id, doc_id, rrf, in_lex, in_sem,
+       |  CAST(rank AS BIGINT) AS rank
+       |FROM (SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rank FROM fused) f
+       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+  ) { (spark, dir) =>
+    val docs = documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+    val toks = docs.select(col("doc_id"), explode(col("tk")).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+    val dls = docs.select(col("doc_id"), size(col("tk")).cast("long").as("dl"))
+    val stats = dls.agg(count(lit(1)).as("n_docs"),
+      expr("(1024 * sum(dl)) div count(*)").as("A"))
+    val w = toks
+      .join(toks.groupBy("t").agg(count(lit(1)).as("dfv")), "t")
+      .join(dls, "doc_id")
+      .crossJoin(broadcast(stats))
+      .selectExpr("doc_id", "t", "tf",
+        s"least((n_docs * 1024) div dfv, CAST($IdfCap AS BIGINT)) * " +
+          s"${bm25TermSql("tf", "dl").replace("//", "div")} AS w")
+      .cache()
+    val qw = w.filter(col("doc_id") < TfidfQueries)
+      .select(col("doc_id").as("query_id"), col("t"), col("tf").as("qtf"))
+    val lex = w.join(broadcast(qw), "t")
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy("query_id", "doc_id").agg(sum(expr("qtf * w")).as("bm25"))
+      .withColumn("lex_rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("bm25").desc, col("doc_id"))))
+      .filter(col("lex_rank") <= RrfDepth)
+      .select("query_id", "doc_id", "lex_rank")
+    val emb = Embed.prepared(embeddings(spark, dir))
+    val qe = emb.select(col("vec_id").as("query_id"), col("qv").as("qqv"),
+      col("nrm").as("qnrm")).filter(col("query_id") < TfidfQueries)
+    val sem = emb.join(broadcast(qe), col("vec_id") =!= col("query_id"))
+      .withColumn("cos_sim",
+        expr(Embed.cosineSql(Embed.dotExpr("qqv", "qv"), "qnrm", "nrm")))
+      .withColumn("sem_rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("vec_id"))))
+      .filter(col("sem_rank") <= RrfDepth)
+      .select(col("query_id"), col("vec_id").as("doc_id"), col("sem_rank"))
+    lex.join(sem, Seq("query_id", "doc_id"), "full")
+      .selectExpr("query_id", "doc_id",
+        s"coalesce(CAST(1000000 AS BIGINT) div ($RrfC + lex_rank), CAST(0 AS BIGINT)) " +
+          s"+ coalesce(CAST(1000000 AS BIGINT) div ($RrfC + sem_rank), CAST(0 AS BIGINT)) AS rrf",
+        "lex_rank IS NOT NULL AS in_lex",
+        "sem_rank IS NOT NULL AS in_sem")
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("rrf").desc, col("doc_id"))))
+      .filter(col("rank") <= 10)
+      .selectExpr("query_id", "doc_id", "rrf", "in_lex", "in_sem",
+        "CAST(rank AS BIGINT) AS rank")
+      .orderBy("query_id", "rank")
+  }
+
   // ---- corpus n-gram statistics: global top-k frequent bigrams ----
 
   private val TopNgrams = 25
@@ -3029,7 +3153,8 @@ object LlmQueries {
     simhash, fingerprint, embedTopk, annLsh, annIvf, annIvfTrained, annPq,
     embedNearDup, knnGraph, tokenCount, imageMeta, audioMeta, imageResize,
     frameSample, qualityScore, piiScrub, repetition,
-    contamination, urlHostStats, hostCap, tfidfTopk, bm25Topk, langClassify,
+    contamination, urlHostStats, hostCap, tfidfTopk, bm25Topk, rrfFusion,
+    langClassify,
     bloomDedup,
     semDedup, semDedupGuarded,
     semDedupCapped,

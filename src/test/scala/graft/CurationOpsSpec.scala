@@ -90,6 +90,25 @@ class CurationOpsSpec extends SparkSuite {
     df.unpersist()
   }
 
+  test("llm_rrf_fusion: membership totality, score bands, contiguous ranks") {
+    val df = SparkEntry.queries("llm_rrf_fusion")(spark, dir).cache()
+    // every fused doc came from at least one source list
+    assert(df.filter(!col("in_lex") && !col("in_sem")).count() == 0)
+    // score bands: a doc on BOTH depth-20 lists scores at least
+    // 2·(10^6 div 80) = 25000; a single-list doc at most 10^6 div 61 =
+    // 16393 — so dual-source hits always outrank single-source ones,
+    // which is RRF's point
+    assert(df.filter(col("in_lex") && col("in_sem") && col("rrf") < 25000L).count() == 0)
+    assert(df.filter((!col("in_lex") || !col("in_sem")) && col("rrf") > 16393L).count() == 0)
+    // 8 queries, ranks a contiguous 1..10 each
+    val perQ = df.groupBy("query_id").agg(count(lit(1)).as("n"),
+      min("rank").as("lo"), max("rank").as("hi"), countDistinct("rank").as("d"))
+    assert(perQ.count() == 8)
+    assert(perQ.filter(col("n") =!= 10L || col("lo") =!= 1L ||
+      col("hi") =!= 10L || col("d") =!= 10L).count() == 0)
+    df.unpersist()
+  }
+
   test("llm_sq_recall: int8 code range and useful recall on the fixture") {
     val df = SparkEntry.queries("llm_sq_recall")(spark, dir).cache()
     assert(df.filter(col("n_overlap") < 0L || col("n_overlap") > 10L).count() == 0)

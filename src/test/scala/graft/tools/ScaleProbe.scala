@@ -79,7 +79,10 @@ object ScaleProbe {
     "llm_bpe_train",
     // BPE apply: the corpus-sized tokenization pass — pure map-side
     // replace chain, must scale exactly with text volume
-    "llm_bpe_apply")
+    "llm_bpe_apply",
+    // RRF hybrid fusion: both source retrievals keep their own plans;
+    // the fusion itself must stay queries × depth-sized
+    "llm_rrf_fusion")
   private val Reps = 10
   private val IdStride = 10000000L
 
