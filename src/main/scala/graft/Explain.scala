@@ -43,7 +43,8 @@ object Explain {
       // seventh wave: per-shard rank (no global sort), cluster argmax,
       // tercile broadcast join, SQ scale aggregate + ADC scan
       "llm_shuffle_shard", "llm_cluster_best", "llm_ccnet_bucket",
-      "llm_sq_recall", "llm_bpe_train", "llm_bpe_apply", "llm_rrf_fusion")
+      "llm_sq_recall", "llm_bpe_train", "llm_bpe_apply", "llm_bpe_fertility",
+      "llm_rrf_fusion")
     names.foreach { n =>
       println(s"\n================ $n ================")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

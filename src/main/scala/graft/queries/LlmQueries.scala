@@ -3016,41 +3016,48 @@ object LlmQueries {
     * count, and the md5 of the full tokenized state so the oracle
     * verifies the TOKENIZATION BYTES, not just counts.
     */
+  /** Shared DuckDB CTE body: the [[BpeRounds]] training rounds over the
+    * word table PLUS the corpus-side tokenization chain (doc0..docN) —
+    * composed by both [[bpeApply]] and [[bpeFertility]]'s oracles.
+    */
+  private lazy val bpeDocCtesSql: String = {
+    val rounds = (1 to BpeRounds).map { k =>
+      val prev = s"st${k - 1}"
+      s"""pc$k AS (SELECT pr, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+         |    SELECT freq, unnest(list_transform(range(1, len(tk)), i -> concat(tk[i], ' ', tk[i+1]))) AS pr
+         |    FROM (SELECT freq, list_filter(string_split(st, '|'), x -> x <> '') AS tk FROM $prev) t$k) u$k
+         |  GROUP BY pr),
+         |m$k AS (SELECT pr, cnt FROM pc$k ORDER BY cnt DESC, pr LIMIT 1),
+         |mp$k AS (SELECT concat('|', split_part(pr, ' ', 1), '|', split_part(pr, ' ', 2), '|') AS pat,
+         |         concat('|', replace(pr, ' ', ''), '|') AS rep FROM m$k),
+         |st$k AS (SELECT word, freq,
+         |    replace(replace(replace(st, p.pat, p.rep), p.pat, p.rep), p.pat, p.rep) AS st
+         |  FROM $prev, mp$k p)""".stripMargin
+    }.mkString(",\n")
+    val docRounds = (1 to BpeRounds).map { k =>
+      s"""doc$k AS (SELECT doc_id,
+         |    replace(replace(replace(st, p.pat, p.rep), p.pat, p.rep), p.pat, p.rep) AS st
+         |  FROM doc${k - 1}, mp$k p)""".stripMargin
+    }.mkString(",\n")
+    s"""st0 AS (SELECT word, CAST(count(*) AS BIGINT) AS freq,
+       |    concat('|', regexp_replace(word, '(.)', '\\1|', 'g')) AS st
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) w
+       |  GROUP BY word),
+       |$rounds,
+       |doc0 AS (SELECT doc_id,
+       |    concat('|', regexp_replace(text, '(.)', '\\1|', 'g')) AS st
+       |  FROM documents),
+       |$docRounds""".stripMargin
+  }
+
   val bpeApply = QueryDef.sql(
-    "llm_bpe_apply", {
-      val rounds = (1 to BpeRounds).map { k =>
-        val prev = s"st${k - 1}"
-        s"""pc$k AS (SELECT pr, CAST(sum(freq) AS BIGINT) AS cnt FROM (
-           |    SELECT freq, unnest(list_transform(range(1, len(tk)), i -> concat(tk[i], ' ', tk[i+1]))) AS pr
-           |    FROM (SELECT freq, list_filter(string_split(st, '|'), x -> x <> '') AS tk FROM $prev) t$k) u$k
-           |  GROUP BY pr),
-           |m$k AS (SELECT pr, cnt FROM pc$k ORDER BY cnt DESC, pr LIMIT 1),
-           |mp$k AS (SELECT concat('|', split_part(pr, ' ', 1), '|', split_part(pr, ' ', 2), '|') AS pat,
-           |         concat('|', replace(pr, ' ', ''), '|') AS rep FROM m$k),
-           |st$k AS (SELECT word, freq,
-           |    replace(replace(replace(st, p.pat, p.rep), p.pat, p.rep), p.pat, p.rep) AS st
-           |  FROM $prev, mp$k p)""".stripMargin
-      }.mkString(",\n")
-      val docRounds = (1 to BpeRounds).map { k =>
-        s"""doc$k AS (SELECT doc_id,
-           |    replace(replace(replace(st, p.pat, p.rep), p.pat, p.rep), p.pat, p.rep) AS st
-           |  FROM doc${k - 1}, mp$k p)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH st0 AS (SELECT word, CAST(count(*) AS BIGINT) AS freq,
-         |    concat('|', regexp_replace(word, '(.)', '\\1|', 'g')) AS st
-         |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) w
-         |  GROUP BY word),
-         |$rounds,
-         |doc0 AS (SELECT doc_id,
-         |    concat('|', regexp_replace(text, '(.)', '\\1|', 'g')) AS st
-         |  FROM documents),
-         |$docRounds
-         |SELECT doc_id,
-         |  CAST(len(list_filter(string_split(st, '|'), x -> x <> '' AND x <> ' ')) AS BIGINT) AS n_tokens_bpe,
-         |  CAST(len(list_filter(string_split(st, '|'), x -> length(x) > 1)) AS BIGINT) AS n_merged,
-         |  md5(st) AS tok_hash
-         |FROM doc$BpeRounds ORDER BY doc_id""".stripMargin
-    }
+    "llm_bpe_apply",
+    s"""WITH $bpeDocCtesSql
+       |SELECT doc_id,
+       |  CAST(len(list_filter(string_split(st, '|'), x -> x <> '' AND x <> ' ')) AS BIGINT) AS n_tokens_bpe,
+       |  CAST(len(list_filter(string_split(st, '|'), x -> length(x) > 1)) AS BIGINT) AS n_merged,
+       |  md5(st) AS tok_hash
+       |FROM doc$BpeRounds ORDER BY doc_id""".stripMargin
   ) { (spark, dir) =>
     val chain = bpeMerges(spark, dir).foldLeft("st") { case (acc, (_, a, b, _, _)) =>
       val (pat, rep) = (s"|$a|$b|", s"|$a$b|")
@@ -3064,6 +3071,51 @@ object LlmQueries {
         "CAST(size(filter(split(st, '[|]'), x -> length(x) > 1)) AS BIGINT) AS n_merged",
         "md5(st) AS tok_hash")
       .orderBy("doc_id")
+  }
+
+  /** Tokenizer fertility ledger: BPE tokens per word and characters per
+    * BPE token, aggregated PER LANGUAGE — the standard tokenizer-equity
+    * metric (a vocabulary trained on a skewed mix over-segments the
+    * under-represented languages; fertility is how that bias is
+    * measured and reported). Ratios are the usual 10^6-quantized
+    * integer divisions, so both engines agree exactly.
+    *
+    * 100 TB shape: the per-doc counts are [[bpeApply]]'s map-side
+    * projection; the ledger is one |languages|-row hash aggregate on
+    * top. Nothing new shuffles.
+    */
+  val bpeFertility = QueryDef.sql(
+    "llm_bpe_fertility",
+    s"""WITH $bpeDocCtesSql,
+       |per_doc AS (SELECT doc_id,
+       |    CAST(len(list_filter(string_split(st, '|'), x -> x <> '' AND x <> ' ')) AS BIGINT) AS n_tok
+       |  FROM doc$BpeRounds)
+       |SELECT d.lang,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(len(string_split(d.text, ' '))) AS BIGINT) AS n_words,
+       |  CAST(sum(p.n_tok) AS BIGINT) AS n_tokens_bpe,
+       |  CAST((sum(p.n_tok) * 1000000) // sum(len(string_split(d.text, ' '))) AS BIGINT) AS fertility_q,
+       |  CAST((sum(length(replace(d.text, ' ', ''))) * 1000000) // sum(p.n_tok) AS BIGINT) AS chars_per_token_q
+       |FROM per_doc p JOIN documents d USING (doc_id)
+       |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+  ) { (spark, dir) =>
+    val chain = bpeMerges(spark, dir).foldLeft("st") { case (acc, (_, a, b, _, _)) =>
+      val (pat, rep) = (s"|$a|$b|", s"|$a$b|")
+      s"replace(replace(replace($acc, '$pat', '$rep'), '$pat', '$rep'), '$pat', '$rep')"
+    }
+    documents(spark, dir)
+      .withColumn("st", concat(lit("|"), regexp_replace(col("text"), "(.)", "$1|")))
+      .withColumn("st", expr(chain))
+      .selectExpr("doc_id", "lang",
+        "CAST(size(filter(split(st, '[|]'), x -> x <> '' AND x <> ' ')) AS BIGINT) AS n_tok",
+        "CAST(size(split(text, ' ')) AS BIGINT) AS n_words",
+        "CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_words").as("n_words"),
+        sum("n_tok").as("n_tokens_bpe"),
+        expr("(sum(n_tok) * CAST(1000000 AS BIGINT)) div sum(n_words)").as("fertility_q"),
+        expr("(sum(n_chars) * CAST(1000000 AS BIGINT)) div sum(n_tok)").as("chars_per_token_q"))
+      .orderBy("lang")
   }
 
   // ---- int8 scalar quantization + recall ledger ----
@@ -3161,5 +3213,6 @@ object LlmQueries {
     topNgrams,
     seqPack, splitAssign, curation, mixSample, lengthQuantiles, lmScore,
     lmScoreHoldout, dsirWeight, chunkSplit,
-    shuffleShard, clusterBest, ccnetBucket, sqRecall, bpeTrain, bpeApply)
+    shuffleShard, clusterBest, ccnetBucket, sqRecall, bpeTrain, bpeApply,
+    bpeFertility)
 }

@@ -25,6 +25,17 @@ class DocStreamSpec extends SparkSuite {
       .map { case (id, lang, text) => DocEvent(id, t((id % 30).toInt), lang, text) }
   }
 
+  test("streaming-only contract: both operators reject batch frames loudly") {
+    val batch = graft.fixtures.Fixtures.documents(spark, "/root/testdata/sf0.001")
+      .withColumn("ts", lit(t(0)))
+    for (f <- Seq(
+        () => graft.streaming.DocStream.curationGate(batch, "ts", "10 minutes"),
+        () => graft.streaming.DocStream.windowStats(batch, "ts", "1 minute", "1 minute"))) {
+      val e = intercept[IllegalArgumentException](f())
+      assert(e.getMessage.contains("streaming operator"))
+    }
+  }
+
   test("curation gate: one verdict per distinct content, quality ≡ batch, dups suppressed") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
