@@ -82,7 +82,9 @@ object ScaleProbe {
     "llm_bpe_apply",
     // RRF hybrid fusion: both source retrievals keep their own plans;
     // the fusion itself must stay queries × depth-sized
-    "llm_rrf_fusion")
+    "llm_rrf_fusion",
+    // fertility ledger: apply-pass tokenization + a |langs|-row aggregate
+    "llm_bpe_fertility")
   private val Reps = 10
   private val IdStride = 10000000L
 
