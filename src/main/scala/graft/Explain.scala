@@ -44,7 +44,7 @@ object Explain {
       // tercile broadcast join, SQ scale aggregate + ADC scan
       "llm_shuffle_shard", "llm_cluster_best", "llm_ccnet_bucket",
       "llm_sq_recall", "llm_bpe_train", "llm_bpe_apply", "llm_bpe_fertility",
-      "llm_rrf_fusion")
+      "llm_rrf_fusion", "llm_pack_spans")
     names.foreach { n =>
       println(s"\n================ $n ================")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

@@ -2143,6 +2143,61 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Packed-sequence span table — the boundary artifact a training
+    * dataloader consumes to build block-diagonal attention masks:
+    * [[seqPack]] assigns each doc its global offset; this entry explodes
+    * every doc into its per-SEQUENCE spans (a doc whose token range
+    * crosses a capacity boundary contributes one span to each sequence
+    * it touches), emitting (seq_id, start_in_seq, span_len, is_head).
+    * Tiling laws (pinned by CurationOpsSpec): spans partition every full
+    * sequence exactly [0, capacity), and each doc's spans sum to its
+    * token count.
+    *
+    * 100 TB shape: the offsets come from [[seqPack]]'s two-level prefix
+    * sum (no global window); the span explode is map-side — a doc emits
+    * 1 + floor(n_tok / capacity) rows, so output stays O(corpus tokens /
+    * capacity + docs). Nothing additional shuffles.
+    */
+  val packSpans = QueryDef.sql(
+    "llm_pack_spans",
+    s"""WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+       |           FROM documents),
+       |o AS (SELECT doc_id, n_tok,
+       |        CAST(sum(n_tok) OVER (ORDER BY doc_id
+       |             ROWS UNBOUNDED PRECEDING) - n_tok AS BIGINT) AS start_off
+       |      FROM t),
+       |sp AS (SELECT doc_id, n_tok, start_off,
+       |         unnest(range(start_off // $PackCapacity,
+       |                      (start_off + n_tok - 1) // $PackCapacity + 1)) AS seq_id
+       |       FROM o)
+       |SELECT doc_id, CAST(seq_id AS BIGINT) AS seq_id,
+       |  CAST(GREATEST(start_off, seq_id * $PackCapacity) - seq_id * $PackCapacity AS BIGINT) AS start_in_seq,
+       |  CAST(LEAST(start_off + n_tok, (seq_id + 1) * $PackCapacity)
+       |       - GREATEST(start_off, seq_id * $PackCapacity) AS BIGINT) AS span_len,
+       |  seq_id = start_off // $PackCapacity AS is_head
+       |FROM sp ORDER BY doc_id, seq_id""".stripMargin
+  ) { (spark, dir) =>
+    val t = documents(spark, dir)
+      .selectExpr("doc_id", "CAST(size(split(text, ' ')) AS BIGINT) AS n_tok",
+        s"doc_id div $PackBlock AS blk")
+    val within = t.withColumn("wsum",
+      sum("n_tok").over(Window.partitionBy("blk").orderBy("doc_id")))
+    val blkPre = t.groupBy("blk").agg(sum("n_tok").as("btot"))
+      .withColumn("bpre",
+        sum("btot").over(Window.orderBy("blk")) - col("btot"))
+      .select("blk", "bpre")
+    within.join(broadcast(blkPre), "blk")
+      .selectExpr("doc_id", "n_tok", "bpre + wsum - n_tok AS start_off")
+      .selectExpr("doc_id", "n_tok", "start_off",
+        s"explode(sequence(start_off div $PackCapacity, (start_off + n_tok - 1) div $PackCapacity)) AS seq_id")
+      .selectExpr("doc_id", "CAST(seq_id AS BIGINT) AS seq_id",
+        s"greatest(start_off, seq_id * $PackCapacity) - seq_id * $PackCapacity AS start_in_seq",
+        s"least(start_off + n_tok, (seq_id + 1) * $PackCapacity) " +
+          s"- greatest(start_off, seq_id * $PackCapacity) AS span_len",
+        s"seq_id = start_off div $PackCapacity AS is_head")
+      .orderBy("doc_id", "seq_id")
+  }
+
   // ---- split assignment: deterministic hash-based train/val/test ----
 
   /** Deterministic split assignment (the op that keeps train/val/test
@@ -3211,7 +3266,7 @@ object LlmQueries {
     semDedup, semDedupGuarded,
     semDedupCapped,
     topNgrams,
-    seqPack, splitAssign, curation, mixSample, lengthQuantiles, lmScore,
+    seqPack, packSpans, splitAssign, curation, mixSample, lengthQuantiles, lmScore,
     lmScoreHoldout, dsirWeight, chunkSplit,
     shuffleShard, clusterBest, ccnetBucket, sqRecall, bpeTrain, bpeApply,
     bpeFertility)

@@ -109,6 +109,33 @@ class CurationOpsSpec extends SparkSuite {
     df.unpersist()
   }
 
+  test("llm_pack_spans: spans tile every full sequence and sum to each doc") {
+    val df = SparkEntry.queries("llm_pack_spans")(spark, dir).cache()
+    val cap = 512L
+    // per-doc: spans sum to the doc's token count, exactly one head span
+    val docs = graft.fixtures.Fixtures.documents(spark, dir)
+      .selectExpr("doc_id", "CAST(size(split(text, ' ')) AS BIGINT) AS n_tok")
+    val perDoc = df.groupBy("doc_id")
+      .agg(sum("span_len").as("tot"), sum(when(col("is_head"), 1L).otherwise(0L)).as("heads"))
+      .join(docs, "doc_id")
+    assert(perDoc.filter(col("tot") =!= col("n_tok") || col("heads") =!= 1L).count() == 0)
+    // per-sequence: every sequence except the last is tiled exactly
+    // [0, capacity) by non-overlapping spans (sum = cap, min start = 0,
+    // max end = cap, and distinct starts = span count)
+    val lastSeq = df.agg(max("seq_id")).head().getLong(0)
+    val perSeq = df.filter(col("seq_id") < lastSeq).groupBy("seq_id")
+      .agg(sum("span_len").as("tot"), min("start_in_seq").as("lo"),
+        max(col("start_in_seq") + col("span_len")).as("hi"),
+        count(lit(1)).as("n"), countDistinct("start_in_seq").as("d"))
+    assert(perSeq.filter(col("tot") =!= cap || col("lo") =!= 0L ||
+      col("hi") =!= cap || col("d") =!= col("n")).count() == 0,
+      "every full sequence must be tiled exactly once")
+    // straddling actually happens on the fixture (docs > capacity exist
+    // or offsets cross boundaries) — the operator's reason to exist
+    assert(df.filter(!col("is_head")).count() > 0)
+    df.unpersist()
+  }
+
   test("llm_sq_recall: int8 code range and useful recall on the fixture") {
     val df = SparkEntry.queries("llm_sq_recall")(spark, dir).cache()
     assert(df.filter(col("n_overlap") < 0L || col("n_overlap") > 10L).count() == 0)

@@ -84,7 +84,9 @@ object ScaleProbe {
     // the fusion itself must stay queries × depth-sized
     "llm_rrf_fusion",
     // fertility ledger: apply-pass tokenization + a |langs|-row aggregate
-    "llm_bpe_fertility")
+    "llm_bpe_fertility",
+    // pack spans: two-level prefix sum + map-side span explode
+    "llm_pack_spans")
   private val Reps = 10
   private val IdStride = 10000000L
 
