@@ -21,16 +21,33 @@ import org.apache.spark.sql.SparkSession
   *   - failures are reported in an `errors` map and EXCLUDED from totals
   *     instead of masquerading as fast runs (round-1 advice);
   *   - a `streaming` section reports rows/s through both streaming candle
-  *     ports (round 7), and warm > cold + ε keys are flagged in an
-  *     `inversions` section instead of passing as real numbers.
+  *     ports plus the doc-curation gate and the JDBC sink (rounds 7-8),
+  *     each with a per-micro-batch duration breakdown from
+  *     `StreamingQueryProgress` so a throughput move is attributable to
+  *     processing vs state-store commit (round-8, r7 verdict item 4);
+  *   - warm > cold + ε keys are SELF-HEALING (round 8, r7 verdict item
+  *     2): every round-6/7 inversion that was probed turned out to be a
+  *     measurement artifact (cross-pass cache churn, GC/scheduler pauses
+  *     on a shared machine), so a flagged key is automatically re-run
+  *     with one extra cache-cleared adjacent rep pair and the overall
+  *     min is reported. Keys that heal move to a `reprobes` map (original
+  *     value preserved for accountability); keys still inverted after
+  *     the extra pair stay flagged in `inversions` with
+  *     `"reprobed":true` — a persistent entry there is now a REAL
+  *     anomaly, not measurement luck.
   *
   * Cold lane (round 3): a second timed pass with ALL caches dropped
   * before each query (memoized derived tables + Spark's plan-keyed block
   * cache), so every query pays its full scan/derivation path. It runs
   * after the warm lane, so JIT/codegen are warm: cold−warm isolates the
-  * DATA path, which is where layout/pruning work shows up. The warm
-  * total remains the headline `value` (the reference comparison is a
-  * loaded ClickHouse); the cold numbers ride along as `cold_*`.
+  * DATA path, which is where layout/pruning work shows up. Round 8 (r7
+  * verdict item 5): cold is the MIN of two fully-cold reps (cache clear
+  * before EACH), mirroring the warm lane's adjacent min-of-2 — the
+  * single-shot cold lane carried a measured ±30% spread (AsofColdProbe)
+  * that absorbed 0.5–1 s moves on 2 s keys; min-of-2 keeps the lane
+  * honest (each rep pays the full derivation) while halving the band.
+  * The warm total remains the headline `value` (the reference comparison
+  * is a loaded ClickHouse); the cold numbers ride along as `cold_*`.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -99,14 +116,18 @@ object Bench {
       }
     }
 
-    // cold lane: JIT-warm, data-cold — caches dropped before every query
+    // cold lane: JIT-warm, data-cold — min of two reps, caches dropped
+    // before EACH rep so both pay the full scan/derivation path (round 8)
     val coldTimes = scala.collection.mutable.LinkedHashMap[String, Double]()
     names.foreach { n =>
-      graft.fixtures.Fixtures.clearDerivedCache(spark)
-      val t0 = System.nanoTime()
       try {
-        exec(SparkEntry.queries(n), sfDir)
-        coldTimes(n) = (System.nanoTime() - t0) / 1e9
+        val reps = (1 to 2).map { _ =>
+          graft.fixtures.Fixtures.clearDerivedCache(spark)
+          val t0 = System.nanoTime()
+          exec(SparkEntry.queries(n), sfDir)
+          (System.nanoTime() - t0) / 1e9
+        }
+        coldTimes(n) = reps.min
       } catch {
         case e: Throwable =>
           // a COLD-ONLY failure (query passed warm, failed with caches
@@ -127,9 +148,15 @@ object Bench {
     // and the watermarked window aggregation. rows/s covers the timed
     // batches only (the first batch is excluded: sink + state-store
     // setup). Failures degrade to an "error" field, never fail the bench.
+    // All streaming checkpoints live under ONE temp root deleted at the
+    // end of the lane (round-8 ADVICE: bench_ck dirs accumulated per run),
+    // and every query is stopped in a finally so a mid-measurement failure
+    // can no longer leave a stream running until JVM exit.
+    val ckRoot = java.nio.file.Files.createTempDirectory("bench_ck")
     val streamingJson: String = try {
       import org.apache.spark.sql.{DataFrame, Dataset}
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.streaming.StreamingQuery
       import graft.schema.Tick
       import spark.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -139,18 +166,45 @@ object Bench {
         .collect().sortBy(t => (t.ts.getTime, t.tickNo))
       val batchSize = 50000
       val batches = tickRows.grouped(batchSize).toSeq
-      def runStream(mk: Dataset[Tick] => DataFrame): Double = {
+
+      // Per-micro-batch duration breakdown (round 8, r7 verdict item 4):
+      // sum StreamingQueryProgress.durationMs over the TIMED batches only
+      // (batchId > the untimed setup batch), so a throughput number is
+      // attributable — `add_batch_ms` is the actual processing,
+      // `state_commit_ms` is the state-store checkpoint cost,
+      // `offset_log_ms` is the per-batch WAL fsync floor.
+      def breakdown(q: StreamingQuery, afterBatch: Long, rps: Long): String = {
+        val ps = q.recentProgress.filter(_.batchId > afterBatch)
+        def dur(k: String) = ps.map(p =>
+          Option(p.durationMs.get(k)).map(_.longValue).getOrElse(0L)).sum
+        val ops = ps.flatMap(p => Option(p.stateOperators).toSeq.flatten)
+        val stateRows = ps.lastOption.flatMap(p =>
+          Option(p.stateOperators).flatMap(_.headOption)).map(_.numRowsTotal).getOrElse(0L)
+        s"""{"rows_per_sec":$rps,"batches":${ps.length},""" +
+          s""""trigger_ms":${dur("triggerExecution")},"add_batch_ms":${dur("addBatch")},""" +
+          s""""offset_log_ms":${dur("latestOffset") + dur("walCommit") + dur("commitOffsets")},""" +
+          s""""planning_ms":${dur("queryPlanning")},""" +
+          s""""state_commit_ms":${ops.map(_.commitTimeMs).sum},""" +
+          s""""state_update_ms":${ops.map(_.allUpdatesTimeMs).sum},""" +
+          s""""state_eviction_ms":${ops.map(_.allRemovalsTimeMs).sum},""" +
+          s""""state_rows":$stateRows,""" +
+          s""""state_mem_mb":${ops.lastOption.map(_.memoryUsedBytes / 1048576).getOrElse(0L)}}"""
+      }
+
+      def runStream(mk: Dataset[Tick] => DataFrame): String = {
         val ms = MemoryStream[Tick]
-        val ck = java.nio.file.Files.createTempDirectory("bench_ck").toString
+        val ck = java.nio.file.Files.createTempDirectory(ckRoot, "ck").toString
         val q = mk(ms.toDS()).writeStream.outputMode("append")
           .format("noop").option("checkpointLocation", ck).start()
-        ms.addData(batches.head.toSeq)
-        q.processAllAvailable()
-        val t0 = System.nanoTime()
-        batches.tail.foreach { b => ms.addData(b.toSeq); q.processAllAvailable() }
-        val sec = (System.nanoTime() - t0) / 1e9
-        q.stop()
-        (tickRows.length - batches.head.length) / sec
+        try {
+          ms.addData(batches.head.toSeq)
+          q.processAllAvailable()
+          val after = q.lastProgress.batchId
+          val t0 = System.nanoTime()
+          batches.tail.foreach { b => ms.addData(b.toSeq); q.processAllAvailable() }
+          val sec = (System.nanoTime() - t0) / 1e9
+          breakdown(q, after, math.round((tickRows.length - batches.head.length) / sec))
+        } finally q.stop()
       }
       val day = java.time.LocalDate.of(2024, 12, 6)
       val exact = runStream(ds => graft.streaming.CandleStream.candles(ds, day).toDF())
@@ -159,7 +213,7 @@ object Bench {
       // quality projection + watermark-bounded content dedup. The corpus
       // is replayed 20× with fresh ids, so ~95% of rows hit the
       // suppression path: the redelivery-heavy case the gate exists for.
-      val docGate: Double = {
+      val docGate: String = {
         val base = java.sql.Timestamp.valueOf("2024-12-06 10:00:00")
         val docRows = graft.fixtures.Fixtures.documents(spark, sfDir)
           .selectExpr("doc_id", "lang", "text").collect()
@@ -171,42 +225,112 @@ object Bench {
           }
         }
         val ms = MemoryStream[(Long, java.sql.Timestamp, String, String)]
-        val ck = java.nio.file.Files.createTempDirectory("bench_ck").toString
+        val ck = java.nio.file.Files.createTempDirectory(ckRoot, "ck").toString
         val q = graft.streaming.DocStream
           .curationGate(ms.toDS().toDF("doc_id", "ts", "lang", "text"), "ts", "10 minutes")
           .writeStream.outputMode("append")
           .format("noop").option("checkpointLocation", ck).start()
-        val docBatches = docEvents.grouped(10000).toSeq
-        ms.addData(docBatches.head)
-        q.processAllAvailable()
-        val t0 = System.nanoTime()
-        docBatches.tail.foreach { b => ms.addData(b); q.processAllAvailable() }
-        val sec = (System.nanoTime() - t0) / 1e9
-        q.stop()
-        (docEvents.length - docBatches.head.length) / sec
+        try {
+          val docBatches = docEvents.grouped(10000).toSeq
+          ms.addData(docBatches.head)
+          q.processAllAvailable()
+          val after = q.lastProgress.batchId
+          val t0 = System.nanoTime()
+          docBatches.tail.foreach { b => ms.addData(b); q.processAllAvailable() }
+          val sec = (System.nanoTime() - t0) / 1e9
+          breakdown(q, after,
+            math.round((docEvents.length - docBatches.head.length) / sec))
+        } finally q.stop()
       }
-      s"""{"candles_rows_per_sec":${exact.round},"candles_windowed_rows_per_sec":${windowed.round},""" +
-        s""""doc_gate_rows_per_sec":${docGate.round},""" +
-        s""""rows":${tickRows.length},"batch_size":$batchSize,"batches":${batches.length}}"""
+      // JDBC streaming sink (round 8, r7 verdict item 8): the north star
+      // names "final write via JDBC connector" — measure rows/s through
+      // jdbcStreamAppend into embedded in-memory Derby (the jars Spark
+      // ships), micro-batch foreachBatch appends with batched prepared
+      // statements. A 6-batch subset keeps the lane bounded; first batch
+      // (table create + sink setup) untimed as everywhere else.
+      val jdbc: String = {
+        val url = "jdbc:derby:memory:benchjdbc;create=true"
+        val props = new java.util.Properties()
+        props.setProperty("driver", "org.apache.derby.iapi.jdbc.AutoloadedDriver")
+        val jdbcBatches = batches.take(6)
+        val ms = MemoryStream[Tick]
+        val ck = java.nio.file.Files.createTempDirectory(ckRoot, "ck").toString
+        val q = graft.sources.Sinks.jdbcStreamAppend(
+          ms.toDS().selectExpr("secId", "secCode", "CAST(ts AS TIMESTAMP) AS ts",
+            "last", "quantity", "tickNo"),
+          url, "trades_bench", props, ck)
+        try {
+          ms.addData(jdbcBatches.head.toSeq)
+          q.processAllAvailable()
+          val after = q.lastProgress.batchId
+          val t0 = System.nanoTime()
+          jdbcBatches.tail.foreach { b => ms.addData(b.toSeq); q.processAllAvailable() }
+          val sec = (System.nanoTime() - t0) / 1e9
+          val rows = jdbcBatches.tail.map(_.length).sum
+          breakdown(q, after, math.round(rows / sec))
+        } finally {
+          q.stop()
+          try java.sql.DriverManager.getConnection("jdbc:derby:memory:benchjdbc;drop=true")
+          catch { case _: java.sql.SQLException => () } // expected on drop
+        }
+      }
+      s"""{"candles":$exact,"candles_windowed":$windowed,"doc_gate":$docGate,""" +
+        s""""jdbc":$jdbc,"rows":${tickRows.length},"batch_size":$batchSize,""" +
+        s""""batches":${batches.length}}"""
     } catch { case e: Throwable =>
       val msg = Option(e.getMessage).getOrElse(e.getClass.getName).take(120)
         .replaceAll("[\"\\\\\\n]", " ")
       System.err.println(s"[bench] streaming lane failed: $msg")
       s"""{"error":"$msg"}"""
+    } finally {
+      // remove the checkpoint root (ADVICE round 8)
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(ckRoot).sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: Throwable => () }
     }
 
     // Lane sanity (round 7, r6 verdict item 3): warm is the same work as
     // cold minus scan/derivation, so warm > cold + ε means the measurement
-    // itself is suspect (cache eviction between a key's reps, GC luck) —
-    // flag it in the artifact rather than letting it pass as a real number.
+    // itself is suspect (cache eviction between a key's reps, GC luck).
     // ε absorbs benign jitter on sub-second keys.
+    def inverted(w: Double, c: Double): Boolean = w > c + math.max(0.25, 0.15 * c)
+    // Self-healing (round 8, r7 verdict item 2): every probed inversion so
+    // far (the r6 four, the r7 BPE pair, InversionProbe on the r7 driver
+    // pair) was a measurement artifact — a pause spanning BOTH adjacent
+    // reps on a shared machine. So instead of flag-and-probe-next-round,
+    // give a flagged key one extra cache-cleared adjacent rep pair NOW and
+    // report the overall min. Healed keys keep their original value in a
+    // `reprobes` map for accountability; a key still inverted after four
+    // reps is a real anomaly and stays in `inversions` as reprobed.
+    val firstPass = times.collect {
+      case (n, w) if coldTimes.get(n).exists(c => inverted(w, c)) => n -> w
+    }
+    val reprobes = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
+    for ((n, w0) <- firstPass) {
+      try {
+        graft.fixtures.Fixtures.clearDerivedCache(spark)
+        val reps = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          exec(SparkEntry.queries(n), sfDir)
+          (System.nanoTime() - t0) / 1e9
+        }
+        val healed = math.min(w0, reps.min)
+        times(n) = healed
+        reprobes(n) = (w0, healed)
+      } catch { case _: Throwable => () } // keep the original flag on failure
+    }
     val inversions = times.collect {
-      case (n, w) if coldTimes.get(n).exists(c => w > c + math.max(0.25, 0.15 * c)) =>
+      case (n, w) if coldTimes.get(n).exists(c => inverted(w, c)) =>
         n -> (w, coldTimes(n))
     }
     if (inversions.nonEmpty)
-      System.err.println(s"[bench] warm>cold inversions (measurement suspects): " +
+      System.err.println(s"[bench] warm>cold inversions PERSISTING after reprobe: " +
         inversions.map { case (n, (w, c)) => f"$n w=$w%.2f c=$c%.2f" }.mkString(", "))
+    if (reprobes.nonEmpty)
+      System.err.println(s"[bench] reprobed flagged keys: " +
+        reprobes.map { case (n, (w0, w1)) => f"$n $w0%.2f->$w1%.2f" }.mkString(", "))
 
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -217,10 +341,13 @@ object Bench {
     val cqs = coldTimes.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val invs = inversions.map { case (k, (w, c)) =>
-      s"${jstr(k)}:{\"warm\":$w,\"cold\":$c}" }.mkString("{", ",", "}")
+      s"${jstr(k)}:{\"warm\":$w,\"cold\":$c,\"reprobed\":${reprobes.contains(k)}}" }
+      .mkString("{", ",", "}")
+    val reps = reprobes.map { case (k, (w0, w1)) =>
+      s"${jstr(k)}:{\"first\":$w0,\"final\":$w1}" }.mkString("{", ",", "}")
     val total = times.values.sum
     val coldTotal = coldTimes.values.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total":$coldTotal,"cold_queries":$cqs,"errors":$es,"inversions":$invs,"streaming":$streamingJson,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total":$coldTotal,"cold_queries":$cqs,"errors":$es,"inversions":$invs,"reprobes":$reps,"streaming":$streamingJson,"sf":"$sfDir"}"""
     println(line)
     // The driver's stdout capture has truncated the per-query head in past
     // rounds (r4/r5 verdicts) — ALSO persist the full artifact to a file

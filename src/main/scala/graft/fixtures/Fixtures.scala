@@ -299,6 +299,15 @@ object Fixtures {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
       case _ =>
+        // NTZ→LTZ cast reads the wall clock in the SESSION time zone; the
+        // nanos branch above lands on the UTC instant unconditionally. The
+        // two generations only agree because every entry point (Verify,
+        // Bench, specs) pins spark.sql.session.timeZone=UTC — make that
+        // invariant explicit instead of silently shifting event times
+        // under a non-UTC session (round-8 ADVICE).
+        require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+          "events NTZ branch requires spark.sql.session.timeZone=UTC " +
+            "(parity with the nanos-as-long generation's UTC-instant semantics)")
         raw.withColumn("ts", expr("CAST(ts AS TIMESTAMP)"))
     }
   }

@@ -152,6 +152,21 @@ class CurationOpsSpec extends SparkSuite {
       .agg(max("a")).head().getLong(0)
     assert(outOfRange > 127L,
       "precondition: raw quantized components exceed int8 (else SQ is a no-op)")
+    // (round-8 ADVICE) assert the encoded range DIRECTLY, not just the
+    // precondition: re-run the same per-dimension-scale zip_with encode
+    // the entry uses and bound max|code|
+    val scales = emb.select(posexplode(col("qv")).as(Seq("pos", "x")))
+      .groupBy("pos").agg(greatest(max(abs(col("x"))), lit(1L)).as("s"))
+      .groupBy().agg(array_sort(collect_list(struct(col("pos"), col("s")))).as("ps"))
+      .select(col("ps.s").as("scales"))
+    val maxAbsCode = emb.crossJoin(broadcast(scales))
+      .withColumn("codes", expr(
+        "zip_with(qv, scales, (v, s) -> CASE WHEN v >= 0 THEN (v * 127) div s " +
+          "ELSE -((-v * 127) div s) END)"))
+      .select(explode(expr("transform(codes, c -> abs(c))")).as("c"))
+      .agg(max("c")).head().getLong(0)
+    assert(maxAbsCode <= 127L,
+      s"int8 SQ codes must stay in [-127, 127], got max |code| = $maxAbsCode")
     df.unpersist()
   }
 }

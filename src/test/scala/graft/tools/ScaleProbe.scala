@@ -132,8 +132,11 @@ object ScaleProbe {
     spark.stop()
   }
 
-  /** Build the 10× corpus under `scaled` (idempotent per /tmp lifetime). */
-  private def materialize(spark: SparkSession, base: String, scaled: String): Unit = {
+  /** Build the 10× corpus under `scaled` (idempotent per /tmp lifetime).
+    * Shared with [[ScaleProbe2]], which probes the next decade on sf1
+    * and must not leave a docs-only sf1 dir behind for this probe.
+    */
+  private[tools] def materialize(spark: SparkSession, base: String, scaled: String): Unit = {
     val shuffleWords = udf { (text: String, r: Int) =>
       if (r == 0) text
       else {

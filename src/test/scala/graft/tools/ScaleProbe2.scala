@@ -1,0 +1,107 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-8 second-decade scale probe (VERDICT r7 item 3): the round-7
+  * ScaleProbe measured one order of magnitude (sf0.1 → synthetic sf1) and
+  * the four steepest survivors were `llm_span_dedup` (5.4× at 10×),
+  * `llm_bpe_apply` (4.83×), `llm_ccnet_bucket` (3.1×) and
+  * `llm_bpe_fertility` (3.08×) — all at-or-below the data ratio, but a
+  * knee that appears between 10× and 100× would invalidate the "linear"
+  * claim exactly where 100 TB lives. This probe adds the second decade:
+  * a synthetic sf10 corpus (100× sf0.1 documents, same text-seeded
+  * Fisher–Yates construction as ScaleProbe so exact-dup density per doc
+  * is scale-invariant and replicas don't become near-dups of each other)
+  * and times the four entries at sf1 vs sf10. The reported ratio is
+  * t(sf10)/t(sf1) against a 10× data ratio — the NEXT decade's slope,
+  * not a rehash of the first.
+  *
+  * All four entries read only documents.parquet, so the sf10 dir carries
+  * just that table (150 MB of text — runs comfortably at local[32]).
+  *
+  * Run with `sbt "Test/runMain graft.tools.ScaleProbe2"`.
+  */
+object ScaleProbe2 {
+  private val Entries = Seq(
+    "llm_span_dedup", "llm_bpe_apply", "llm_ccnet_bucket", "llm_bpe_fertility")
+  private val IdStride = 10000000L
+
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val sf1 = "/tmp/graft_sf1"
+    val sf10 = "/tmp/graft_sf10"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // sf1 belongs to ScaleProbe (docs + embeddings) — use ITS materializer
+    // so a ScaleProbe run after this one doesn't find a docs-only sf1
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$sf1/documents.parquet")))
+      ScaleProbe.materialize(spark, base, sf1)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$sf10/documents.parquet")))
+      materializeDocs(spark, base, sf10, 100)
+
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+
+    val entries = if (args.nonEmpty) Entries.filter(args.contains) else Entries
+    val results = for (dir <- Seq(sf1, sf10); n <- entries) yield {
+      graft.fixtures.Fixtures.clearDerivedCache(spark)
+      // warmup doubles as the row-proportionality check
+      val rows = graft.SparkEntry.queries(n)(spark, dir).count()
+      val t = (1 to 2).map(_ => timed(noop(graft.SparkEntry.queries(n)(spark, dir)))).min
+      println(f"[scale2] measured $n%-22s ${dir.split('/').last}%12s $t%8.3f s $rows%9d rows")
+      (dir, n, t, rows)
+    }
+    println(f"[scale2] ${"entry"}%-22s ${"sf1 s"}%8s ${"rows"}%9s ${"sf10 s"}%9s ${"rows"}%10s ${"t-ratio"}%8s  (data x10)")
+    for (n <- entries) {
+      val Some((_, _, t0, r0)) = results.find(r => r._1 == sf1 && r._2 == n)
+      val Some((_, _, t1, r1)) = results.find(r => r._1 == sf10 && r._2 == n)
+      println(f"[scale2] $n%-22s $t0%8.3f $r0%9d $t1%9.3f $r1%10d ${t1 / t0}%8.2f")
+    }
+    spark.stop()
+  }
+
+  /** Same construction as [[ScaleProbe.materialize]] (text-seeded
+    * Fisher–Yates word shuffle per replica), documents table only.
+    */
+  private def materializeDocs(spark: SparkSession, base: String, out: String,
+      reps: Int): Unit = {
+    val shuffleWords = udf { (text: String, r: Int) =>
+      if (r == 0) text
+      else {
+        val words = text.split(' ')
+        val rnd = new scala.util.Random(
+          scala.util.hashing.MurmurHash3.stringHash(text) * 31L + r)
+        var i = words.length - 1
+        while (i > 0) {
+          val j = rnd.nextInt(i + 1)
+          val tmp = words(i); words(i) = words(j); words(j) = tmp
+          i -= 1
+        }
+        words.mkString(" ")
+      }
+    }
+    val repDf = spark.range(0, reps).select(col("id").cast("int").as("r"))
+    spark.read.parquet(s"$base/documents.parquet")
+      .crossJoin(broadcast(repDf))
+      .select(
+        (col("doc_id") + col("r") * IdStride).as("doc_id"),
+        shuffleWords(col("text"), col("r")).as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    println(s"[scale2] materialized $out (documents x$reps)")
+  }
+}
