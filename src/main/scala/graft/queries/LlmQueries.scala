@@ -1304,6 +1304,37 @@ object LlmQueries {
       .toDF().orderBy("doc_id")
   }
 
+  /** Multimodal with the REAL decoder in the registered, ORACLED path
+    * (round 8, r7 verdict item 7): the media bytes are genuine PNG
+    * containers rendered in-engine from md5 seeds, decoded back through
+    * `javax.imageio` — the oracle predicts dims, components and the full
+    * raster checksum from seed arithmetic, so a mis-parsing decoder (or
+    * a lossy round-trip) hash-mismatches. See
+    * [[graft.llm.Multimodal.imageMetaReal]].
+    */
+  val imageMetaReal = QueryDef.sql(
+    "mm_image_meta_real",
+    s"${Multimodal.imageMetaRealSql}\nORDER BY doc_id"
+  ) { (spark, dir) =>
+    import spark.implicits._
+    Multimodal.imageMetaReal(
+        Multimodal.attachMedia(documents(spark, dir)).as[RawMedia])
+      .toDF().orderBy("doc_id")
+  }
+
+  /** Real-WAV twin of [[imageMetaReal]]: genuine RIFF/WAVE containers
+    * through `javax.sound.sampled`, header fields oracled from the seed.
+    */
+  val audioMetaReal = QueryDef.sql(
+    "mm_audio_meta_real",
+    s"${Multimodal.audioMetaRealSql}\nORDER BY doc_id"
+  ) { (spark, dir) =>
+    import spark.implicits._
+    Multimodal.audioMetaReal(
+        Multimodal.attachMedia(documents(spark, dir)).as[RawMedia])
+      .toDF().orderBy("doc_id")
+  }
+
   /** Multimodal: video-style frame sampling — the 1→N explode of a binary
     * container into typed per-frame rows (stub demuxer, real plumbing).
     */
@@ -3259,7 +3290,7 @@ object LlmQueries {
     dedupClusters, ngramJaccard, spanDedup, cdcChunk,
     simhash, fingerprint, embedTopk, annLsh, annIvf, annIvfTrained, annPq,
     embedNearDup, knnGraph, tokenCount, imageMeta, audioMeta, imageResize,
-    frameSample, qualityScore, piiScrub, repetition,
+    frameSample, imageMetaReal, audioMetaReal, qualityScore, piiScrub, repetition,
     contamination, urlHostStats, hostCap, tfidfTopk, bm25Topk, rrfFusion,
     langClassify,
     bloomDedup,

@@ -169,4 +169,55 @@ class MultimodalSpec extends SparkSuite {
     val s = Multimodal.decodeStub(junk)
     assert(s.width == 1 && s.height == 2 && s.byteLen == 16)
   }
+
+  test("imageMetaReal: seed-rendered PNG round-trips through the real decoder") {
+    import spark.implicits._
+    // arbitrary seeds, including edge bytes (0x00, 0xFF)
+    val seeds = (0L until 30L).map { id =>
+      RawMedia(id, Array.tabulate[Byte](16)(i =>
+        ((id * 2654435761L + i * 97) & 0xFF).toByte))
+    } :+ RawMedia(30L, Array.fill[Byte](16)(0)) :+
+      RawMedia(31L, Array.fill[Byte](16)(0xFF.toByte))
+    val got = Multimodal.imageMetaReal(seeds.toDS().repartition(4))
+      .collect().map(d => d.doc_id -> d).toMap
+    seeds.foreach { m =>
+      val seed = m.media
+      val d = got(m.doc_id)
+      val (w, h) = ((seed(0) & 0xFF) % 16 + 1, (seed(1) & 0xFF) % 16 + 1)
+      assert(d.width == w && d.height == h, s"doc ${m.doc_id} dims")
+      assert(d.channels == 3, s"doc ${m.doc_id} channels")
+      // the solid fill survives PNG compression bit-exactly
+      assert(d.pixel_sum ==
+        w.toLong * h * ((seed(2) & 0xFF) + (seed(3) & 0xFF) + (seed(4) & 0xFF)),
+        s"doc ${m.doc_id} raster checksum")
+      // and the wire bytes really are a PNG container
+      assert(Multimodal.renderPng(seed).take(8).map(_ & 0xFF).toSeq ==
+        Seq(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A),
+        s"doc ${m.doc_id} PNG magic")
+    }
+  }
+
+  test("audioMetaReal: seed-rendered WAV header parses back exactly") {
+    import spark.implicits._
+    val seeds = (0L until 30L).map { id =>
+      RawMedia(id, Array.tabulate[Byte](16)(i =>
+        ((id * 40503L + i * 31 + 7) & 0xFF).toByte))
+    } :+ RawMedia(30L, Array.fill[Byte](16)(0)) :+
+      RawMedia(31L, Array.fill[Byte](16)(0xFF.toByte))
+    val got = Multimodal.audioMetaReal(seeds.toDS().repartition(4))
+      .collect().map(a => a.doc_id -> a).toMap
+    seeds.foreach { m =>
+      val seed = m.media
+      val a = got(m.doc_id)
+      assert(a.sample_rate == 8000 + (seed(5) & 0xFF) * 100, s"doc ${m.doc_id} rate")
+      assert(a.channels == (seed(6) & 1) + 1, s"doc ${m.doc_id} channels")
+      assert(a.frames == (seed(7) & 0xFF) * 32 + (seed(8) & 0xFF) % 32 + 1,
+        s"doc ${m.doc_id} frames")
+      // RIFF/WAVE magic on the wire
+      val wav = Multimodal.renderWav(seed)
+      assert(new String(wav.take(4), "US-ASCII") == "RIFF" &&
+        new String(wav.slice(8, 12), "US-ASCII") == "WAVE",
+        s"doc ${m.doc_id} WAV magic")
+    }
+  }
 }
