@@ -191,57 +191,103 @@ object Bench {
           s""""state_mem_mb":${ops.lastOption.map(_.memoryUsedBytes / 1048576).getOrElse(0L)}}"""
       }
 
-      def runStream(mk: Dataset[Tick] => DataFrame): String = {
-        val ms = MemoryStream[Tick]
-        val ck = java.nio.file.Files.createTempDirectory(ckRoot, "ck").toString
-        val q = mk(ms.toDS()).writeStream.outputMode("append")
-          .format("noop").option("checkpointLocation", ck).start()
+      // shufflePartitions: a streaming query's STATE SHARD COUNT is fixed
+      // at first start from spark.sql.shuffle.partitions — and each shard
+      // pays a per-micro-batch checkpoint commit (delta file + fsync).
+      // The tick state machine keys on ~60 secids, so the default 32
+      // shards are pure commit overhead; the _p8 variants measure the
+      // floor cut from sizing shards to key cardinality instead of
+      // machine parallelism (the same knob a 100× deployment turns, in
+      // the opposite direction, when key cardinality outgrows shards).
+      def runStream(mk: Dataset[Tick] => DataFrame,
+          shufflePartitions: Option[Int] = None): String = {
+        val prev = spark.conf.get("spark.sql.shuffle.partitions")
+        shufflePartitions.foreach(p =>
+          spark.conf.set("spark.sql.shuffle.partitions", p.toString))
         try {
-          ms.addData(batches.head.toSeq)
-          q.processAllAvailable()
-          val after = q.lastProgress.batchId
-          val t0 = System.nanoTime()
-          batches.tail.foreach { b => ms.addData(b.toSeq); q.processAllAvailable() }
-          val sec = (System.nanoTime() - t0) / 1e9
-          breakdown(q, after, math.round((tickRows.length - batches.head.length) / sec))
-        } finally q.stop()
+          val ms = MemoryStream[Tick]
+          val ck = java.nio.file.Files.createTempDirectory(ckRoot, "ck").toString
+          val q = mk(ms.toDS()).writeStream.outputMode("append")
+            .format("noop").option("checkpointLocation", ck).start()
+          try {
+            ms.addData(batches.head.toSeq)
+            q.processAllAvailable()
+            val after = q.lastProgress.batchId
+            val t0 = System.nanoTime()
+            batches.tail.foreach { b => ms.addData(b.toSeq); q.processAllAvailable() }
+            val sec = (System.nanoTime() - t0) / 1e9
+            breakdown(q, after, math.round((tickRows.length - batches.head.length) / sec))
+          } finally q.stop()
+        } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
       }
       val day = java.time.LocalDate.of(2024, 12, 6)
       val exact = runStream(ds => graft.streaming.CandleStream.candles(ds, day).toDF())
       val windowed = runStream(ds => graft.streaming.CandleStream.candlesWindowed(ds, "2 minutes"))
+      val exactP8 = runStream(
+        ds => graft.streaming.CandleStream.candles(ds, day).toDF(), Some(8))
       // document-ingest gate (round 7): the LLM-side streaming number —
       // quality projection + watermark-bounded content dedup. The corpus
       // is replayed 20× with fresh ids, so ~95% of rows hit the
       // suppression path: the redelivery-heavy case the gate exists for.
-      val docGate: String = {
-        val base = java.sql.Timestamp.valueOf("2024-12-06 10:00:00")
-        val docRows = graft.fixtures.Fixtures.documents(spark, sfDir)
-          .selectExpr("doc_id", "lang", "text").collect()
-        val docEvents = (0 until 20).flatMap { r =>
-          docRows.map { row =>
-            (row.getLong(0) + r * 1000000L,
-              new java.sql.Timestamp(base.getTime + r * 60000L),
-              row.getString(1), row.getString(2))
-          }
+      // Round 8 (r7 verdict item 4): run the SAME gate twice — default
+      // HDFS-backed (JVM-heap) state store vs RocksDB provider — so the
+      // per-micro-batch breakdown shows where the time goes AND what the
+      // 100 TB state-store choice costs. Heap state is O(live hashes) in
+      // executor memory; RocksDB spills to local disk and is the provider
+      // an always-on deployment would run once dedup state outgrows heap.
+      val docGateBase = java.sql.Timestamp.valueOf("2024-12-06 10:00:00")
+      val docRows = graft.fixtures.Fixtures.documents(spark, sfDir)
+        .selectExpr("doc_id", "lang", "text").collect()
+      val docEvents = (0 until 20).flatMap { r =>
+        docRows.map { row =>
+          (row.getLong(0) + r * 1000000L,
+            new java.sql.Timestamp(docGateBase.getTime + r * 60000L),
+            row.getString(1), row.getString(2))
         }
-        val ms = MemoryStream[(Long, java.sql.Timestamp, String, String)]
-        val ck = java.nio.file.Files.createTempDirectory(ckRoot, "ck").toString
-        val q = graft.streaming.DocStream
-          .curationGate(ms.toDS().toDF("doc_id", "ts", "lang", "text"), "ts", "10 minutes")
-          .writeStream.outputMode("append")
-          .format("noop").option("checkpointLocation", ck).start()
-        try {
-          val docBatches = docEvents.grouped(10000).toSeq
-          ms.addData(docBatches.head)
-          q.processAllAvailable()
-          val after = q.lastProgress.batchId
-          val t0 = System.nanoTime()
-          docBatches.tail.foreach { b => ms.addData(b); q.processAllAvailable() }
-          val sec = (System.nanoTime() - t0) / 1e9
-          breakdown(q, after,
-            math.round((docEvents.length - docBatches.head.length) / sec))
-        } finally q.stop()
       }
+      def docGateRun(provider: Option[String], docBatchSize: Int,
+          shufflePartitions: Option[Int] = None): String = {
+        val prevSp = spark.conf.get("spark.sql.shuffle.partitions")
+        shufflePartitions.foreach(p =>
+          spark.conf.set("spark.sql.shuffle.partitions", p.toString))
+        provider.foreach(p =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p))
+        try {
+          val ms = MemoryStream[(Long, java.sql.Timestamp, String, String)]
+          val ck = java.nio.file.Files.createTempDirectory(ckRoot, "ck").toString
+          val q = graft.streaming.DocStream
+            .curationGate(ms.toDS().toDF("doc_id", "ts", "lang", "text"), "ts", "10 minutes")
+            .writeStream.outputMode("append")
+            .format("noop").option("checkpointLocation", ck).start()
+          try {
+            val docBatches = docEvents.grouped(docBatchSize).toSeq
+            ms.addData(docBatches.head)
+            q.processAllAvailable()
+            val after = q.lastProgress.batchId
+            val t0 = System.nanoTime()
+            docBatches.tail.foreach { b => ms.addData(b); q.processAllAvailable() }
+            val sec = (System.nanoTime() - t0) / 1e9
+            breakdown(q, after,
+              math.round((docEvents.length - docBatches.head.length) / sec))
+          } finally q.stop()
+        } finally {
+          provider.foreach(_ =>
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass"))
+          spark.conf.set("spark.sql.shuffle.partitions", prevSp)
+        }
+      }
+      val docGate = docGateRun(None, 10000)
+      val docGateRocks = docGateRun(Some(
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"), 10000)
+      // the decomposition shows rows/s is bounded by the per-micro-batch
+      // state-commit floor, not by processing — quantify by quadrupling
+      // the micro-batch (same rows, 1/4 the commits) and, independently,
+      // by quartering the state shard count (same rows, 1/4 the fsyncs).
+      // The deployment levers at 100x ingest are trigger interval /
+      // maxOffsetsPerTrigger and state-shard sizing; these numbers are
+      // the measured proof of both.
+      val docGateBig = docGateRun(None, 40000)
+      val docGateP8 = docGateRun(None, 10000, Some(8))
       // JDBC streaming sink (round 8, r7 verdict item 8): the north star
       // names "final write via JDBC connector" — measure rows/s through
       // jdbcStreamAppend into embedded in-memory Derby (the jars Spark
@@ -274,7 +320,10 @@ object Bench {
           catch { case _: java.sql.SQLException => () } // expected on drop
         }
       }
-      s"""{"candles":$exact,"candles_windowed":$windowed,"doc_gate":$docGate,""" +
+      s"""{"candles":$exact,"candles_windowed":$windowed,"candles_p8":$exactP8,""" +
+        s""""doc_gate":$docGate,""" +
+        s""""doc_gate_rocksdb":$docGateRocks,"doc_gate_bigbatch":$docGateBig,""" +
+        s""""doc_gate_p8":$docGateP8,""" +
         s""""jdbc":$jdbc,"rows":${tickRows.length},"batch_size":$batchSize,""" +
         s""""batches":${batches.length}}"""
     } catch { case e: Throwable =>

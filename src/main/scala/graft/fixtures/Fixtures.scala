@@ -101,7 +101,36 @@ object Fixtures {
     val existing = tableCache.get(key)
     if (existing != null) existing
     else {
-      val built = build.cache()
+      // Normalize cached-table parallelism (round 8): the driver fixtures
+      // are single-file single-row-group parquet, so the scan — and the
+      // partitioning every cached table hands its consumers — is ONE task
+      // regardless of local[32]. That serialized the map-heavy stages of
+      // every documents/trades consumer (the BPE replace chain, shingle
+      // explodes, quality projections) at fixture scale; ScaleProbe2
+      // measured llm_bpe_apply running 2x FASTER on 10x the data purely
+      // because the bigger corpus happened to be written as 32 files.
+      //
+      // The target is SIZE-PROPORTIONAL, not defaultParallelism flat:
+      // MemoAbProbe measured a flat 32 costing +0.5–2 s warm on every
+      // multi-job consumer of a 5k-row table (32 tasks re-deserializing
+      // large task binaries — Bloom literals, broadcast stat tables — per
+      // job, every job). One partition per ~64 KB of plan-stats bytes,
+      // clamped to [1, defaultParallelism]: tiny dims stay near-serial
+      // (their per-task overhead dwarfs their work), the text corpus gets
+      // enough tasks that a CPU-heavy derivation isn't single-threaded,
+      // full-size tables cap at machine parallelism. On a real deployment
+      // (file count >> cores) scans already exceed the clamp and the
+      // branch never fires; this exists for single-file local fixtures.
+      val df0 = build
+      val bytes = df0.queryExecution.optimizedPlan.stats.sizeInBytes
+      val target = math.max(1L, math.min(
+        spark.sparkContext.defaultParallelism.toLong,
+        (bytes / BigInt(64L << 10)).toLong)).toInt
+      // A/B probe escape hatch (system property so a single-JVM interleaved
+      // probe can flip it between cache-cleared reps)
+      val normalize = !sys.props.get("graft.memo.noNormalize").contains("1")
+      val df = if (normalize && df0.rdd.getNumPartitions < target) df0.repartition(target) else df0
+      val built = df.cache()
       val prev = tableCache.putIfAbsent(key, built)
       if (prev != null) prev else built
     }

@@ -13,14 +13,18 @@ import org.apache.spark.sql.functions._
   * a synthetic sf10 corpus (100× sf0.1 documents, same text-seeded
   * Fisher–Yates construction as ScaleProbe so exact-dup density per doc
   * is scale-invariant and replicas don't become near-dups of each other)
-  * and times the four entries at sf1 vs sf10. The reported ratio is
+  * and times entries at sf1 vs sf10. The reported ratio is
   * t(sf10)/t(sf1) against a 10× data ratio — the NEXT decade's slope,
   * not a rehash of the first.
   *
-  * All four entries read only documents.parquet, so the sf10 dir carries
-  * just that table (150 MB of text — runs comfortably at local[32]).
+  * The default set is the four steepest r7 survivors; pass entry names
+  * to probe any other documents/embeddings pipeline (the embeddings
+  * table is materialized alongside, 64-dim rotations as in ScaleProbe).
+  * `SCALE2_THIRD_DECADE=1` adds a docs-only sf100 (5M docs) leg for
+  * `llm_span_dedup` — the largest intermediate in the repo, the one the
+  * r7 verdict said to watch at 100×.
   *
-  * Run with `sbt "Test/runMain graft.tools.ScaleProbe2"`.
+  * Run with `sbt "Test/runMain graft.tools.ScaleProbe2 [entries...]"`.
   */
 object ScaleProbe2 {
   private val Entries = Seq(
@@ -29,8 +33,17 @@ object ScaleProbe2 {
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val sf1 = "/tmp/graft_sf1"
+    // NOT ScaleProbe's /tmp/graft_sf1: that one inherits the driver
+    // fixture's single-file layout (1 parquet file → 1 scan task), which
+    // made the CPU-heavy corpus scans run single-threaded and turned the
+    // first probe's sf1-vs-sf10 comparison into a parallelism cliff
+    // (bpe_apply "ratio 0.56" — sf10's 32 files vs sf1's one). Both
+    // decades here use the SAME 32-file layout so the ratio measures
+    // data scaling at constant scan parallelism — the cluster shape,
+    // where file count always exceeds core count.
+    val sf1 = "/tmp/graft_sf1b"
     val sf10 = "/tmp/graft_sf10"
+    val sf100 = "/tmp/graft_sf100"
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -41,12 +54,8 @@ object ScaleProbe2 {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    // sf1 belongs to ScaleProbe (docs + embeddings) — use ITS materializer
-    // so a ScaleProbe run after this one doesn't find a docs-only sf1
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$sf1/documents.parquet")))
-      ScaleProbe.materialize(spark, base, sf1)
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$sf10/documents.parquet")))
-      materializeDocs(spark, base, sf10, 100)
+    materialize(spark, base, sf1, 10)
+    materialize(spark, base, sf10, 100)
 
     def noop(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
@@ -54,7 +63,17 @@ object ScaleProbe2 {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
 
-    val entries = if (args.nonEmpty) Entries.filter(args.contains) else Entries
+    // SCALE2_NO_COALESCE=1: disable AQE partition coalescing for the timed
+    // reps — isolates the hypothesis that the small-scale (sf1) time is
+    // inflated by coalesced-to-serial scans inside iterative driver loops
+    // (the BPE trainer's 8 rounds), not by per-row work.
+    if (sys.env.get("SCALE2_NO_COALESCE").contains("1")) {
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      println("[scale2] AQE partition coalescing DISABLED for this run")
+    }
+    val entries = if (args.nonEmpty) args.toSeq else Entries
+    val unknown = entries.filterNot(graft.SparkEntry.queries.contains)
+    require(unknown.isEmpty, s"unknown entries: ${unknown.mkString(", ")}")
     val results = for (dir <- Seq(sf1, sf10); n <- entries) yield {
       graft.fixtures.Fixtures.clearDerivedCache(spark)
       // warmup doubles as the row-proportionality check
@@ -69,7 +88,29 @@ object ScaleProbe2 {
       val Some((_, _, t1, r1)) = results.find(r => r._1 == sf10 && r._2 == n)
       println(f"[scale2] $n%-22s $t0%8.3f $r0%9d $t1%9.3f $r1%10d ${t1 / t0}%8.2f")
     }
+
+    // Third decade, span_dedup only (5M docs; the span index is the
+    // largest intermediate in the repo — if any pipeline has a knee
+    // hiding past 100×, it is this one).
+    if (sys.env.get("SCALE2_THIRD_DECADE").contains("1")) {
+      materializeDocs(spark, base, sf100, 1000)
+      graft.fixtures.Fixtures.clearDerivedCache(spark)
+      val n = "llm_span_dedup"
+      val rows = graft.SparkEntry.queries(n)(spark, sf100).count()
+      val t = (1 to 2).map(_ => timed(noop(graft.SparkEntry.queries(n)(spark, sf100)))).min
+      val sf10t = results.find(r => r._1 == sf10 && r._2 == n).map(_._3)
+      println(f"[scale2] THIRD DECADE $n sf100: $t%8.3f s $rows%9d rows" +
+        sf10t.map(p => f"  t-ratio vs sf10 ${t / p}%.2f (data x10)").getOrElse(""))
+    }
     spark.stop()
+  }
+
+  private def materialize(spark: SparkSession, base: String, out: String,
+      reps: Int): Unit = {
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$out/documents.parquet")))
+      materializeDocs(spark, base, out, reps)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$out/embeddings.parquet")))
+      materializeEmb(spark, base, out, reps)
   }
 
   /** Same construction as [[ScaleProbe.materialize]] (text-seeded
@@ -103,5 +144,27 @@ object ScaleProbe2 {
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
     println(s"[scale2] materialized $out (documents x$reps)")
+  }
+
+  /** Embedding replicas by component rotation (ScaleProbe's construction:
+    * rotations preserve norms and pairwise-cosine structure within a
+    * replica while keeping cross-replica vectors far apart).
+    */
+  private def materializeEmb(spark: SparkSession, base: String, out: String,
+      reps: Int): Unit = {
+    val rot = udf { (v: Seq[Float], r: Int) =>
+      if (r == 0) v
+      else { val k = (7 * r) % v.length; v.drop(k) ++ v.take(k) }
+    }
+    val repDf = spark.range(0, reps).select(col("id").cast("int").as("r"))
+    spark.read.parquet(s"$base/embeddings.parquet")
+      .crossJoin(broadcast(repDf))
+      .select(
+        (col("vec_id") + col("r") * IdStride).as("vec_id"),
+        rot(col("embedding"), col("r")).as("embedding"),
+        col("label"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    println(s"[scale2] materialized $out (embeddings x$reps)")
   }
 }
