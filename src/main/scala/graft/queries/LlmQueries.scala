@@ -998,11 +998,19 @@ object LlmQueries {
       .select(col("doc_id"),
         expr("CAST(conv(substr(md5(g), 1, 15), 16, 10) AS BIGINT)").as("h"),
         expr("doc_id * CAST(1048576 AS BIGINT) + pos0 + 1").as("pack"))
-    val stats = spans.groupBy("h")
-      .agg(count(lit(1)).as("cnt"), min("pack").as("keeper"))
-    // the span index is corpus-sized — shuffle-hash it, never broadcast
-    // (the lmScore lesson; AQE would happily broadcast it at test SF)
-    val perDoc = spans.join(stats.hint("shuffle_hash"), "h")
+    // Per-span stats (occurrence count, keeper = min pack) via a window
+    // over h, NOT a groupBy+self-join: the r7 shuffle-hash-hinted join
+    // shuffled the span stream twice (once to build the index, once to
+    // probe it) and built a per-partition hash relation that is
+    // corpus-sized/partitions — the r8 sf100 probe (5M docs, 450M spans)
+    // crashed exactly there ("can't acquire 256MB to build hash
+    // relation"). The window computes both aggregates in ONE shuffle of
+    // the span stream through a spillable sort; per-group buffering is
+    // bounded by a span's duplication count, never by the corpus.
+    val wh = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    val perDoc = spans
+      .withColumn("cnt", count(lit(1)).over(wh))
+      .withColumn("keeper", min("pack").over(wh))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_spans"),
         sum(when(col("cnt") > 1 && col("pack") =!= col("keeper"), 1L)
@@ -1688,6 +1696,81 @@ object LlmQueries {
       .groupBy("host")
       .agg(countDistinct("doc_id").as("n_docs"), count(lit(1)).as("n_urls"))
       .orderBy("host")
+  }
+
+  // ---- canonical-URL dedup: crawl re-fetch collapse ----
+
+  /** Deterministic URL enrichment for the canonicalization operator:
+    * every doc gets one URL with a mixed-case host, a MEANINGFUL query
+    * param (`p=`) and, on doc_id residue classes, tracking params
+    * (`utm_source=`, `ref=`) and a fragment — the variation a crawler
+    * actually sees for one logical page. Escape-free patterns, identical
+    * under Java regex and RE2 (house rule, see [[piiScrub]]).
+    */
+  private def urlRichExpr(strTy: String): String =
+    s"concat(text, ' fetch http://Site', CAST(doc_id % 7 AS $strTy)," +
+      s" '.Example/page', CAST(doc_id % 5 AS $strTy)," +
+      s" '?p=', CAST(doc_id % 4 AS $strTy)," +
+      s" CASE WHEN doc_id % 2 = 0 THEN concat('&utm_source=feed', CAST(doc_id % 3 AS $strTy)) ELSE '' END," +
+      s" CASE WHEN doc_id % 3 = 0 THEN concat('&ref=track', CAST(doc_id % 5 AS $strTy)) ELSE '' END," +
+      s" CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END)"
+
+  private val CanonUrlPat = "http://[A-Za-z0-9./?&=#_-]+"
+
+  /** Strip fragment + tracking params (the meaningful `p=` param is
+    * constructed FIRST in the query string, so dropping `&utm_…`/`&ref=…`
+    * never orphans a leading `?`). Shared verbatim by both engines;
+    * each pattern occurs at most once per URL by construction, so
+    * DuckDB's replace-first equals Spark's replace-all.
+    */
+  private val urlStripExpr =
+    "regexp_replace(regexp_replace(regexp_replace(url," +
+      " '[#][A-Za-z]*', ''), '[&]utm_[a-z]+=[A-Za-z0-9]*', '')," +
+      " '[&]ref=[A-Za-z0-9]*', '')"
+
+  /** Canonical-URL dedup — the crawl-side collapse that runs BEFORE any
+    * content dedup in a web pipeline: one logical page is fetched many
+    * times under tracking-param/fragment/host-case variations, and
+    * collapsing by canonical URL (lowercased scheme+host, fragment and
+    * tracking params stripped, path/query case preserved) removes exact
+    * re-fetches at URL-key cost, orders of magnitude cheaper than
+    * hashing page bytes. Emits the canonical ledger: canonical URL,
+    * fetch count, distinct raw variants, and the kept (min) doc.
+    *
+    * 100 TB shape: canonicalization is a map-side codegen'd
+    * regexp/concat projection; the ledger is ONE hash aggregate keyed by
+    * canonical URL (cardinality ≈ distinct pages — high, so hash
+    * distribution is even; no mega-key skew because per-page fetch
+    * counts are bounded by crawler politeness). No join, no window, no
+    * explode.
+    */
+  val urlDedup = QueryDef.sql(
+    "llm_url_dedup",
+    s"""WITH rich AS (SELECT doc_id, ${urlRichExpr("VARCHAR")} AS rich FROM documents),
+       |ext AS (SELECT doc_id, regexp_extract(rich, '$CanonUrlPat') AS url FROM rich),
+       |strip AS (SELECT doc_id, url, $urlStripExpr AS u2 FROM ext),
+       |canon AS (SELECT doc_id, url,
+       |    concat('http://', lower(string_split(u2, '/')[3]),
+       |           substring(u2, 8 + length(string_split(u2, '/')[3]))) AS url_canon
+       |  FROM strip)
+       |SELECT url_canon,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(count(DISTINCT url) AS BIGINT) AS n_variants,
+       |  min(doc_id) AS keeper_doc
+       |FROM canon GROUP BY url_canon ORDER BY url_canon""".stripMargin
+  ) { (spark, dir) =>
+    documents(spark, dir)
+      .selectExpr("doc_id", s"${urlRichExpr("STRING")} AS rich")
+      .selectExpr("doc_id", s"regexp_extract(rich, '$CanonUrlPat', 0) AS url")
+      .withColumn("u2", expr(urlStripExpr))
+      .withColumn("host", expr("split(u2, '/')[2]"))
+      .selectExpr("doc_id", "url",
+        "concat('http://', lower(host), substring(u2, 8 + length(host))) AS url_canon")
+      .groupBy("url_canon")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct("url").as("n_variants"),
+        min("doc_id").as("keeper_doc"))
+      .orderBy("url_canon")
   }
 
   // ---- per-host document cap: domain-balancing curation ----
@@ -3471,7 +3554,7 @@ object LlmQueries {
     simhash, fingerprint, embedTopk, annLsh, annIvf, annIvfTrained, annPq,
     embedNearDup, knnGraph, tokenCount, imageMeta, audioMeta, imageResize,
     frameSample, imageMetaReal, audioMetaReal, qualityScore, piiScrub, repetition,
-    contamination, urlHostStats, hostCap, tfidfTopk, bm25Topk, rrfFusion,
+    contamination, urlHostStats, urlDedup, hostCap, tfidfTopk, bm25Topk, rrfFusion,
     langClassify,
     bloomDedup,
     semDedup, semDedupGuarded,

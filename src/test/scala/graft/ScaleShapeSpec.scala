@@ -56,6 +56,20 @@ class ScaleShapeSpec extends SparkSuite {
       "candidate generation must stay equi-join shaped:\n" + p.take(2000))
   }
 
+  test("llm_span_dedup: windowed span stats, no corpus-sized hash build") {
+    // The r8 sf100 probe (5M docs, ~450M spans) crashed the r7
+    // shuffle-hash span-index join ("can't acquire 256MB to build hash
+    // relation"): a corpus-sized build side divided by a fixed partition
+    // count is unbounded per-partition memory. The fix computes span
+    // stats with count/min OVER (PARTITION BY h) — one spillable-sorted
+    // shuffle of the span stream, no hash relation. Pin both halves.
+    val p = plan("llm_span_dedup")
+    assert(p.contains("Window"),
+      "span stats must come from a window over h, not a join:\n" + p.take(2000))
+    assert(!p.contains("ShuffledHashJoin"),
+      "no span-index hash build may appear (sf100 OOM shape):\n" + p.take(2000))
+  }
+
   test("nested fixture memoization is recursion-safe from a cold cache") {
     // embeddingsRedelivered's builder memoizes embeddingsNearDup INSIDE
     // its own memo call. The old computeIfAbsent-based memo threw

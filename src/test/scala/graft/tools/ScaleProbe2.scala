@@ -44,9 +44,17 @@ object ScaleProbe2 {
     val sf1 = "/tmp/graft_sf1b"
     val sf10 = "/tmp/graft_sf10"
     val sf100 = "/tmp/graft_sf100"
+    // SCALE2_SHUFFLE_PARTITIONS: the probe's partition-sizing dial. A
+    // fixed 32 at sf100 gives ~14M-row per-partition sorts (spill-bound);
+    // a cluster would run thousands of partitions at that volume. Raising
+    // it distinguishes "operator has a knee" from "fixed partition count
+    // under-sizes the sort" — the exact spark.sql.shuffle.partitions
+    // lesson the brief's scale checklist calls out.
+    val shufflePartitions =
+      sys.env.get("SCALE2_SHUFFLE_PARTITIONS").map(_.toInt).getOrElse(32)
     val spark = SparkSession.builder()
       .master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -89,18 +97,20 @@ object ScaleProbe2 {
       println(f"[scale2] $n%-22s $t0%8.3f $r0%9d $t1%9.3f $r1%10d ${t1 / t0}%8.2f")
     }
 
-    // Third decade, span_dedup only (5M docs; the span index is the
-    // largest intermediate in the repo — if any pipeline has a knee
-    // hiding past 100×, it is this one).
+    // Third decade (5M docs, documents table only — pass docs-only
+    // entries when using this). The sf100 leg is where the r8 probe
+    // caught span_dedup's corpus-sized hash build crashing outright.
     if (sys.env.get("SCALE2_THIRD_DECADE").contains("1")) {
-      materializeDocs(spark, base, sf100, 1000)
-      graft.fixtures.Fixtures.clearDerivedCache(spark)
-      val n = "llm_span_dedup"
-      val rows = graft.SparkEntry.queries(n)(spark, sf100).count()
-      val t = (1 to 2).map(_ => timed(noop(graft.SparkEntry.queries(n)(spark, sf100)))).min
-      val sf10t = results.find(r => r._1 == sf10 && r._2 == n).map(_._3)
-      println(f"[scale2] THIRD DECADE $n sf100: $t%8.3f s $rows%9d rows" +
-        sf10t.map(p => f"  t-ratio vs sf10 ${t / p}%.2f (data x10)").getOrElse(""))
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$sf100/documents.parquet")))
+        materializeDocs(spark, base, sf100, 1000)
+      for (n <- entries) {
+        graft.fixtures.Fixtures.clearDerivedCache(spark)
+        val rows = graft.SparkEntry.queries(n)(spark, sf100).count()
+        val t = (1 to 2).map(_ => timed(noop(graft.SparkEntry.queries(n)(spark, sf100)))).min
+        val sf10t = results.find(r => r._1 == sf10 && r._2 == n).map(_._3)
+        println(f"[scale2] THIRD DECADE $n sf100: $t%8.3f s $rows%9d rows" +
+          sf10t.map(p => f"  t-ratio vs sf10 ${t / p}%.2f (data x10)").getOrElse(""))
+      }
     }
     spark.stop()
   }
