@@ -1026,6 +1026,91 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Paragraph width in tokens for [[paragraphDedup]]. The corpus ships
+    * single-paragraph plain text (no newlines), so "paragraph" is pinned
+    * to disjoint 20-token blocks — the same explicit-seam convention as
+    * the multimodal stub codecs: the BOUNDARY rule is the fixture
+    * accommodation, the corpus-wide first-occurrence dedup over the
+    * resulting units is the real operator.
+    */
+  private val ParaSize = 20
+
+  /** Paragraph-level exact dedup (the RefinedWeb/Dolma unit between
+    * whole-doc [[exactDedup]] and overlapping-8-gram [[spanDedup]]): each
+    * disjoint [[ParaSize]]-token block is hashed, the corpus-wide FIRST
+    * occurrence of every repeated block is kept, and the per-doc ledger
+    * reports how many paragraphs and tokens survive — the policy that
+    * strips boilerplate paragraphs (headers, licenses, navigation) that
+    * recur across thousands of pages without touching the document's
+    * unique content.
+    *
+    * Scale shape: [[spanDedupLedger]]'s post-crash design verbatim —
+    * per-block stats (occurrence count, keeper = min packed key) via a
+    * window over the block hash, ONE spillable-sorted shuffle of the
+    * block stream, no corpus-sized hash build anywhere; then one hash
+    * aggregate back to doc_id. Blocks are DISJOINT, so the stream is
+    * ~n/20 rows per doc vs span_dedup's O(n) — this is the cheaper
+    * operator by an order of magnitude at equal corpus size. The packed
+    * key `doc_id·2^20 + block_idx` resolves "first occurrence" as a
+    * single BIGINT min in both engines.
+    */
+  val paragraphDedup = QueryDef.sql(
+    "llm_paragraph_dedup",
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |sized AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n FROM toks),
+       |blocks AS (SELECT doc_id, tk, n,
+       |    unnest(range(0, (n + ${ParaSize - 1}) // $ParaSize)) AS bi
+       |  FROM sized),
+       |units AS (SELECT doc_id, bi,
+       |    least($ParaSize, n - bi * $ParaSize) AS btok,
+       |    ${Text.hexPrefixInt60Sql(
+             s"md5(array_to_string(list_slice(tk, bi * $ParaSize + 1, bi * $ParaSize + $ParaSize), ' '))")} AS h,
+       |    doc_id * 1048576 + bi AS pack
+       |  FROM blocks),
+       |stats AS (SELECT doc_id, btok,
+       |    count(*) OVER (PARTITION BY h) AS cnt,
+       |    CASE WHEN pack != min(pack) OVER (PARTITION BY h) THEN 1 ELSE 0 END AS later
+       |  FROM units)
+       |SELECT doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_paras,
+       |  CAST(sum(CASE WHEN cnt > 1 AND later = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       |  CAST(sum(btok) AS BIGINT) AS n_tokens,
+       |  CAST(sum(CASE WHEN cnt > 1 AND later = 1 THEN 0 ELSE btok END) AS BIGINT) AS kept_tokens,
+       |  CAST(sum(CASE WHEN cnt > 1 AND later = 1 THEN 0 ELSE btok END) AS DOUBLE)
+       |    / sum(btok) AS retained_frac
+       |FROM stats GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  ) { (spark, dir) => paragraphDedupLedger(documents(spark, dir)) }
+
+  /** [[paragraphDedup]]'s core over any (doc_id, text) table — also
+    * driven by SpanDedupSpec's planted-boilerplate corpus.
+    */
+  def paragraphDedupLedger(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val units = docs
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .withColumn("n", size(col("tk")).cast("long"))
+      .select(col("doc_id"), col("tk"), col("n"),
+        explode(expr(s"sequence(0, (n + ${ParaSize - 1}) div $ParaSize - 1)")).as("bi"))
+      .select(col("doc_id"),
+        least(lit(ParaSize.toLong), col("n") - col("bi") * ParaSize).as("btok"),
+        expr(s"CAST(conv(substr(md5(array_join(slice(tk, bi * $ParaSize + 1, $ParaSize), ' ')), 1, 15), 16, 10) AS BIGINT)").as("h"),
+        expr("doc_id * CAST(1048576 AS BIGINT) + bi").as("pack"))
+    // span_dedup's window shape: both per-hash stats in ONE spillable
+    // shuffle, never a corpus-sized hash relation (the sf100 lesson)
+    val wh = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    units
+      .withColumn("cnt", count(lit(1)).over(wh))
+      .withColumn("later", when(col("pack") =!= min("pack").over(wh), 1).otherwise(0))
+      .withColumn("drop", when(col("cnt") > 1 && col("later") === 1, 1L).otherwise(0L))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_paras"),
+        sum(col("drop")).as("n_dropped"),
+        sum(col("btok")).as("n_tokens"),
+        sum(when(col("drop") === 1L, 0L).otherwise(col("btok"))).as("kept_tokens"))
+      .withColumn("retained_frac",
+        col("kept_tokens").cast("double") / col("n_tokens"))
+      .orderBy("doc_id")
+  }
+
   /** Expected CDC chunk length in words (boundary probability 1/8). */
   private val CdcMod = 8
 
@@ -3550,7 +3635,7 @@ object LlmQueries {
 
   val all: Seq[QueryDef] = Seq(
     textStats, langId, exactDedup, minhashLsh, incrementalNearDup,
-    dedupClusters, ngramJaccard, spanDedup, cdcChunk,
+    dedupClusters, ngramJaccard, spanDedup, paragraphDedup, cdcChunk,
     simhash, fingerprint, embedTopk, annLsh, annIvf, annIvfTrained, annPq,
     embedNearDup, knnGraph, tokenCount, imageMeta, audioMeta, imageResize,
     frameSample, imageMetaReal, audioMetaReal, qualityScore, piiScrub, repetition,
