@@ -1441,6 +1441,102 @@ object LlmQueries {
       .toDF().orderBy("doc_id", "frame_idx")
   }
 
+  // ---- HTML boilerplate extraction ----
+
+  /** The deterministic markup derivation for [[htmlExtract]] — the
+    * corpus ships plain text, so the entry wraps it in a realistic page
+    * skeleton (head + script, nav, article, footer, inline <b> emphasis
+    * on a hash-selected subset of words, one planted `&amp;` entity) the
+    * same way in both engines: the multimodal stub-codec convention. The
+    * EXTRACTION chain downstream is the real operator; HtmlExtractSpec
+    * additionally drives it over hand-written non-derived HTML.
+    */
+  private val HtmlPrefix = "Q &amp; A: "
+
+  /** Visible-text prefix [[HtmlPrefix]] decodes to. */
+  private val HtmlPrefixDecoded = "Q & A: "
+
+  /** HTML boilerplate removal (the trafilatura/jusText stage every web
+    * crawl passes through before any text analysis): drop the head
+    * (scripts, title), the nav and footer boilerplate blocks, strip the
+    * remaining tags, decode entities, collapse whitespace. The ledger
+    * emits raw-vs-extracted sizes, the boilerplate fraction, and a
+    * `clean` flag asserting the extraction recovered exactly the planted
+    * visible text — so a regression in any regex is a hash mismatch, not
+    * a silent quality drift.
+    *
+    * 100 TB shape: one map-side projection — five regexp_replace passes
+    * per document, no shuffle, no state (the ORDER BY is
+    * presentation-only). Regex cost is linear in page bytes; on a real
+    * crawl this runs in the ingest mapper right after charset decode.
+    */
+  val htmlExtract = QueryDef.sql(
+    "llm_html_extract", {
+      val bolded =
+        "array_to_string(list_transform(string_split(text, ' '), " +
+          "w -> CASE WHEN substr(md5(w), 1, 1) < '4' THEN '<b>' || w || '</b>' ELSE w END), ' ')"
+      val html =
+        s"""'<html><head><title>' || source || '</title>' ||
+           |      '<script type="text/javascript">var n=' || CAST(n_chars AS VARCHAR) || ';</script></head>' ||
+           |      '<body><nav><a href="/">home</a> <a href="/about">about</a></nav>' ||
+           |      '<article><p>$HtmlPrefix' || $bolded || '</p></article>' ||
+           |      '<footer>&copy; 2026 ' || source || '</footer></body></html>'""".stripMargin
+      s"""WITH pages AS (SELECT doc_id, text,
+         |    $html AS html
+         |  FROM documents),
+         |stripped AS (SELECT doc_id, text, html,
+         |    trim(regexp_replace(replace(
+         |      regexp_replace(
+         |        regexp_replace(
+         |          regexp_replace(
+         |            regexp_replace(html, '<head>.*?</head>', ' '),
+         |          '<nav>.*?</nav>', ' '),
+         |        '<footer>.*?</footer>', ' '),
+         |      '<[^>]+>', ' ', 'g'),
+         |    '&amp;', '&'), ' +', ' ', 'g')) AS extracted
+         |  FROM pages)
+         |SELECT doc_id,
+         |  CAST(length(html) AS BIGINT) AS n_html_chars,
+         |  CAST(length(extracted) AS BIGINT) AS n_text_chars,
+         |  CAST(length(html) - length(extracted) AS DOUBLE) / length(html) AS boiler_frac,
+         |  extracted = '$HtmlPrefixDecoded' || text AS clean
+         |FROM stripped ORDER BY doc_id""".stripMargin
+    }
+  ) { (spark, dir) =>
+    val pages = documents(spark, dir).withColumn("html", expr(
+      s"""concat('<html><head><title>', source, '</title>',
+         |  '<script type="text/javascript">var n=', CAST(n_chars AS STRING), ';</script></head>',
+         |  '<body><nav><a href="/">home</a> <a href="/about">about</a></nav>',
+         |  '<article><p>$HtmlPrefix',
+         |  array_join(transform(split(text, ' '),
+         |    w -> CASE WHEN substr(md5(w), 1, 1) < '4' THEN concat('<b>', w, '</b>') ELSE w END), ' '),
+         |  '</p></article>',
+         |  '<footer>&copy; 2026 ', source, '</footer></body></html>')""".stripMargin))
+    htmlExtractText(pages)
+      .select(col("doc_id"),
+        length(col("html")).cast("long").as("n_html_chars"),
+        length(col("extracted")).cast("long").as("n_text_chars"),
+        (length(col("html")) - length(col("extracted"))).cast("double")
+          ./(length(col("html"))).as("boiler_frac"),
+        (col("extracted") === concat(lit(HtmlPrefixDecoded), col("text"))).as("clean"))
+      .orderBy("doc_id")
+  }
+
+  /** The extraction chain itself over any table with an `html` column —
+    * adds `extracted`. Exposed for HtmlExtractSpec's hand-written pages.
+    */
+  def htmlExtractText(pages: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    pages.withColumn("extracted", expr(
+      """trim(regexp_replace(replace(
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(html, '<head>.*?</head>', ' '),
+        |      '<nav>.*?</nav>', ' '),
+        |    '<footer>.*?</footer>', ' '),
+        |  '<[^>]+>', ' '),
+        |'&amp;', '&'), ' +', ' '))""".stripMargin))
+
   /** Quality scoring for corpus filtering: lexical-diversity +
     * stopword-density + length prior, weighted into one score and a keep
     * flag. All ratios are exact-integer divisions, the weighted sum is a
@@ -2950,6 +3046,88 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Weight floor for [[doremiWeight]] (quantum units): keeps every
+    * domain sampleable — DoReMi's reference-model regularization plays
+    * the same role; without it, at-or-above-average domains would get
+    * exactly zero mixture weight and never be seen again.
+    */
+  private val DoremiFloorQ = 100L
+
+  /** DoReMi-style domain mixture reweighting: score each SOURCE (domain)
+    * under the corpus bigram LM ([[lmScore]]'s exact quantized model),
+    * compare to the corpus-wide average, and upweight domains the model
+    * fits WORSE — the excess-loss signal DoReMi feeds its mixture
+    * update, here in one-shot closed form (excess = max(global_fluency −
+    * domain_fluency, 0), normalized to parts-per-million over a floor).
+    * [[dsirWeight]] answers "which DOCUMENTS look like the target";
+    * this answers "how much of each DOMAIN should the next epoch
+    * sample" — the two ends of the mixture-design loop.
+    *
+    * 100 TB shape: [[lmScore]]'s plan (two partial-aggregated count
+    * tables, one shuffle-hashed scoring join — the corpus-sized model
+    * side never broadcast) collapsed to a 20-row per-source aggregate;
+    * the global mean and the normalizer are single-row broadcasts. All
+    * arithmetic is integer division in quantum units, so both engines
+    * agree bit-for-bit.
+    */
+  val doremiWeight = QueryDef.sql(
+    "llm_doremi_weight",
+    s"""WITH docs AS (SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents),
+       |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c1
+       |        FROM (SELECT unnest(tk) AS w FROM docs) u GROUP BY w),
+       |bi AS (SELECT bg, CAST(count(*) AS BIGINT) AS c2
+       |       FROM (SELECT unnest(${Text.wordNgramsSql(2, distinct = false)}) AS bg
+       |             FROM docs) b GROUP BY bg),
+       |q AS (SELECT bg, (c2 * $LmQuantum) // c1 AS q
+       |      FROM bi JOIN uni ON string_split(bg, ' ')[1] = uni.w),
+       |obs AS (SELECT source, unnest(${Text.wordNgramsSql(2, distinct = false)}) AS bg
+       |        FROM docs),
+       |persrc AS (SELECT source, CAST(sum(q) AS BIGINT) AS sum_q,
+       |                  CAST(count(*) AS BIGINT) AS n_bigrams
+       |           FROM obs JOIN q USING (bg) GROUP BY source),
+       |nd AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM docs GROUP BY source),
+       |fl AS (SELECT source, n_bigrams, sum_q // n_bigrams AS fluency_q FROM persrc),
+       |gstats AS (SELECT sum(sum_q) // sum(n_bigrams) AS g FROM persrc),
+       |ex AS (SELECT source, n_bigrams, fluency_q,
+       |         greatest(g - fluency_q, 0) AS excess_q
+       |       FROM fl CROSS JOIN gstats),
+       |tot AS (SELECT sum(excess_q + $DoremiFloorQ) AS t FROM ex)
+       |SELECT ex.source, n_docs, n_bigrams,
+       |  CAST(fluency_q AS BIGINT) AS fluency_q,
+       |  CAST(excess_q AS BIGINT) AS excess_q,
+       |  CAST((excess_q + $DoremiFloorQ) * 1000000 // t AS BIGINT) AS weight_ppm
+       |FROM ex CROSS JOIN tot JOIN nd ON ex.source = nd.source
+       |ORDER BY ex.source""".stripMargin
+  ) { (spark, dir) =>
+    val docs = documents(spark, dir)
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("tk"))
+    val uni = docs.select(explode(col("tk")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    val bi = docs.select(explode(expr("word_ngrams(tk, 2, false)")).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c2"))
+    val q = bi.withColumn("w", expr("split(bg, ' ')[0]"))
+      .join(uni, "w")
+      .selectExpr("bg", s"(c2 * CAST($LmQuantum AS BIGINT)) div c1 AS q")
+    val persrc = docs
+      .select(col("source"), explode(expr("word_ngrams(tk, 2, false)")).as("bg"))
+      .join(q.hint("shuffle_hash"), "bg")
+      .groupBy("source").agg(sum("q").as("sum_q"), count(lit(1)).as("n_bigrams"))
+      .cache()
+    val nd = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val fl = persrc.selectExpr("source", "n_bigrams", "sum_q div n_bigrams AS fluency_q")
+    val glob = persrc.agg(expr("sum(sum_q) div sum(n_bigrams) AS g"))
+    val ex = fl.crossJoin(broadcast(glob))
+      .withColumn("excess_q", greatest(col("g") - col("fluency_q"), lit(0L)))
+    val tot = ex.agg(sum(col("excess_q") + DoremiFloorQ).as("t"))
+    ex.crossJoin(broadcast(tot))
+      .join(broadcast(nd), "source")
+      .selectExpr("source", "n_docs", "n_bigrams",
+        "CAST(fluency_q AS BIGINT) AS fluency_q",
+        "CAST(excess_q AS BIGINT) AS excess_q",
+        s"(excess_q + $DoremiFloorQ) * CAST(1000000 AS BIGINT) div t AS weight_ppm")
+      .orderBy("source")
+  }
+
   // ---- deterministic training-data shuffle + sharding ----
 
   /** Seed prefix for the shuffle hash — changing it re-deals the whole
@@ -3633,12 +3811,125 @@ object LlmQueries {
       .orderBy("method")
   }
 
+  /** Matryoshka truncation widths (prefix dims) for [[mrlRecall]];
+    * [[graft.llm.Embed.Dim]] itself rides along as the exact-control row.
+    */
+  private val MrlDims = Seq(16, 32, Embed.Dim)
+
+  /** Matryoshka-representation truncation recall (the OTHER axis of the
+    * [[annLedger]] memory/recall table): MRL-trained embeddings are
+    * consumed by keeping only a PREFIX of each vector, so the design
+    * question "how many dims can retrieval drop" is answered by
+    * measuring recall@10 of prefix-cosine ranking against the full-dim
+    * exact top-10 — on the same planted-structure corpus and in the same
+    * (method, recall_q, bytes_per_vec, mem_ratio_q) schema as the
+    * ledger, so the PQ/SQ/IVF rows and the mrl16/mrl32 rows read as one
+    * table. The full-width row is the control (recall 1.0 by
+    * construction). Note the fixture's embeddings are synthetic, not
+    * MRL-trained — the measured recall is the UNTRAINED floor a real
+    * MRL checkpoint improves on; the machinery (prefix slice, prefix
+    * norms, rank, overlap) is what the entry pins.
+    *
+    * Scale shape: per width, one map-side prefix projection (slice +
+    * integer prefix norm) and the brute-force broadcast-query scan of
+    * [[embedTopk]] — corpus scanned once per width, queries×10 rows out;
+    * norms are guarded with greatest(·,1) so an all-zero prefix cannot
+    * divide by zero (deterministically, in both engines).
+    */
+  val mrlRecall = QueryDef.sql(
+    "llm_mrl_recall", {
+      def prefixSql(m: Int): String = {
+        val pn = s"greatest(${Embed.normSqlOf(s"list_slice(qv, 1, $m)")}, 1)"
+        s"""SELECT vec_id, list_slice(qv, 1, $m) AS pv, $pn AS pn FROM emb"""
+      }
+      def mrlTopSql(m: Int): String = {
+        val cos = Embed.cosineSql(Embed.dotSql("qpv", "pv"), "qpn", "pn")
+        s"""SELECT query_id, vec_id FROM (
+           |    SELECT query_id, p.vec_id, row_number() OVER (PARTITION BY query_id
+           |        ORDER BY $cos DESC, p.vec_id) AS rank
+           |    FROM pm$m p CROSS JOIN (SELECT vec_id AS query_id, pv AS qpv, pn AS qpn
+           |                            FROM pm$m WHERE vec_id < $NumQueries) q0
+           |    WHERE p.vec_id != query_id) r WHERE rank <= 10""".stripMargin
+      }
+      val cos = Embed.cosineSql(Embed.dotSql("qqv", "qv"), "qnrm", "nrm")
+      s"""WITH ${graft.fixtures.Fixtures.embeddingsNearDupCte},
+         |emb AS (SELECT * FROM (${Embed.preparedSqlFrom("emb_nd")}) p0 WHERE nrm > 0),
+         |qh AS (SELECT vec_id AS query_id, qv AS qqv, nrm AS qnrm
+         |       FROM emb WHERE vec_id < $NumQueries),
+         |x10 AS (SELECT query_id, vec_id FROM (
+         |    SELECT query_id, e.vec_id, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY $cos DESC, e.vec_id) AS rank
+         |    FROM emb e CROSS JOIN qh WHERE e.vec_id != query_id) r WHERE rank <= 10),
+         |${MrlDims.map(m => s"pm$m AS (${prefixSql(m)})").mkString(",\n")},
+         |methods AS (${MrlDims.map(m =>
+             s"SELECT 'mrl$m' AS method, query_id, vec_id FROM (${mrlTopSql(m)}) t$m")
+           .mkString("\nUNION ALL ")}),
+         |summary AS (
+         |  SELECT m.method, count(x.vec_id) AS n_hits
+         |  FROM methods m LEFT JOIN x10 x
+         |    ON x.query_id = m.query_id AND x.vec_id = m.vec_id
+         |  GROUP BY m.method),
+         |bytes AS (${MrlDims.map(m =>
+             s"SELECT 'mrl$m' AS method, CAST(${4 * m} AS BIGINT) AS bytes")
+           .mkString("\nUNION ALL\n")})
+         |SELECT s.method,
+         |  CAST((SELECT count(*) FROM x10) AS BIGINT) AS n_exact,
+         |  CAST(s.n_hits AS BIGINT) AS n_hits,
+         |  CAST(s.n_hits * 1000000 // (SELECT count(*) FROM x10) AS BIGINT) AS recall_q,
+         |  b.bytes AS bytes_per_vec,
+         |  CAST(${4 * Embed.Dim}000000 // b.bytes AS BIGINT) AS mem_ratio_q
+         |FROM summary s JOIN bytes b USING (method)
+         |ORDER BY s.method""".stripMargin
+    }
+  ) { (spark, dir) =>
+    val emb = Embed.prepared(
+        graft.fixtures.Fixtures.embeddingsNearDup(spark, dir))
+      .filter(col("nrm") > 0).cache()
+    val q = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("qv").as("qqv"), col("nrm").as("qnrm"))
+    val exact10 = emb.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cs", expr(Embed.cosineSql(Embed.dotExpr("qqv", "qv"), "qnrm", "nrm")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cs").desc, col("vec_id"))))
+      .filter(col("rank") <= 10).select(col("query_id"), col("vec_id"))
+      .cache()
+    def mrlTop(m: Int): org.apache.spark.sql.DataFrame = {
+      val pm = emb.select(col("vec_id"), expr(s"slice(qv, 1, $m)").as("pv"))
+        .withColumn("pn", greatest(expr("vec_normsq(pv)"), lit(1L)))
+      val pq = pm.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("pv").as("qpv"), col("pn").as("qpn"))
+      pm.join(broadcast(pq), col("vec_id") =!= col("query_id"))
+        .withColumn("cs", expr(Embed.cosineSql(Embed.dotExpr("qpv", "pv"), "qpn", "pn")))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("cs").desc, col("vec_id"))))
+        .filter(col("rank") <= 10).select(col("query_id"), col("vec_id"))
+    }
+    val uni = MrlDims.map(m =>
+      mrlTop(m).select(lit(s"mrl$m").as("method"), col("query_id"), col("vec_id")))
+      .reduce(_.unionAll(_))
+    val bytesDf = MrlDims.map(m =>
+      spark.range(1).select(lit(s"mrl$m").as("method"), lit(4L * m).as("bytes")))
+      .reduce(_.unionAll(_))
+    val xagg = exact10.agg(count(lit(1)).as("n_exact"))
+    uni.join(exact10.withColumn("hit", lit(1L)), Seq("query_id", "vec_id"), "left")
+      .groupBy("method")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .join(broadcast(bytesDf), "method")
+      .crossJoin(broadcast(xagg))
+      .selectExpr("method", "CAST(n_exact AS BIGINT) AS n_exact",
+        "CAST(n_hits AS BIGINT) AS n_hits",
+        "n_hits * CAST(1000000 AS BIGINT) div n_exact AS recall_q",
+        "bytes AS bytes_per_vec",
+        s"CAST(${4 * Embed.Dim}000000 AS BIGINT) div bytes AS mem_ratio_q")
+      .orderBy("method")
+  }
+
   val all: Seq[QueryDef] = Seq(
     textStats, langId, exactDedup, minhashLsh, incrementalNearDup,
     dedupClusters, ngramJaccard, spanDedup, paragraphDedup, cdcChunk,
     simhash, fingerprint, embedTopk, annLsh, annIvf, annIvfTrained, annPq,
     embedNearDup, knnGraph, tokenCount, imageMeta, audioMeta, imageResize,
-    frameSample, imageMetaReal, audioMetaReal, qualityScore, piiScrub, repetition,
+    frameSample, imageMetaReal, audioMetaReal, htmlExtract, qualityScore, piiScrub, repetition,
     contamination, urlHostStats, urlDedup, hostCap, tfidfTopk, bm25Topk, rrfFusion,
     langClassify,
     bloomDedup,
@@ -3646,7 +3937,7 @@ object LlmQueries {
     semDedupCapped,
     topNgrams,
     seqPack, packSpans, splitAssign, curation, mixSample, lengthQuantiles, lmScore,
-    lmScoreHoldout, dsirWeight, chunkSplit,
-    shuffleShard, clusterBest, ccnetBucket, sqRecall, annLedger, bpeTrain,
+    lmScoreHoldout, dsirWeight, doremiWeight, chunkSplit,
+    shuffleShard, clusterBest, ccnetBucket, sqRecall, annLedger, mrlRecall, bpeTrain,
     bpeApply, bpeFertility)
 }
