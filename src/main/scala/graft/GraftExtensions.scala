@@ -59,6 +59,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("hyperplane_dots"),
       info("hyperplane_dots", "hyperplane_dots(qv, n) - n deterministic hyperplane dots"),
       exprs => HyperplaneDots(exprs.head, litInt(exprs(1)))))
+    ext.injectFunction((FunctionIdentifier("cdc_chunks"),
+      info("cdc_chunks", "cdc_chunks(tokens, mod) - map-side CDC chunk signatures"),
+      exprs => graft.expr.CdcChunks(exprs.head, litInt(exprs(1)))))
     // whole-operator extension: plans graft.plans.AsOfJoinPlan (the
     // custom AS-OF JOIN logical node) to its merge-based physical exec
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)

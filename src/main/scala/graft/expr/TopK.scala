@@ -175,5 +175,9 @@ object GraftFunctions {
     registry.createOrReplaceTempFunction(
       "hyperplane_dots", exprs =>
         HyperplaneDots(exprs.head, litInt(exprs(1))), "built-in")
+    // map-side CDC chunk fold (see graft.expr.CdcChunks): mod is a literal
+    registry.createOrReplaceTempFunction(
+      "cdc_chunks", exprs =>
+        CdcChunks(exprs.head, litInt(exprs(1))), "built-in")
   }
 }

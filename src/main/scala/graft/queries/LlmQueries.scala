@@ -1178,26 +1178,31 @@ object LlmQueries {
 
   /** [[cdcChunk]]'s core over any (doc_id, text) table — also driven by
     * CdcSpec (boundary invariance under content shifts).
+    *
+    * Round-8 rewrite after the THIRD-decade probe (sf100, 5M docs,
+    * ~500M words, 256 partitions) measured 15.9× on 10× data: the old
+    * plan exploded a corpus-sized WORD stream and ran two
+    * doc-partitioned windows over it — shuffling and sorting every word
+    * in the corpus to compute what is a purely per-document fold. The
+    * [[graft.expr.CdcChunks]] expression now folds each doc's tokens
+    * into `(sig, len, start)` chunks map-side (how a real CDC deduper
+    * runs inside an ingest mapper), and the only shuffle left is the
+    * corpus-wide duplicate stats over the ~tokens/8 fixed-width chunk
+    * rows — via a window over (sig, len), the [[spanDedupLedger]]
+    * post-crash shape (no hash relation to build). Word-hash semantics
+    * are bit-identical to the DuckDB oracle, which still spells the
+    * window form — the oracle defines WHAT, this plan is the HOW.
     */
   def cdcChunkLedger(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
-    val byChunk = Window.partitionBy("doc_id", "chunk_no")
     val chunks = docs
-      .withColumn("tk", split(col("text"), " "))
-      .select(col("doc_id"), posexplode(col("tk")).as(Seq("pos0", "w")))
-      .withColumn("pos", col("pos0") + 1)
-      .withColumn("bnd", expr(
-        s"CASE WHEN CAST(conv(substr(md5(w), 1, 8), 16, 10) AS BIGINT) % $CdcMod = 0 THEN 1 ELSE 0 END"))
-      .withColumn("chunk_no", sum("bnd").over(byDoc) - col("bnd"))
-      .withColumn("off", col("pos") - min("pos").over(byChunk))
-      .groupBy("doc_id", "chunk_no")
-      .agg(
-        sum(expr("CAST(conv(substr(md5(concat(off, '|', w)), 1, 10), 16, 10) AS BIGINT)")).as("sig"),
-        count(lit(1)).as("len"),
-        (col("doc_id") * lit(1048576L) + min("pos")).as("pack"))
-    val stats = chunks.groupBy("sig", "len")
-      .agg(count(lit(1)).as("cnt"), min("pack").as("keeper"))
-    val perDoc = chunks.join(stats.hint("shuffle_hash"), Seq("sig", "len"))
+      .select(col("doc_id"),
+        explode(expr(s"cdc_chunks(split(text, ' '), $CdcMod)")).as("c"))
+      .select(col("doc_id"), col("c.sig").as("sig"), col("c.len").as("len"),
+        (col("doc_id") * lit(1048576L) + col("c.start")).as("pack"))
+    val w = Window.partitionBy("sig", "len")
+    val perDoc = chunks
+      .withColumn("cnt", count(lit(1)).over(w))
+      .withColumn("keeper", min("pack").over(w))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_chunks"),
         sum(when(col("cnt") > 1 && col("pack") =!= col("keeper"), 1L)
@@ -1995,6 +2000,121 @@ object LlmQueries {
         Window.partitionBy("host").orderBy("doc_id")).cast("long"))
       .select(col("doc_id"), col("host"), col("host_rank"),
         (col("host_rank") <= HostCap).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  // ---- per-source token budget: quota-based mixture capping ----
+
+  /** Max tokens kept per source for [[tokenBudget]] — sized so the cap
+    * actually bites on the fixture (sources carry ~1500 tokens at
+    * sf0.01, so 1000 drops a real tail per source).
+    */
+  private val SourceTokenBudget = 1000L
+
+  /** Per-source token budget (the quota twin of [[hostCap]], counting
+    * TOKENS not documents — "cap each domain at N billion tokens" is how
+    * real mixture specs are written): within each source, docs are
+    * ranked best-quality-first ([[qualityExpr]], doc_id tiebreak) and
+    * kept greedily while the running token total stays within budget.
+    * Emitted as a total ledger (rank, cumulative tokens, kept) so the
+    * budget's effect is auditable per document.
+    *
+    * 100 TB shape: map-side quality metrics, then ONE window
+    * (sum + rank over PARTITION BY source) — a per-source spillable
+    * sort, parallel across sources, same skew profile as [[hostCap]]
+    * and the same bounded-heap upgrade path if one source dwarfs the
+    * rest. The budget comparison is a map-side boolean on the running
+    * sum; nothing corpus-sized joins or broadcasts.
+    */
+  val tokenBudget = QueryDef.sql(
+    "llm_token_budget",
+    s"""WITH m AS (SELECT doc_id, source,
+       |    $qualityMetricsSql
+       |  FROM (SELECT doc_id, source, text, string_split(text, ' ') AS tk FROM documents) d),
+       |scored AS (SELECT doc_id, source, n_tokens, $qualityExpr AS quality FROM m),
+       |ranked AS (SELECT doc_id, source, n_tokens, quality,
+       |    row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS src_rank,
+       |    sum(n_tokens) OVER (PARTITION BY source ORDER BY quality DESC, doc_id
+       |                        ROWS UNBOUNDED PRECEDING) AS cum_tokens
+       |  FROM scored)
+       |SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens, quality,
+       |  CAST(src_rank AS BIGINT) AS src_rank,
+       |  CAST(cum_tokens AS BIGINT) AS cum_tokens,
+       |  cum_tokens <= $SourceTokenBudget AS kept
+       |FROM ranked ORDER BY doc_id""".stripMargin
+  ) { (spark, dir) =>
+    val w = Window.partitionBy("source").orderBy(col("quality").desc, col("doc_id"))
+    documents(spark, dir)
+      .withColumn("tk", split(col("text"), " "))
+      .select(col("doc_id") +: col("source") +: qualityMetricCols: _*)
+      .withColumn("quality", expr(qualityExpr))
+      .withColumn("src_rank", row_number().over(w).cast("long"))
+      .withColumn("cum_tokens",
+        sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("quality"),
+        col("src_rank"), col("cum_tokens"),
+        (col("cum_tokens") <= SourceTokenBudget).as("kept"))
+      .orderBy("doc_id")
+  }
+
+  // ---- snapshot diff: incremental-ingest delta classification ----
+
+  /** Ghost-row id offset for [[snapshotDiff]]'s derived prev snapshot. */
+  private val SnapRemovedOffset = 1000000L
+
+  /** Snapshot delta classification (the incremental-ingest bookkeeping
+    * between two crawl snapshots — the step that decides what actually
+    * needs re-processing): full-outer join the current corpus against
+    * the previous snapshot by doc_id and classify every id as
+    * added / removed / changed / unchanged by CONTENT HASH. The corpus
+    * ships one snapshot, so prev is derived deterministically (the
+    * markup-seam convention): ids ≡3 (mod 7) were absent (added), ids
+    * ≡5 had reversed word order (changed), ids ≡1 additionally shipped
+    * an archived ghost copy at id+10^6 (removed), the rest unchanged.
+    * The derivation is the fixture; the join + hash-compare ledger is
+    * the operator.
+    *
+    * 100 TB shape: both sides project to (doc_id, md5) BEFORE the join,
+    * so the only shuffle moves 16-byte hashes, never text — the reason
+    * real snapshot stores persist a content-hash column. One
+    * hash-partitioned full-outer join, map-side classification.
+    */
+  val snapshotDiff = QueryDef.sql(
+    "llm_snapshot_diff",
+    s"""WITH cur AS (SELECT doc_id, md5(text) AS h FROM documents),
+       |prev AS (
+       |  SELECT doc_id, md5(array_to_string(list_reverse(string_split(text, ' ')), ' ')) AS h
+       |    FROM documents WHERE doc_id % 7 = 5
+       |  UNION ALL SELECT doc_id, md5(text) FROM documents WHERE doc_id % 7 NOT IN (3, 5)
+       |  UNION ALL SELECT doc_id + $SnapRemovedOffset, md5(text || ' archived')
+       |    FROM documents WHERE doc_id % 7 = 1),
+       |j AS (SELECT coalesce(c.doc_id, p.doc_id) AS doc_id,
+       |        c.doc_id IS NOT NULL AS in_cur, p.doc_id IS NOT NULL AS in_prev,
+       |        c.h IS NOT NULL AND p.h IS NOT NULL AND c.h != p.h AS chg
+       |      FROM cur c FULL OUTER JOIN prev p ON c.doc_id = p.doc_id)
+       |SELECT doc_id,
+       |  CASE WHEN in_cur AND NOT in_prev THEN 'added'
+       |       WHEN in_prev AND NOT in_cur THEN 'removed'
+       |       WHEN chg THEN 'changed' ELSE 'unchanged' END AS status
+       |FROM j ORDER BY doc_id""".stripMargin
+  ) { (spark, dir) =>
+    val docs = documents(spark, dir)
+    val cur = docs.selectExpr("doc_id", "md5(text) AS h")
+    val prev = docs.filter(pmod(col("doc_id"), lit(7)) === 5)
+        .selectExpr("doc_id", "md5(array_join(reverse(split(text, ' ')), ' ')) AS h")
+      .unionByName(docs.filter(!pmod(col("doc_id"), lit(7)).isin(3, 5))
+        .selectExpr("doc_id", "md5(text) AS h"))
+      .unionByName(docs.filter(pmod(col("doc_id"), lit(7)) === 1)
+        .selectExpr(s"doc_id + $SnapRemovedOffset AS doc_id",
+          "md5(concat(text, ' archived')) AS h"))
+    cur.withColumnRenamed("h", "ch")
+      .join(prev.withColumnRenamed("h", "ph")
+        .withColumnRenamed("doc_id", "pid"),
+        col("doc_id") === col("pid"), "full_outer")
+      .selectExpr("coalesce(doc_id, pid) AS doc_id",
+        """CASE WHEN doc_id IS NOT NULL AND pid IS NULL THEN 'added'
+          |     WHEN pid IS NOT NULL AND doc_id IS NULL THEN 'removed'
+          |     WHEN ch != ph THEN 'changed' ELSE 'unchanged' END AS status""".stripMargin)
       .orderBy("doc_id")
   }
 
@@ -3930,7 +4050,8 @@ object LlmQueries {
     simhash, fingerprint, embedTopk, annLsh, annIvf, annIvfTrained, annPq,
     embedNearDup, knnGraph, tokenCount, imageMeta, audioMeta, imageResize,
     frameSample, imageMetaReal, audioMetaReal, htmlExtract, qualityScore, piiScrub, repetition,
-    contamination, urlHostStats, urlDedup, hostCap, tfidfTopk, bm25Topk, rrfFusion,
+    contamination, urlHostStats, urlDedup, hostCap, tokenBudget, snapshotDiff,
+    tfidfTopk, bm25Topk, rrfFusion,
     langClassify,
     bloomDedup,
     semDedup, semDedupGuarded,

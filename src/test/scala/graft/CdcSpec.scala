@@ -39,6 +39,7 @@ class CdcSpec extends SparkSuite {
       // doc 3: the same boundary-terminated block twice — within-doc dup
       (3L, Seq(p(10), p(11), b(2), p(10), p(11), b(2)).mkString(" ")))
       .toDF("doc_id", "text")
+    graft.expr.GraftFunctions.register(spark) // cdc_chunks
     LlmQueries.cdcChunkLedger(docs)
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
       .toMap

@@ -86,7 +86,16 @@ object ScaleProbe {
     // fertility ledger: apply-pass tokenization + a |langs|-row aggregate
     "llm_bpe_fertility",
     // pack spans: two-level prefix sum + map-side span explode
-    "llm_pack_spans")
+    "llm_pack_spans",
+    // round-8 wave: canonical-URL collapse (map-side projection + one
+    // hash agg), the unified ANN ledger (five bounded retrievals over
+    // one cached corpus), paragraph blocks (span_dedup's window shape
+    // over ~n/20 disjoint units), the boilerplate-strip regex chain
+    // (pure map-side), DoReMi domain weights (lm_score's plan folded to
+    // a 20-row aggregate), and MRL prefix recall (three brute-force
+    // scans at decreasing width)
+    "llm_url_dedup", "llm_ann_ledger", "llm_paragraph_dedup",
+    "llm_html_extract", "llm_doremi_weight", "llm_mrl_recall")
   private val Reps = 10
   private val IdStride = 10000000L
 
