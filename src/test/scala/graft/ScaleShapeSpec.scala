@@ -70,6 +70,25 @@ class ScaleShapeSpec extends SparkSuite {
       "no span-index hash build may appear (sf100 OOM shape):\n" + p.take(2000))
   }
 
+  test("llm_cdc_chunk: map-side chunk fold, no word-stream window, no hash build") {
+    // The r8 THIRD-decade probe (5M docs, ~500M words, 256 partitions)
+    // measured 15.9× on 10× data: the old plan exploded a corpus-sized
+    // word stream and ran two doc-partitioned window sorts over it. The
+    // fix folds each doc's tokens into chunks map-side (cdc_chunks
+    // expression) and computes corpus duplicate stats with the span_dedup
+    // window over (sig, len). Pin all three facts: the fold is in the
+    // plan, exactly ONE window remains (the stats one — a second means
+    // the word-stream windows came back), and no hash build.
+    val p = plan("llm_cdc_chunk")
+    assert(p.contains("cdc_chunks"),
+      "chunking must be the map-side fold expression:\n" + p.take(2000))
+    val windows = "(?<!\\w)Window(?!\\w)".r.findAllIn(p).length
+    assert(windows <= 1,
+      s"only the (sig, len) stats window may appear, found $windows:\n" + p.take(2000))
+    assert(!p.contains("ShuffledHashJoin"),
+      "no chunk-index hash build may appear:\n" + p.take(2000))
+  }
+
   test("nested fixture memoization is recursion-safe from a cold cache") {
     // embeddingsRedelivered's builder memoizes embeddingsNearDup INSIDE
     // its own memo call. The old computeIfAbsent-based memo threw

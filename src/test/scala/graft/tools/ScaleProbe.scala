@@ -95,7 +95,10 @@ object ScaleProbe {
     // a 20-row aggregate), and MRL prefix recall (three brute-force
     // scans at decreasing width)
     "llm_url_dedup", "llm_ann_ledger", "llm_paragraph_dedup",
-    "llm_html_extract", "llm_doremi_weight", "llm_mrl_recall")
+    "llm_html_extract", "llm_doremi_weight", "llm_mrl_recall",
+    // round-8 second wave: per-source budget window (host_cap's skew
+    // profile) and the content-hash full-outer snapshot join
+    "llm_token_budget", "llm_snapshot_diff")
   private val Reps = 10
   private val IdStride = 10000000L
 
