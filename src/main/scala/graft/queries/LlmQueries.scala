@@ -446,18 +446,22 @@ object LlmQueries {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** 16-bit SimHash over distinct tokens (md5-derived bit votes). */
-  val simhash = QueryDef.sql(
-    "llm_simhash", {
-      val balances = Text.simhashBalanceSql(16, (c, i) => s"($c >> $i)")
-      s"""WITH tokh AS (SELECT doc_id, ${Text.tokenHash16Sql} AS h
-         |  FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
-         |        FROM documents) u),
-         |sums AS (SELECT doc_id, ${balances.mkString(",\n  ")} FROM tokh GROUP BY doc_id)
-         |SELECT doc_id, CAST(${Text.simhashAssembleSql(16)} AS BIGINT) AS simhash
-         |FROM sums ORDER BY doc_id""".stripMargin
-    }
-  ) { (spark, dir) =>
+  /** DuckDB CTE chain ending in `sigs(doc_id, sig)` — the 16-bit SimHash
+    * signature pipeline, shared by [[simhash]] and [[simhashNearDup]].
+    */
+  private val simhashSigsCtes: String = {
+    val balances = Text.simhashBalanceSql(16, (c, i) => s"($c >> $i)")
+    s"""tokh AS (SELECT doc_id, ${Text.tokenHash16Sql} AS h
+       |  FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+       |        FROM documents) u),
+       |sums AS (SELECT doc_id, ${balances.mkString(",\n  ")} FROM tokh GROUP BY doc_id),
+       |sigs AS (SELECT doc_id, CAST(${Text.simhashAssembleSql(16)} AS BIGINT) AS sig
+       |         FROM sums)""".stripMargin
+  }
+
+  /** Spark side of the signature pipeline: (doc_id, sig). */
+  private def simhashSigs(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
     val tokh = documents(spark, dir)
       .withColumn("tk", split(col("text"), " "))
       .select(col("doc_id"), explode(array_distinct(col("tk"))).as("t"))
@@ -465,8 +469,105 @@ object LlmQueries {
     val balances = Text.simhashBalanceSql(16, (c, i) => s"shiftright($c, $i)").map(expr)
     tokh.groupBy("doc_id").agg(balances.head, balances.tail: _*)
       .select(col("doc_id"),
-        expr(s"CAST(${Text.simhashAssembleSql(16)} AS BIGINT)").as("simhash"))
+        expr(s"CAST(${Text.simhashAssembleSql(16)} AS BIGINT)").as("sig"))
+  }
+
+  /** 16-bit SimHash over distinct tokens (md5-derived bit votes). */
+  val simhash = QueryDef.sql(
+    "llm_simhash",
+    s"""WITH $simhashSigsCtes
+       |SELECT doc_id, sig AS simhash FROM sigs ORDER BY doc_id""".stripMargin
+  ) { (spark, dir) =>
+    simhashSigs(spark, dir)
+      .select(col("doc_id"), col("sig").as("simhash"))
       .orderBy("doc_id")
+  }
+
+  /** Hamming radius for [[simhashNearDup]] and its pigeonhole block
+    * design: with the 16-bit signature split into 4 bands of 4 bits,
+    * ≤ [[SimhashMaxHamming]] flipped bits can touch at most 2 bands, so
+    * every true pair agrees on at least one of the C(4,2)=6 band PAIRS —
+    * blocking on band pairs finds all of them with equi-joins only.
+    */
+  private val SimhashMaxHamming = 2
+
+  /** Oversized-block cap — same role and value as [[LshBucketCap]]. */
+  private val SimhashBlockCap = 64
+
+  /** Band-pair table: (pid, divisor_i, divisor_j) with divisors 16^band,
+    * embedded as VALUES in both dialects (plain arithmetic — no dynamic
+    * shifts, which the two engines spell differently).
+    */
+  private val SimhashBandPairs: Seq[(Int, Long, Long)] = {
+    val div = (0 until 4).map(b => 1L << (4 * b))
+    for {
+      i <- 0 until 4; j <- (i + 1) until 4
+    } yield (i * 4 + j, div(i), div(j))
+  }.zipWithIndex.map { case ((_, di, dj), pid) => (pid, di, dj) }
+
+  /** SimHash near-dup pairs (completes the SimHash pillar: [[simhash]]
+    * emits signatures, this finds the duplicates): all pairs within
+    * Hamming distance [[SimhashMaxHamming]] of each other, found via
+    * band-pair pigeonhole blocking — NEVER an all-pairs product — and
+    * verified with an exact `bit_count(xor)` popcount. The 16-bit width
+    * is the fixture dimension (a production SimHash is 64-bit with the
+    * same 4-band split at radius 3); at 16 bits radius 2 also admits
+    * chance-level collisions, which is the documented coarseness of a
+    * short signature, not a blocking bug.
+    *
+    * 100 TB shape: the signature table is one hash aggregate; blocking
+    * is a 6-way map-side key explode + the [[minhashLsh]] capped-collect
+    * aggregate (oversized blocks dropped under [[SimhashBlockCap]],
+    * identically in the oracle) + map-side pair generation; verification
+    * joins the fixed-width sig table twice on doc id. No self-join, no
+    * cartesian anywhere; every intermediate is bounded by blocks × cap².
+    */
+  val simhashNearDup = QueryDef.sql(
+    "llm_simhash_neardup", {
+      val bpValues = SimhashBandPairs
+        .map { case (p, di, dj) => s"($p, $di, $dj)" }.mkString(", ")
+      s"""WITH $simhashSigsCtes,
+         |bp(pid, di, dj) AS (VALUES $bpValues),
+         |keys AS (SELECT doc_id, pid,
+         |    ((sig // di) % 16) * 16 + ((sig // dj) % 16) AS kv
+         |  FROM sigs CROSS JOIN bp),
+         |bsz AS (SELECT pid, kv, count(*) AS c FROM keys GROUP BY pid, kv),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |         FROM keys x JOIN keys y
+         |           ON x.pid = y.pid AND x.kv = y.kv AND x.doc_id < y.doc_id
+         |         JOIN bsz ON bsz.pid = x.pid AND bsz.kv = x.kv
+         |         WHERE bsz.c <= $SimhashBlockCap)
+         |SELECT doc_a, doc_b,
+         |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+         |FROM cand JOIN sigs a ON a.doc_id = cand.doc_a
+         |          JOIN sigs b ON b.doc_id = cand.doc_b
+         |WHERE bit_count(xor(a.sig, b.sig)) <= $SimhashMaxHamming
+         |ORDER BY doc_a, doc_b""".stripMargin
+    }
+  ) { (spark, dir) =>
+    val sigs = simhashSigs(spark, dir).cache()
+    val bp = SimhashBandPairs.map { case (p, di, dj) =>
+      spark.range(1).select(lit(p).as("pid"), lit(di).as("di"), lit(dj).as("dj"))
+    }.reduce(_.unionAll(_))
+    val keys = sigs.crossJoin(broadcast(bp))
+      .selectExpr("doc_id", "pid",
+        "((sig div di) % 16) * 16 + ((sig div dj) % 16) AS kv")
+    val cand = keys.groupBy("pid", "kv")
+      .agg(expr(s"graft_capped_longs(doc_id, ${SimhashBlockCap + 1})").as("raw"),
+        count(lit(1)).as("c"))
+      .filter(col("c") <= SimhashBlockCap)
+      .select(sort_array(col("raw")).as("docs"))
+      .select(explode(expr(
+        "flatten(transform(docs, (x, i) -> transform(slice(docs, i + 2, size(docs)), y -> named_struct('a', x, 'b', y))))"
+      )).as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b")).distinct()
+    cand
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sa")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sb")), "doc_b")
+      .withColumn("hamming", expr("CAST(bit_count(sa ^ sb) AS BIGINT)"))
+      .filter(col("hamming") <= SimhashMaxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy("doc_a", "doc_b")
   }
 
   /** Rolling char-8-gram fingerprint (winnowing-style min hash + gram
@@ -4047,7 +4148,7 @@ object LlmQueries {
   val all: Seq[QueryDef] = Seq(
     textStats, langId, exactDedup, minhashLsh, incrementalNearDup,
     dedupClusters, ngramJaccard, spanDedup, paragraphDedup, cdcChunk,
-    simhash, fingerprint, embedTopk, annLsh, annIvf, annIvfTrained, annPq,
+    simhash, simhashNearDup, fingerprint, embedTopk, annLsh, annIvf, annIvfTrained, annPq,
     embedNearDup, knnGraph, tokenCount, imageMeta, audioMeta, imageResize,
     frameSample, imageMetaReal, audioMetaReal, htmlExtract, qualityScore, piiScrub, repetition,
     contamination, urlHostStats, urlDedup, hostCap, tokenBudget, snapshotDiff,

@@ -97,8 +97,9 @@ object ScaleProbe {
     "llm_url_dedup", "llm_ann_ledger", "llm_paragraph_dedup",
     "llm_html_extract", "llm_doremi_weight", "llm_mrl_recall",
     // round-8 second wave: per-source budget window (host_cap's skew
-    // profile) and the content-hash full-outer snapshot join
-    "llm_token_budget", "llm_snapshot_diff")
+    // profile), the content-hash full-outer snapshot join, and the
+    // SimHash band-pair blocking (capped-collect pair gen, popcount verify)
+    "llm_token_budget", "llm_snapshot_diff", "llm_simhash_neardup")
   private val Reps = 10
   private val IdStride = 10000000L
 
