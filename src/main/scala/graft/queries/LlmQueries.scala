@@ -484,8 +484,8 @@ object LlmQueries {
   }
 
   /** Hamming radius for [[simhashNearDup]] and its pigeonhole block
-    * design: with the 16-bit signature split into 4 bands of 4 bits,
-    * ≤ [[SimhashMaxHamming]] flipped bits can touch at most 2 bands, so
+    * design: with the signature split into 4 bands, ≤
+    * [[SimhashMaxHamming]] flipped bits can touch at most 2 bands, so
     * every true pair agrees on at least one of the C(4,2)=6 band PAIRS —
     * blocking on band pairs finds all of them with equi-joins only.
     */
@@ -494,43 +494,81 @@ object LlmQueries {
   /** Oversized-block cap — same role and value as [[LshBucketCap]]. */
   private val SimhashBlockCap = 64
 
-  /** Band-pair table: (pid, divisor_i, divisor_j) with divisors 16^band,
-    * embedded as VALUES in both dialects (plain arithmetic — no dynamic
-    * shifts, which the two engines spell differently).
+  /** Structural maximum signature width: balances are always computed at
+    * 60 bits (15 md5 hex digits — the [[Text.hexPrefixIntSql]] BIGINT
+    * ceiling); the corpus-adaptive width is applied by MASKING, never by
+    * changing the expression structure (the [[graft.llm.Embed
+    * .adaptiveBits]] pattern, which keeps the static SQL oracle able to
+    * express a data-dependent width).
     */
-  private val SimhashBandPairs: Seq[(Int, Long, Long)] = {
-    val div = (0 until 4).map(b => 1L << (4 * b))
-    for {
-      i <- 0 until 4; j <- (i + 1) until 4
-    } yield (i * 4 + j, div(i), div(j))
-  }.zipWithIndex.map { case ((_, di, dj), pid) => (pid, di, dj) }
+  private val SimhashMaxW = 60
+
+  /** Expected block occupancy the adaptive width maintains. */
+  private val SimhashTargetBlock = 16
+
+  /** Corpus-adaptive band width in bits (signature width = 4·b): the
+    * first 10× scale probe measured the fixed 16-bit variant returning
+    * ZERO pairs at 500k docs — with only 2^8 block keys per band pair,
+    * every block outgrew the cap and was dropped; no cap value fixes a
+    * signature whose key space is constant while the corpus grows. b
+    * solves `n / 2^(2b) ≤ target` (floor+correct log2 so both engines
+    * land on the exact integer), clamped to [4, 15] — 16-bit behavior at
+    * fixture scale, 32-bit at 500k docs, 60-bit ceiling.
+    */
+  private def simhashBandBits(n: Long): Int = {
+    val q = math.max(1L, (n + SimhashTargetBlock - 1) / SimhashTargetBlock)
+    val f = math.floor(math.log(q.toDouble) / math.log(2.0)).toInt
+    val c = if (math.pow(2.0, f) < q.toDouble) f + 1 else f
+    math.min(SimhashMaxW / 4, math.max(4, (c + 1) / 2))
+  }
 
   /** SimHash near-dup pairs (completes the SimHash pillar: [[simhash]]
-    * emits signatures, this finds the duplicates): all pairs within
-    * Hamming distance [[SimhashMaxHamming]] of each other, found via
-    * band-pair pigeonhole blocking — NEVER an all-pairs product — and
-    * verified with an exact `bit_count(xor)` popcount. The 16-bit width
-    * is the fixture dimension (a production SimHash is 64-bit with the
-    * same 4-band split at radius 3); at 16 bits radius 2 also admits
-    * chance-level collisions, which is the documented coarseness of a
-    * short signature, not a blocking bug.
+    * emits the reference 16-bit fingerprint, this finds duplicates at a
+    * corpus-adaptive width): all pairs within Hamming distance
+    * [[SimhashMaxHamming]] of each other on the masked signature, found
+    * via band-pair pigeonhole blocking — NEVER an all-pairs product —
+    * and verified with an exact `bit_count(xor)` popcount. Width
+    * adaptivity is the load-bearing scale design (see
+    * [[simhashBandBits]]): a FIXED short signature cannot be blocked at
+    * scale because its key space is constant while the corpus grows —
+    * the same reason production SimHash is 64-bit.
     *
-    * 100 TB shape: the signature table is one hash aggregate; blocking
-    * is a 6-way map-side key explode + the [[minhashLsh]] capped-collect
-    * aggregate (oversized blocks dropped under [[SimhashBlockCap]],
-    * identically in the oracle) + map-side pair generation; verification
-    * joins the fixed-width sig table twice on doc id. No self-join, no
-    * cartesian anywhere; every intermediate is bounded by blocks × cap².
+    * 100 TB shape: the 60-bit balance table is one hash aggregate
+    * (fixed structure at any width); blocking is a 6-way map-side key
+    * explode + the [[minhashLsh]] capped-collect aggregate (oversized
+    * blocks dropped under [[SimhashBlockCap]], identically in the
+    * oracle) + map-side pair generation; verification joins the
+    * fixed-width sig table twice on doc id. No self-join, no cartesian;
+    * every intermediate is bounded by blocks × cap², and block
+    * occupancy is held ≈ [[SimhashTargetBlock]] at every corpus size by
+    * the width rule.
     */
   val simhashNearDup = QueryDef.sql(
     "llm_simhash_neardup", {
-      val bpValues = SimhashBandPairs
-        .map { case (p, di, dj) => s"($p, $di, $dj)" }.mkString(", ")
-      s"""WITH $simhashSigsCtes,
-         |bp(pid, di, dj) AS (VALUES $bpValues),
+      val balances = Text.simhashBalanceSql(SimhashMaxW, (c, i) => s"($c >> $i)")
+      val bpValues = Seq((0, 0, 1), (1, 0, 2), (2, 0, 3), (3, 1, 2), (4, 1, 3), (5, 2, 3))
+        .map { case (p, i, j) => s"($p, $i, $j)" }.mkString(", ")
+      s"""WITH tokh AS (SELECT doc_id, ${Text.hexPrefixIntSql("md5(t)", 15)} AS h
+         |  FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+         |        FROM documents) u),
+         |sums AS (SELECT doc_id, ${balances.mkString(",\n  ")} FROM tokh GROUP BY doc_id),
+         |params AS (
+         |  SELECT LEAST(${SimhashMaxW / 4}, GREATEST(4, (c + 1) // 2)) AS b
+         |  FROM (SELECT CAST(FLOOR(LOG2(q)) AS INT) +
+         |          (CASE WHEN POW(2, CAST(FLOOR(LOG2(q)) AS INT)) < q THEN 1 ELSE 0 END) AS c
+         |        FROM (SELECT GREATEST(1, CAST(FLOOR((COUNT(*) + ${SimhashTargetBlock - 1})
+         |                / $SimhashTargetBlock.0) AS BIGINT)) AS q
+         |              FROM documents) t0) t1),
+         |sigs AS (SELECT doc_id,
+         |    CAST(${Text.simhashAssembleSql(SimhashMaxW)} AS BIGINT)
+         |      % CAST(POW(2, 4 * b) AS BIGINT) AS sig
+         |  FROM sums CROSS JOIN params),
+         |bp(pid, bi, bj) AS (VALUES $bpValues),
          |keys AS (SELECT doc_id, pid,
-         |    ((sig // di) % 16) * 16 + ((sig // dj) % 16) AS kv
-         |  FROM sigs CROSS JOIN bp),
+         |    ((sig // CAST(POW(2, bi * b) AS BIGINT)) % CAST(POW(2, b) AS BIGINT))
+         |      * CAST(POW(2, b) AS BIGINT)
+         |    + ((sig // CAST(POW(2, bj * b) AS BIGINT)) % CAST(POW(2, b) AS BIGINT)) AS kv
+         |  FROM sigs CROSS JOIN bp CROSS JOIN params),
          |bsz AS (SELECT pid, kv, count(*) AS c FROM keys GROUP BY pid, kv),
          |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
          |         FROM keys x JOIN keys y
@@ -545,13 +583,31 @@ object LlmQueries {
          |ORDER BY doc_a, doc_b""".stripMargin
     }
   ) { (spark, dir) =>
-    val sigs = simhashSigs(spark, dir).cache()
-    val bp = SimhashBandPairs.map { case (p, di, dj) =>
-      spark.range(1).select(lit(p).as("pid"), lit(di).as("di"), lit(dj).as("dj"))
-    }.reduce(_.unionAll(_))
+    val docs = documents(spark, dir)
+    // corpus-derived width; the count is a scalar action (the
+    // adaptiveBits/chooseK precedent)
+    val b = simhashBandBits(docs.count())
+    val bandDiv = (k: Int) => 1L << (b * k)
+    val bandMod = 1L << b
+    val tokh = docs
+      .withColumn("tk", split(col("text"), " "))
+      .select(col("doc_id"), explode(array_distinct(col("tk"))).as("t"))
+      .withColumn("h", expr(Text.hexPrefixIntSql("md5(t)", 15)))
+    val balances = Text.simhashBalanceSql(SimhashMaxW,
+      (c, i) => s"shiftright($c, $i)").map(expr)
+    val sigs = tokh.groupBy("doc_id").agg(balances.head, balances.tail: _*)
+      .select(col("doc_id"),
+        (expr(s"CAST(${Text.simhashAssembleSql(SimhashMaxW)} AS BIGINT)")
+          % lit(1L << (4 * b))).as("sig"))
+      .cache()
+    val bp = Seq((0, 0, 1), (1, 0, 2), (2, 0, 3), (3, 1, 2), (4, 1, 3), (5, 2, 3))
+      .map { case (p, i, j) =>
+        spark.range(1).select(lit(p).as("pid"),
+          lit(bandDiv(i)).as("di"), lit(bandDiv(j)).as("dj"))
+      }.reduce(_.unionAll(_))
     val keys = sigs.crossJoin(broadcast(bp))
       .selectExpr("doc_id", "pid",
-        "((sig div di) % 16) * 16 + ((sig div dj) % 16) AS kv")
+        s"((sig div di) % $bandMod) * $bandMod + ((sig div dj) % $bandMod) AS kv")
     val cand = keys.groupBy("pid", "kv")
       .agg(expr(s"graft_capped_longs(doc_id, ${SimhashBlockCap + 1})").as("raw"),
         count(lit(1)).as("c"))
