@@ -44,7 +44,14 @@ object Explain {
       // tercile broadcast join, SQ scale aggregate + ADC scan
       "llm_shuffle_shard", "llm_cluster_best", "llm_ccnet_bucket",
       "llm_sq_recall", "llm_bpe_train", "llm_bpe_apply", "llm_bpe_fertility",
-      "llm_rrf_fusion", "llm_pack_spans")
+      "llm_rrf_fusion", "llm_pack_spans",
+      // round-8 wave: windowed paragraph stats, map-side regex chain,
+      // lm-plan folded to domain rows, prefix-truncation scans, quota
+      // window, hash-only snapshot join, adaptive-width banded popcount,
+      // and the map-side CDC fold (supersedes the word-stream windows)
+      "llm_paragraph_dedup", "llm_html_extract", "llm_doremi_weight",
+      "llm_mrl_recall", "llm_token_budget", "llm_snapshot_diff",
+      "llm_simhash_neardup", "llm_url_dedup", "llm_ann_ledger")
     names.foreach { n =>
       println(s"\n================ $n ================")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")
