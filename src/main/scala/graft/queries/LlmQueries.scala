@@ -3098,6 +3098,86 @@ object LlmQueries {
       .orderBy("lang")
   }
 
+  // ---- cardinality sketch: deterministic KMV distinct estimation ----
+
+  /** KMV sketch size (k minimum hash values kept per group). */
+  private val SketchK = 256
+
+  /** Deterministic cardinality sketch (the corpus-stats pass a 100 TB
+    * pipeline runs instead of exact COUNT(DISTINCT)): a KMV
+    * (k-minimum-values) estimator — keep the [[SketchK]] smallest 60-bit
+    * hashes per group; the k-th smallest pins the density, so
+    * `est = (k−1)·2^60 / kth_min`. HLL is the usual tool, but its
+    * register layouts differ across engines; KMV is the
+    * cross-engine-EXACT sketch: both engines keep the same k hashes and
+    * compute the same estimate bit-for-bit, so the estimator itself is
+    * oracle-gated, error ledger included. Two grains per language —
+    * tokens (vocab < k: the sketch degrades to exact, `est = k_used`)
+    * and bigrams (vocab > k: the estimation path) — so both regimes are
+    * exercised by the fixture.
+    *
+    * 100 TB shape: one explode → DISTINCT hash aggregate compacts the
+    * corpus to its vocabulary (the only corpus-sized pass, map-side
+    * partial-aggregated); the rank window then shuffles only the
+    * per-group VOCAB stream, never corpus occurrences; the ledger is
+    * |grains|·|langs| rows. Upgrade path when even the vocab shuffle is
+    * too much: a bounded k-min-heap TypedImperativeAggregate (the
+    * [[graft.expr.TopK]] buffer pattern) makes it one pass, mergeable
+    * map-side like any production sketch — this ledger's oracle would
+    * gate it unchanged.
+    */
+  val distinctSketch = QueryDef.sql(
+    "llm_distinct_sketch", {
+      val est = s"""CASE WHEN k_used < $SketchK THEN CAST(k_used AS DOUBLE)
+                   |    ELSE (CAST(${SketchK - 1} AS DOUBLE) * POW(2, 60)) / CAST(kth_min AS DOUBLE) END"""
+        .stripMargin.replace("\n", "")
+      s"""WITH toks AS (SELECT lang, string_split(text, ' ') AS tk FROM documents),
+         |units AS (
+         |  SELECT 'token' AS grain, lang, unnest(tk) AS u FROM toks
+         |  UNION ALL
+         |  SELECT 'bigram', lang, unnest(${Text.wordNgramsSql(2, distinct = false)}) FROM toks),
+         |dh AS (SELECT DISTINCT grain, lang, ${Text.hexPrefixInt60Sql("md5(u)")} AS h FROM units),
+         |ranked AS (SELECT grain, lang, h,
+         |    row_number() OVER (PARTITION BY grain, lang ORDER BY h) AS r,
+         |    count(*) OVER (PARTITION BY grain, lang) AS nx
+         |  FROM dh),
+         |kept AS (SELECT grain, lang, CAST(max(nx) AS BIGINT) AS n_exact,
+         |    CAST(count(*) AS BIGINT) AS k_used, max(h) AS kth_min
+         |  FROM ranked WHERE r <= $SketchK GROUP BY grain, lang),
+         |est AS (SELECT grain, lang, n_exact, k_used, kth_min, $est AS est_distinct FROM kept)
+         |SELECT grain, lang, n_exact, k_used, kth_min, est_distinct,
+         |  ABS(est_distinct - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE) * 1000000 AS err_ppm
+         |FROM est ORDER BY grain, lang""".stripMargin
+    }
+  ) { (spark, dir) =>
+    val toks = documents(spark, dir)
+      .select(col("lang"), split(col("text"), " ").as("tk"))
+    val units = toks.select(lit("token").as("grain"), col("lang"),
+        explode(col("tk")).as("u"))
+      .unionByName(toks.select(lit("bigram").as("grain"), col("lang"),
+        explode(expr("word_ngrams(tk, 2, false)")).as("u")))
+    val dh = units
+      .select(col("grain"), col("lang"),
+        expr("CAST(conv(substr(md5(u), 1, 15), 16, 10) AS BIGINT)").as("h"))
+      .distinct()
+    val wg = Window.partitionBy("grain", "lang")
+    val kept = dh
+      .withColumn("r", row_number().over(wg.orderBy("h")))
+      .withColumn("nx", count(lit(1)).over(wg))
+      .filter(col("r") <= SketchK)
+      .groupBy("grain", "lang")
+      .agg(max("nx").cast("long").as("n_exact"),
+        count(lit(1)).as("k_used"), max("h").as("kth_min"))
+    kept
+      .withColumn("est_distinct", expr(
+        s"""CASE WHEN k_used < $SketchK THEN CAST(k_used AS DOUBLE)
+           |    ELSE (CAST(${SketchK - 1} AS DOUBLE) * POW(2, 60)) / CAST(kth_min AS DOUBLE) END"""
+          .stripMargin.replace("\n", "")))
+      .withColumn("err_ppm", expr(
+        "ABS(est_distinct - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE) * 1000000"))
+      .orderBy("grain", "lang")
+  }
+
   // ---- LM fluency scoring: integer-quantized bigram model ----
 
   /** Probability quantum: q(bigram) = (count(w1 w2) · 10^6) div count(w1)
@@ -4213,7 +4293,7 @@ object LlmQueries {
     bloomDedup,
     semDedup, semDedupGuarded,
     semDedupCapped,
-    topNgrams,
+    topNgrams, distinctSketch,
     seqPack, packSpans, splitAssign, curation, mixSample, lengthQuantiles, lmScore,
     lmScoreHoldout, dsirWeight, doremiWeight, chunkSplit,
     shuffleShard, clusterBest, ccnetBucket, sqRecall, annLedger, mrlRecall, bpeTrain,

@@ -99,7 +99,9 @@ object ScaleProbe {
     // round-8 second wave: per-source budget window (host_cap's skew
     // profile), the content-hash full-outer snapshot join, and the
     // SimHash band-pair blocking (capped-collect pair gen, popcount verify)
-    "llm_token_budget", "llm_snapshot_diff", "llm_simhash_neardup")
+    "llm_token_budget", "llm_snapshot_diff", "llm_simhash_neardup",
+    // KMV sketch: the corpus pass must compact to vocab before any window
+    "llm_distinct_sketch")
   private val Reps = 10
   private val IdStride = 10000000L
 
