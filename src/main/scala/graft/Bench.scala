@@ -62,6 +62,12 @@ object Bench {
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the streaming breakdown sums recentProgress, a ring buffer whose
+      // DEFAULT cap (100) silently drops the earliest micro-batches once
+      // a lane exceeds it (sf1's doc-gate replay is ~190 batches) — the
+      // per-batch sums would then cover half the run while rows_per_sec
+      // covers all of it (round-8 review finding); size it to any lane
+      .config("spark.sql.streaming.numRecentProgressUpdates", "10000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

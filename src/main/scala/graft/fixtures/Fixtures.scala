@@ -123,9 +123,13 @@ object Fixtures {
       // branch never fires; this exists for single-file local fixtures.
       val df0 = build
       val bytes = df0.queryExecution.optimizedPlan.stats.sizeInBytes
-      val target = math.max(1L, math.min(
-        spark.sparkContext.defaultParallelism.toLong,
-        (bytes / BigInt(64L << 10)).toLong)).toInt
+      // clamp in BigInt space BEFORE converting: stats without column
+      // histograms multiply child sizes, and a BigInt past 2^63 would
+      // otherwise .toLong-wrap to an arbitrary (possibly negative)
+      // target and silently skip normalization (round-8 review finding)
+      val target = (bytes / BigInt(64L << 10))
+        .min(BigInt(spark.sparkContext.defaultParallelism))
+        .max(BigInt(1)).toInt
       // A/B probe escape hatch (system property so a single-JVM interleaved
       // probe can flip it between cache-cleared reps)
       val normalize = !sys.props.get("graft.memo.noNormalize").contains("1")

@@ -136,6 +136,41 @@ object Embed {
        |  FROM (SELECT GREATEST(1, CAST(FLOOR((COUNT(*) + ${target - 1}) / $target.0) AS BIGINT)) AS q
        |        FROM $fromSql) t)""".stripMargin
 
+  /** Int8 scalar quantization — ONE definition of the per-dimension
+    * scale-and-encode kernel (corpus absmax per dimension, code_d =
+    * sign(v)·(|v|·levels div scale_d)): `llm_sq_recall` and the
+    * `llm_ann_ledger` 'sq' row both quantize through this; a divergent
+    * copy would silently split the ledger's row from the entry it
+    * claims to reuse (round-8 review finding). Returns emb's columns
+    * plus `codes`; the scale table is a Dim-row aggregate broadcast
+    * back, the encode a map-side zip_with.
+    */
+  def sqCoded(emb: DataFrame, levels: Long): DataFrame = {
+    val scales = emb.select(posexplode(col("qv")).as(Seq("pos", "x")))
+      .groupBy("pos").agg(greatest(max(abs(col("x"))), lit(1L)).as("s"))
+      .groupBy().agg(array_sort(collect_list(struct(col("pos"), col("s")))).as("ps"))
+      .select(col("ps.s").as("scales"))
+    emb.crossJoin(broadcast(scales))
+      .withColumn("codes", expr(
+        s"zip_with(qv, scales, (v, s) -> CASE WHEN v >= 0 THEN (v * $levels) div s " +
+          s"ELSE -((-v * $levels) div s) END)"))
+      .drop("scales")
+  }
+
+  /** DuckDB twin of [[sqCoded]]: CTE chain `scal, sl, coded` over
+    * `fromEmb`, ending in coded = (vec_id, qv, codes).
+    */
+  def sqCodedSql(fromEmb: String, levels: Long): String = {
+    val codeT = s"CASE WHEN qv[j] >= 0 THEN (qv[j] * $levels) // s0.scales[j] " +
+      s"ELSE -((-qv[j] * $levels) // s0.scales[j]) END"
+    s"""scal AS (SELECT i.i AS i, GREATEST(1, max(abs(e.qv[i.i]))) AS s
+       |         FROM $fromEmb e, range(1, ${Dim + 1}) i(i) GROUP BY i.i),
+       |sl AS (SELECT list(s ORDER BY i) AS scales FROM scal),
+       |coded AS (SELECT vec_id, qv,
+       |    list_transform(range(1, ${Dim + 1}), j -> $codeT) AS codes
+       |  FROM $fromEmb, sl s0)""".stripMargin
+  }
+
   /** Spark-side prepared embedding table: (vec_id, label, qv, nrm). */
   def prepared(embeddings: DataFrame): DataFrame =
     embeddings

@@ -2216,8 +2216,13 @@ object LlmQueries {
 
   // ---- snapshot diff: incremental-ingest delta classification ----
 
-  /** Ghost-row id offset for [[snapshotDiff]]'s derived prev snapshot. */
-  private val SnapRemovedOffset = 1000000L
+  /** Ghost-row id offset for [[snapshotDiff]]'s derived prev snapshot —
+    * 2^40, past any real doc_id (the repo-wide packing convention caps
+    * doc ids well below it): a small offset would collide with genuine
+    * ids in a large contiguous corpus and fan out the full-outer join
+    * (round-8 review finding).
+    */
+  private val SnapRemovedOffset = 1L << 40
 
   /** Snapshot delta classification (the incremental-ingest bookkeeping
     * between two crawl snapshots — the step that decides what actually
@@ -3443,18 +3448,21 @@ object LlmQueries {
        |                  CAST(count(*) AS BIGINT) AS n_bigrams
        |           FROM obs JOIN q USING (bg) GROUP BY source),
        |nd AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM docs GROUP BY source),
-       |fl AS (SELECT source, n_bigrams, sum_q // n_bigrams AS fluency_q FROM persrc),
-       |gstats AS (SELECT sum(sum_q) // sum(n_bigrams) AS g FROM persrc),
-       |ex AS (SELECT source, n_bigrams, fluency_q,
+       |gstats AS (SELECT coalesce(sum(sum_q) // sum(n_bigrams), 0) AS g FROM persrc),
+       |fl AS (SELECT nd.source, n_docs,
+       |         coalesce(n_bigrams, 0) AS n_bigrams,
+       |         CASE WHEN coalesce(n_bigrams, 0) > 0 THEN sum_q // n_bigrams ELSE g END AS fluency_q
+       |       FROM nd LEFT JOIN persrc ON nd.source = persrc.source CROSS JOIN gstats),
+       |ex AS (SELECT source, n_docs, n_bigrams, fluency_q,
        |         greatest(g - fluency_q, 0) AS excess_q
        |       FROM fl CROSS JOIN gstats),
        |tot AS (SELECT sum(excess_q + $DoremiFloorQ) AS t FROM ex)
-       |SELECT ex.source, n_docs, n_bigrams,
+       |SELECT source, n_docs, n_bigrams,
        |  CAST(fluency_q AS BIGINT) AS fluency_q,
        |  CAST(excess_q AS BIGINT) AS excess_q,
        |  CAST((excess_q + $DoremiFloorQ) * 1000000 // t AS BIGINT) AS weight_ppm
-       |FROM ex CROSS JOIN tot JOIN nd ON ex.source = nd.source
-       |ORDER BY ex.source""".stripMargin
+       |FROM ex CROSS JOIN tot
+       |ORDER BY source""".stripMargin
   ) { (spark, dir) =>
     val docs = documents(spark, dir)
       .select(col("doc_id"), col("source"), split(col("text"), " ").as("tk"))
@@ -3471,13 +3479,21 @@ object LlmQueries {
       .groupBy("source").agg(sum("q").as("sum_q"), count(lit(1)).as("n_bigrams"))
       .cache()
     val nd = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
-    val fl = persrc.selectExpr("source", "n_bigrams", "sum_q div n_bigrams AS fluency_q")
-    val glob = persrc.agg(expr("sum(sum_q) div sum(n_bigrams) AS g"))
+    // coalesce chain keeps every source in the ledger: a domain whose
+    // docs carry no bigrams at all (all single-token) has no LM
+    // evidence, sits at the corpus mean (excess 0) and still draws the
+    // floor share — an inner join on persrc would drop it to weight 0,
+    // the never-sampled-again outcome the floor exists to prevent
+    val glob = persrc.agg(expr("coalesce(sum(sum_q) div sum(n_bigrams), CAST(0 AS BIGINT)) AS g"))
+    val fl = nd.join(persrc, Seq("source"), "left")
+      .crossJoin(broadcast(glob))
+      .selectExpr("source", "n_docs",
+        "coalesce(n_bigrams, CAST(0 AS BIGINT)) AS n_bigrams",
+        "CASE WHEN coalesce(n_bigrams, 0) > 0 THEN sum_q div n_bigrams ELSE g END AS fluency_q")
     val ex = fl.crossJoin(broadcast(glob))
       .withColumn("excess_q", greatest(col("g") - col("fluency_q"), lit(0L)))
     val tot = ex.agg(sum(col("excess_q") + DoremiFloorQ).as("t"))
     ex.crossJoin(broadcast(tot))
-      .join(broadcast(nd), "source")
       .selectExpr("source", "n_docs", "n_bigrams",
         "CAST(fluency_q AS BIGINT) AS fluency_q",
         "CAST(excess_q AS BIGINT) AS excess_q",
@@ -3932,15 +3948,8 @@ object LlmQueries {
     */
   val sqRecall = QueryDef.sql(
     "llm_sq_recall", {
-      val codeT = s"CASE WHEN qv[j] >= 0 THEN (qv[j] * $SqLevels) // s0.scales[j] " +
-        s"ELSE -((-qv[j] * $SqLevels) // s0.scales[j]) END"
       s"""WITH emb AS (${Embed.preparedSql}),
-         |scal AS (SELECT i.i AS i, GREATEST(1, max(abs(e.qv[i.i]))) AS s
-         |         FROM emb e, range(1, ${Embed.Dim + 1}) i(i) GROUP BY i.i),
-         |sl AS (SELECT list(s ORDER BY i) AS scales FROM scal),
-         |coded AS (SELECT vec_id, qv,
-         |    list_transform(range(1, ${Embed.Dim + 1}), j -> $codeT) AS codes
-         |  FROM emb, sl s0),
+         |${Embed.sqCodedSql("emb", SqLevels)},
          |q AS (SELECT vec_id AS query_id, qv AS qqv, codes AS qcodes
          |      FROM coded WHERE vec_id < $NumQueries),
          |exact AS (SELECT query_id, vec_id FROM (
@@ -3959,14 +3968,7 @@ object LlmQueries {
     }
   ) { (spark, dir) =>
     val emb = Embed.prepared(embeddings(spark, dir))
-    val scales = emb.select(posexplode(col("qv")).as(Seq("pos", "x")))
-      .groupBy("pos").agg(greatest(max(abs(col("x"))), lit(1L)).as("s"))
-      .groupBy().agg(array_sort(collect_list(struct(col("pos"), col("s")))).as("ps"))
-      .select(col("ps.s").as("scales"))
-    val coded = emb.crossJoin(broadcast(scales))
-      .withColumn("codes", expr(
-        s"zip_with(qv, scales, (v, s) -> CASE WHEN v >= 0 THEN (v * $SqLevels) div s " +
-          s"ELSE -((-v * $SqLevels) div s) END)"))
+    val coded = Embed.sqCoded(emb, SqLevels)
       .select(col("vec_id"), col("qv"), col("codes"))
     val q = coded.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("qv").as("qqv"), col("codes").as("qcodes"))
@@ -3998,6 +4000,90 @@ object LlmQueries {
     */
   private val LedgerBytes =
     Map("a_exact" -> 256L, "ivf" -> 257L, "lsh" -> 257L, "pq" -> 2L, "sq" -> 64L)
+
+  // -- shared recall-ledger scaffolding ([[annLedger]] + [[mrlRecall]]:
+  // the two entries emit ONE table, so the ground-truth construction and
+  // the recall/memory arithmetic exist exactly once per dialect
+  // (round-8 review finding) --
+
+  /** DuckDB CTEs `qh`, `x10`: exact cosine top-10 ground truth over a
+    * prepared CTE named `emb`.
+    */
+  private def ledgerExactCteSql: String = {
+    val cos = Embed.cosineSql(Embed.dotSql("qqv", "qv"), "qnrm", "nrm")
+    s"""qh AS (SELECT vec_id AS query_id, qv AS qqv, nrm AS qnrm
+       |       FROM emb WHERE vec_id < $NumQueries),
+       |x10 AS (SELECT query_id, vec_id FROM (
+       |    SELECT query_id, e.vec_id, row_number() OVER (PARTITION BY query_id
+       |        ORDER BY $cos DESC, e.vec_id) AS rank
+       |    FROM emb e, qh WHERE e.vec_id != query_id) r WHERE rank <= 10)""".stripMargin
+  }
+
+  /** DuckDB tail over CTEs `methods(method, query_id, vec_id)` and
+    * `x10`: bytes table + per-method hit summary + the final
+    * recall_q / mem_ratio_q select.
+    */
+  private def ledgerTailSql(bytesRows: Seq[(String, Long)]): String =
+    s"""bytes AS (${bytesRows
+        .map { case (m, b) => s"SELECT '$m' AS method, CAST($b AS BIGINT) AS bytes" }
+        .mkString("\nUNION ALL\n")}),
+       |summary AS (
+       |  SELECT m.method, count(x.vec_id) AS n_hits
+       |  FROM methods m LEFT JOIN x10 x
+       |    ON x.query_id = m.query_id AND x.vec_id = m.vec_id
+       |  GROUP BY m.method)
+       |SELECT s.method,
+       |  CAST((SELECT count(*) FROM x10) AS BIGINT) AS n_exact,
+       |  CAST(s.n_hits AS BIGINT) AS n_hits,
+       |  CAST(s.n_hits * 1000000 // (SELECT count(*) FROM x10) AS BIGINT) AS recall_q,
+       |  b.bytes AS bytes_per_vec,
+       |  CAST(${4 * Embed.Dim}000000 // b.bytes AS BIGINT) AS mem_ratio_q
+       |FROM summary s JOIN bytes b USING (method)
+       |ORDER BY s.method""".stripMargin
+
+  /** Cosine top-10 within a candidate frame carrying
+    * (query_id, qqv, qnrm, vec_id, qv, nrm).
+    */
+  private def cosTop10Over(cands: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    cands
+      .withColumn("cs", expr(Embed.cosineSql(Embed.dotExpr("qqv", "qv"), "qnrm", "nrm")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cs").desc, col("vec_id"))))
+      .filter(col("rank") <= 10).select(col("query_id"), col("vec_id"))
+
+  /** Brute-force exact cosine top-10 ground truth (the embedTopk plan). */
+  private def exactCosTop10(emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val q = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("qv").as("qqv"), col("nrm").as("qnrm"))
+    cosTop10Over(emb.join(broadcast(q), col("vec_id") =!= col("query_id")))
+  }
+
+  /** Spark tail: union the per-method top-10 lists, count hits against
+    * the ground truth, attach the memory column.
+    */
+  private def recallLedger(spark: org.apache.spark.sql.SparkSession,
+      methods: Seq[(String, org.apache.spark.sql.DataFrame)],
+      bytesRows: Seq[(String, Long)],
+      exact10: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val uni = methods.map { case (m, df) =>
+      df.select(lit(m).as("method"), col("query_id"), col("vec_id"))
+    }.reduce(_.unionAll(_))
+    val bytesDf = bytesRows.map { case (m, b) =>
+      spark.range(1).select(lit(m).as("method"), lit(b).as("bytes"))
+    }.reduce(_.unionAll(_))
+    val xagg = exact10.agg(count(lit(1)).as("n_exact"))
+    uni.join(exact10.withColumn("hit", lit(1L)), Seq("query_id", "vec_id"), "left")
+      .groupBy("method")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .join(broadcast(bytesDf), "method")
+      .crossJoin(broadcast(xagg))
+      .selectExpr("method", "CAST(n_exact AS BIGINT) AS n_exact",
+        "CAST(n_hits AS BIGINT) AS n_hits",
+        "n_hits * CAST(1000000 AS BIGINT) div n_exact AS recall_q",
+        "bytes AS bytes_per_vec",
+        s"CAST(${4 * Embed.Dim}000000 AS BIGINT) div bytes AS mem_ratio_q")
+      .orderBy("method")
+  }
 
   /** Unified ANN recall ledger (round 8, r7 verdict item 6): the four
     * approximate methods — LSH sign-buckets, IVF (deployed [[annIvf]]
@@ -4035,12 +4121,7 @@ object LlmQueries {
       val cos = Embed.cosineSql(Embed.dotSql("qqv", "qv"), "qnrm", "nrm")
       s"""WITH ${graft.fixtures.Fixtures.embeddingsNearDupCte},
          |emb AS (SELECT * FROM (${Embed.preparedSqlFrom("emb_nd")}) p0 WHERE nrm > 0),
-         |qh AS (SELECT vec_id AS query_id, qv AS qqv, nrm AS qnrm
-         |       FROM emb WHERE vec_id < $NumQueries),
-         |x10 AS (SELECT query_id, vec_id FROM (
-         |    SELECT query_id, e.vec_id, row_number() OVER (PARTITION BY query_id
-         |        ORDER BY $cos DESC, e.vec_id) AS rank
-         |    FROM emb e, qh WHERE e.vec_id != query_id) r WHERE rank <= 10),
+         |$ledgerExactCteSql,
          |lshb AS (SELECT vec_id, qv, nrm, ${Embed.bucketSql(8)} AS bucket FROM (
          |    SELECT vec_id, qv, nrm, $dots8 FROM emb) d),
          |lshq AS (SELECT vec_id AS query_id, qv AS qqv, nrm AS qnrm, bucket
@@ -4059,14 +4140,7 @@ object LlmQueries {
          |    ${Pq.lloydIterSql(NumQueries)},
          |    ${Pq.searchSql(NumQueries, PqShortlist, 10)}) pv),
          |sq10 AS (SELECT query_id, vec_id FROM (
-         |    WITH scal AS (SELECT i.i AS i, GREATEST(1, max(abs(e.qv[i.i]))) AS s
-         |                  FROM emb e, range(1, ${Embed.Dim + 1}) i(i) GROUP BY i.i),
-         |    sl AS (SELECT list(s ORDER BY i) AS scales FROM scal),
-         |    coded AS (SELECT vec_id,
-         |        list_transform(range(1, ${Embed.Dim + 1}),
-         |          j -> CASE WHEN qv[j] >= 0 THEN (qv[j] * 127) // s0.scales[j]
-         |               ELSE -((-qv[j] * 127) // s0.scales[j]) END) AS codes
-         |      FROM emb, sl s0),
+         |    WITH ${Embed.sqCodedSql("emb", SqLevels)},
          |    sq_q AS (SELECT vec_id AS query_id, codes AS qcodes
          |             FROM coded WHERE vec_id < $NumQueries)
          |    SELECT query_id, vec_id FROM (
@@ -4079,38 +4153,14 @@ object LlmQueries {
          |  UNION ALL SELECT 'lsh', query_id, vec_id FROM lsh10
          |  UNION ALL SELECT 'pq', query_id, vec_id FROM pq10
          |  UNION ALL SELECT 'sq', query_id, vec_id FROM sq10),
-         |bytes AS (${LedgerBytes.toSeq.sorted
-        .map { case (m, b) => s"SELECT '$m' AS method, CAST($b AS BIGINT) AS bytes" }
-        .mkString("\nUNION ALL\n")}),
-         |summary AS (
-         |  SELECT m.method, count(x.vec_id) AS n_hits
-         |  FROM methods m LEFT JOIN x10 x
-         |    ON x.query_id = m.query_id AND x.vec_id = m.vec_id
-         |  GROUP BY m.method)
-         |SELECT s.method,
-         |  CAST((SELECT count(*) FROM x10) AS BIGINT) AS n_exact,
-         |  CAST(s.n_hits AS BIGINT) AS n_hits,
-         |  CAST(s.n_hits * 1000000 // (SELECT count(*) FROM x10) AS BIGINT) AS recall_q,
-         |  b.bytes AS bytes_per_vec,
-         |  CAST(256000000 // b.bytes AS BIGINT) AS mem_ratio_q
-         |FROM summary s JOIN bytes b USING (method)
-         |ORDER BY s.method""".stripMargin
+         |${ledgerTailSql(LedgerBytes.toSeq.sorted)}""".stripMargin
     }
   ) { (spark, dir) =>
     val emb = Embed.prepared(
         graft.fixtures.Fixtures.embeddingsNearDup(spark, dir))
       .filter(col("nrm") > 0).cache()
-    val q = emb.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("query_id"), col("qv").as("qqv"), col("nrm").as("qnrm"))
-    def cosTop10(cands: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-      cands
-        .withColumn("cs", expr(Embed.cosineSql(Embed.dotExpr("qqv", "qv"), "qnrm", "nrm")))
-        .withColumn("rank", row_number().over(
-          Window.partitionBy("query_id").orderBy(col("cs").desc, col("vec_id"))))
-        .filter(col("rank") <= 10).select(col("query_id"), col("vec_id"))
     // ground truth: brute-force exact cosine (the embedTopk plan)
-    val exact10 = cosTop10(
-      emb.join(broadcast(q), col("vec_id") =!= col("query_id"))).cache()
+    val exact10 = exactCosTop10(emb).cache()
     // LSH: annLsh plan at topN=10
     val bucketed = emb.withColumn("dots", expr("hyperplane_dots(qv, 8)"))
       .withColumn("bucket", expr(Embed.bandKeyDotsExpr(0, 8)))
@@ -4118,7 +4168,7 @@ object LlmQueries {
     val lshQ = bucketed.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("qv").as("qqv"),
         col("nrm").as("qnrm"), col("bucket"))
-    val lsh10 = cosTop10(bucketed.join(broadcast(lshQ), Seq("bucket"))
+    val lsh10 = cosTop10Over(bucketed.join(broadcast(lshQ), Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id")))
     // IVF: the deployed annIvf plan at topN=10
     val ivf10 = Ivf.search(emb, Ivf.initCent(emb, IvfK, NumQueries),
@@ -4128,15 +4178,8 @@ object LlmQueries {
     val cb = Pq.lloydIter(subn, Pq.initCb(subn, NumQueries), NumQueries).cache()
     val pq10 = Pq.search(emb, subn, cb, NumQueries, PqShortlist, 10)
       .select("query_id", "vec_id")
-    // SQ: int8 code-dot ranking (the sqRecall approx arm)
-    val scales = emb.select(posexplode(col("qv")).as(Seq("pos", "x")))
-      .groupBy("pos").agg(greatest(max(abs(col("x"))), lit(1L)).as("s"))
-      .groupBy().agg(array_sort(collect_list(struct(col("pos"), col("s")))).as("ps"))
-      .select(col("ps.s").as("scales"))
-    val coded = emb.crossJoin(broadcast(scales))
-      .withColumn("codes", expr(
-        s"zip_with(qv, scales, (v, s) -> CASE WHEN v >= 0 THEN (v * $SqLevels) div s " +
-          s"ELSE -((-v * $SqLevels) div s) END)"))
+    // SQ: int8 code-dot ranking (the sqRecall approx arm, shared kernel)
+    val coded = Embed.sqCoded(emb, SqLevels)
       .select(col("vec_id"), col("codes"))
     val sqQ = coded.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("codes").as("qcodes"))
@@ -4145,27 +4188,11 @@ object LlmQueries {
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id").orderBy(col("d").desc, col("vec_id"))))
       .filter(col("rank") <= 10).select(col("query_id"), col("vec_id"))
-    // one union, one aggregate — the ledger itself
-    val methods = Seq("a_exact" -> exact10, "ivf" -> ivf10, "lsh" -> lsh10,
-      "pq" -> pq10, "sq" -> sq10)
-    val uni = methods.map { case (m, df) =>
-      df.select(lit(m).as("method"), col("query_id"), col("vec_id"))
-    }.reduce(_.unionAll(_))
-    val bytesDf = LedgerBytes.toSeq.sorted.map { case (m, b) =>
-      spark.range(1).select(lit(m).as("method"), lit(b).as("bytes"))
-    }.reduce(_.unionAll(_))
-    val xagg = exact10.agg(count(lit(1)).as("n_exact"))
-    uni.join(exact10.withColumn("hit", lit(1L)), Seq("query_id", "vec_id"), "left")
-      .groupBy("method")
-      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
-      .join(broadcast(bytesDf), "method")
-      .crossJoin(broadcast(xagg))
-      .selectExpr("method", "CAST(n_exact AS BIGINT) AS n_exact",
-        "CAST(n_hits AS BIGINT) AS n_hits",
-        "n_hits * CAST(1000000 AS BIGINT) div n_exact AS recall_q",
-        "bytes AS bytes_per_vec",
-        "CAST(256000000 AS BIGINT) div bytes AS mem_ratio_q")
-      .orderBy("method")
+    // one union, one aggregate — the shared ledger tail
+    recallLedger(spark,
+      Seq("a_exact" -> exact10, "ivf" -> ivf10, "lsh" -> lsh10,
+        "pq" -> pq10, "sq" -> sq10),
+      LedgerBytes.toSeq.sorted, exact10)
   }
 
   /** Matryoshka truncation widths (prefix dims) for [[mrlRecall]];
@@ -4208,48 +4235,20 @@ object LlmQueries {
            |                            FROM pm$m WHERE vec_id < $NumQueries) q0
            |    WHERE p.vec_id != query_id) r WHERE rank <= 10""".stripMargin
       }
-      val cos = Embed.cosineSql(Embed.dotSql("qqv", "qv"), "qnrm", "nrm")
       s"""WITH ${graft.fixtures.Fixtures.embeddingsNearDupCte},
          |emb AS (SELECT * FROM (${Embed.preparedSqlFrom("emb_nd")}) p0 WHERE nrm > 0),
-         |qh AS (SELECT vec_id AS query_id, qv AS qqv, nrm AS qnrm
-         |       FROM emb WHERE vec_id < $NumQueries),
-         |x10 AS (SELECT query_id, vec_id FROM (
-         |    SELECT query_id, e.vec_id, row_number() OVER (PARTITION BY query_id
-         |        ORDER BY $cos DESC, e.vec_id) AS rank
-         |    FROM emb e CROSS JOIN qh WHERE e.vec_id != query_id) r WHERE rank <= 10),
+         |$ledgerExactCteSql,
          |${MrlDims.map(m => s"pm$m AS (${prefixSql(m)})").mkString(",\n")},
          |methods AS (${MrlDims.map(m =>
              s"SELECT 'mrl$m' AS method, query_id, vec_id FROM (${mrlTopSql(m)}) t$m")
            .mkString("\nUNION ALL ")}),
-         |summary AS (
-         |  SELECT m.method, count(x.vec_id) AS n_hits
-         |  FROM methods m LEFT JOIN x10 x
-         |    ON x.query_id = m.query_id AND x.vec_id = m.vec_id
-         |  GROUP BY m.method),
-         |bytes AS (${MrlDims.map(m =>
-             s"SELECT 'mrl$m' AS method, CAST(${4 * m} AS BIGINT) AS bytes")
-           .mkString("\nUNION ALL\n")})
-         |SELECT s.method,
-         |  CAST((SELECT count(*) FROM x10) AS BIGINT) AS n_exact,
-         |  CAST(s.n_hits AS BIGINT) AS n_hits,
-         |  CAST(s.n_hits * 1000000 // (SELECT count(*) FROM x10) AS BIGINT) AS recall_q,
-         |  b.bytes AS bytes_per_vec,
-         |  CAST(${4 * Embed.Dim}000000 // b.bytes AS BIGINT) AS mem_ratio_q
-         |FROM summary s JOIN bytes b USING (method)
-         |ORDER BY s.method""".stripMargin
+         |${ledgerTailSql(MrlDims.map(m => s"mrl$m" -> 4L * m))}""".stripMargin
     }
   ) { (spark, dir) =>
     val emb = Embed.prepared(
         graft.fixtures.Fixtures.embeddingsNearDup(spark, dir))
       .filter(col("nrm") > 0).cache()
-    val q = emb.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("query_id"), col("qv").as("qqv"), col("nrm").as("qnrm"))
-    val exact10 = emb.join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .withColumn("cs", expr(Embed.cosineSql(Embed.dotExpr("qqv", "qv"), "qnrm", "nrm")))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("cs").desc, col("vec_id"))))
-      .filter(col("rank") <= 10).select(col("query_id"), col("vec_id"))
-      .cache()
+    val exact10 = exactCosTop10(emb).cache()
     def mrlTop(m: Int): org.apache.spark.sql.DataFrame = {
       val pm = emb.select(col("vec_id"), expr(s"slice(qv, 1, $m)").as("pv"))
         .withColumn("pn", greatest(expr("vec_normsq(pv)"), lit(1L)))
@@ -4261,24 +4260,8 @@ object LlmQueries {
           Window.partitionBy("query_id").orderBy(col("cs").desc, col("vec_id"))))
         .filter(col("rank") <= 10).select(col("query_id"), col("vec_id"))
     }
-    val uni = MrlDims.map(m =>
-      mrlTop(m).select(lit(s"mrl$m").as("method"), col("query_id"), col("vec_id")))
-      .reduce(_.unionAll(_))
-    val bytesDf = MrlDims.map(m =>
-      spark.range(1).select(lit(s"mrl$m").as("method"), lit(4L * m).as("bytes")))
-      .reduce(_.unionAll(_))
-    val xagg = exact10.agg(count(lit(1)).as("n_exact"))
-    uni.join(exact10.withColumn("hit", lit(1L)), Seq("query_id", "vec_id"), "left")
-      .groupBy("method")
-      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
-      .join(broadcast(bytesDf), "method")
-      .crossJoin(broadcast(xagg))
-      .selectExpr("method", "CAST(n_exact AS BIGINT) AS n_exact",
-        "CAST(n_hits AS BIGINT) AS n_hits",
-        "n_hits * CAST(1000000 AS BIGINT) div n_exact AS recall_q",
-        "bytes AS bytes_per_vec",
-        s"CAST(${4 * Embed.Dim}000000 AS BIGINT) div bytes AS mem_ratio_q")
-      .orderBy("method")
+    recallLedger(spark, MrlDims.map(m => s"mrl$m" -> mrlTop(m)),
+      MrlDims.map(m => s"mrl$m" -> 4L * m), exact10)
   }
 
   val all: Seq[QueryDef] = Seq(

@@ -47,14 +47,14 @@ class BudgetDiffSpec extends SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     val nDocs = graft.fixtures.Fixtures.documents(spark, dir).count()
     for ((id, st) <- m) {
-      if (id >= 1000000L) assert(st == "removed", s"$id: $st")
+      if (id >= (1L << 40)) assert(st == "removed", s"$id: $st")
       else if (id % 7 == 3) assert(st == "added", s"$id: $st")
       else if (id % 7 == 5) assert(st == "changed", s"$id: $st")
       else assert(st == "unchanged", s"$id: $st")
     }
     // every current doc appears exactly once; ghosts add the removed rows
-    assert(m.count(_._1 < 1000000L) == nDocs)
-    assert(m.count(_._1 >= 1000000L) == m.count(k => k._1 < 1000000L && k._1 % 7 == 1))
+    assert(m.count(_._1 < (1L << 40)) == nDocs)
+    assert(m.count(_._1 >= (1L << 40)) == m.count(k => k._1 < (1L << 40) && k._1 % 7 == 1))
   }
 
   test("snapshot_diff: single-word docs can't be 'changed' by reversal") {

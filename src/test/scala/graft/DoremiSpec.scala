@@ -64,13 +64,24 @@ class DoremiSpec extends SparkSuite {
       val words = (0 until 11).map(k => s"w${(k * s) % 11}").mkString(" ")
       (100L + i, words, "en", "gib")
     }
-    val docs = (fluent ++ gib).toDF("doc_id", "text", "lang", "source")
+    // a domain with NO bigram evidence (all single-token docs): must
+    // still appear in the ledger at the floor share, not vanish
+    // (round-8 review finding: the inner persrc join dropped it)
+    val mono = (0 until 4).map(i => (200L + i, s"solo$i", "en", "mono"))
+    val docs = (fluent ++ gib ++ mono).toDF("doc_id", "text", "lang", "source")
       .withColumn("n_chars", length(col("text")).cast("long"))
     val tmp = java.nio.file.Files.createTempDirectory("doremi").toString
     docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
-    val w = SparkEntry.queries("llm_doremi_weight")(spark, tmp)
-      .collect().map(r => r.getString(0) -> r.getLong(5)).toMap
+    val rows = SparkEntry.queries("llm_doremi_weight")(spark, tmp)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(4), r.getLong(5)))).toMap
+    val w = rows.map { case (s, (_, _, ppm)) => s -> ppm }
     assert(w("gib") > w("fluent"),
       s"gibberish domain must be upweighted: $w")
+    // the bigram-less domain stays in the ledger: zero evidence, zero
+    // excess, the floor share — sampleable, never silently dropped
+    val (monoBg, monoExcess, monoPpm) = rows("mono")
+    assert(monoBg == 0 && monoExcess == 0 && monoPpm > 0, s"mono: ${rows("mono")}")
+    assert(monoPpm == w.values.min, "no-evidence domain draws exactly the floor share")
   }
 }

@@ -97,9 +97,13 @@ object ScaleProbe {
     "llm_url_dedup", "llm_ann_ledger", "llm_paragraph_dedup",
     "llm_html_extract", "llm_doremi_weight", "llm_mrl_recall",
     // round-8 second wave: per-source budget window (host_cap's skew
-    // profile), the content-hash full-outer snapshot join, and the
-    // SimHash band-pair blocking (capped-collect pair gen, popcount verify)
-    "llm_token_budget", "llm_snapshot_diff", "llm_simhash_neardup",
+    // profile) and the content-hash full-outer snapshot join.
+    // llm_simhash_neardup is deliberately NOT here: this fixture's
+    // Fisher-Yates replicas are exact bag-of-words duplicates —
+    // degenerate for an order-invariant signature (every block trips
+    // the cap) — so its slope is measured by SimhashProbe on a
+    // token-substitution corpus instead.
+    "llm_token_budget", "llm_snapshot_diff",
     // KMV sketch: the corpus pass must compact to vocab before any window
     "llm_distinct_sketch")
   private val Reps = 10
@@ -147,27 +151,33 @@ object ScaleProbe {
     spark.stop()
   }
 
-  /** Build the 10× corpus under `scaled` (idempotent per /tmp lifetime).
-    * Shared with [[ScaleProbe2]], which probes the next decade on sf1
-    * and must not leave a docs-only sf1 dir behind for this probe.
+  /** The replica text rewrite — a TEXT-seeded Fisher–Yates word shuffle
+    * (same text + same r ⇒ same output, so exact-dup density per doc is
+    * scale-invariant while shared-bigram docs decorrelate). ONE
+    * definition, used by this probe's materializer and by
+    * [[ScaleProbe2]]'s 32-file-layout variant — the seed formula is the
+    * load-bearing part of the construction, and a divergent copy would
+    * make the two probes measure different corpora.
     */
-  private[tools] def materialize(spark: SparkSession, base: String, scaled: String): Unit = {
-    val shuffleWords = udf { (text: String, r: Int) =>
-      if (r == 0) text
-      else {
-        val words = text.split(' ')
-        val rnd = new scala.util.Random(
-          scala.util.hashing.MurmurHash3.stringHash(text) * 31L + r)
-        // Fisher–Yates over the word array: same text + same r => same output
-        var i = words.length - 1
-        while (i > 0) {
-          val j = rnd.nextInt(i + 1)
-          val tmp = words(i); words(i) = words(j); words(j) = tmp
-          i -= 1
-        }
-        words.mkString(" ")
+  private[tools] val shuffleWords = udf { (text: String, r: Int) =>
+    if (r == 0) text
+    else {
+      val words = text.split(' ')
+      val rnd = new scala.util.Random(
+        scala.util.hashing.MurmurHash3.stringHash(text) * 31L + r)
+      // Fisher–Yates over the word array
+      var i = words.length - 1
+      while (i > 0) {
+        val j = rnd.nextInt(i + 1)
+        val tmp = words(i); words(i) = words(j); words(j) = tmp
+        i -= 1
       }
+      words.mkString(" ")
     }
+  }
+
+  /** Build the 10× corpus under `scaled` (idempotent per /tmp lifetime). */
+  private def materialize(spark: SparkSession, base: String, scaled: String): Unit = {
     val reps = spark.range(0, Reps).select(col("id").cast("int").as("r"))
     spark.read.parquet(s"$base/documents.parquet")
       .crossJoin(broadcast(reps))

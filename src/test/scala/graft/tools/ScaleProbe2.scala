@@ -123,26 +123,14 @@ object ScaleProbe2 {
       materializeEmb(spark, base, out, reps)
   }
 
-  /** Same construction as [[ScaleProbe.materialize]] (text-seeded
-    * Fisher–Yates word shuffle per replica), documents table only.
+  /** Same construction as ScaleProbe's materializer — the replica
+    * rewrite IS [[ScaleProbe.shuffleWords]], shared so the seed formula
+    * cannot diverge between the two probes' corpora — but documents
+    * only, replicated `reps`× on a 32-file layout.
     */
   private def materializeDocs(spark: SparkSession, base: String, out: String,
       reps: Int): Unit = {
-    val shuffleWords = udf { (text: String, r: Int) =>
-      if (r == 0) text
-      else {
-        val words = text.split(' ')
-        val rnd = new scala.util.Random(
-          scala.util.hashing.MurmurHash3.stringHash(text) * 31L + r)
-        var i = words.length - 1
-        while (i > 0) {
-          val j = rnd.nextInt(i + 1)
-          val tmp = words(i); words(i) = words(j); words(j) = tmp
-          i -= 1
-        }
-        words.mkString(" ")
-      }
-    }
+    val shuffleWords = ScaleProbe.shuffleWords
     val repDf = spark.range(0, reps).select(col("id").cast("int").as("r"))
     spark.read.parquet(s"$base/documents.parquet")
       .crossJoin(broadcast(repDf))
