@@ -153,8 +153,10 @@ class CurationOpsSpec extends SparkSuite {
     assert(outOfRange > 127L,
       "precondition: raw quantized components exceed int8 (else SQ is a no-op)")
     // (round-8 ADVICE) assert the encoded range DIRECTLY, not just the
-    // precondition: re-run the same per-dimension-scale zip_with encode
-    // the entry uses and bound max|code|
+    // precondition. The encode is INTENTIONALLY spelled out inline
+    // rather than calling Embed.sqCoded (the kernel the entries share):
+    // a from-scratch re-derivation is what makes this an independent
+    // check of the kernel, not a tautology.
     val scales = emb.select(posexplode(col("qv")).as(Seq("pos", "x")))
       .groupBy("pos").agg(greatest(max(abs(col("x"))), lit(1L)).as("s"))
       .groupBy().agg(array_sort(collect_list(struct(col("pos"), col("s")))).as("ps"))
