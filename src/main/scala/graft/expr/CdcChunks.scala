@@ -37,7 +37,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *     (terms < 2^40, chunks ≤ 2^20 words → sum < 2^60, overflow-free);
   *   - `len` is the chunk's word count, `start` its 1-based position;
   *   - trailing words after the last boundary form a final chunk; every
-  *     word belongs to exactly one chunk.
+  *     word belongs to exactly one chunk;
+  *   - NULL array elements are skipped: they contribute no term, don't
+  *     count toward `len`, and can never be a boundary (positions of the
+  *     surrounding words are unchanged, so their terms are unaffected).
+  *     Internal callers always feed `split()` output (no nulls); this
+  *     defines behavior for direct SQL users of the registered function
+  *     instead of throwing NPE.
   */
 object CdcChunkUtil {
 
@@ -80,6 +86,8 @@ object CdcChunkUtil {
     var start = 1
     var pos = 1
     while (pos <= n) {
+      if (tokens.isNullAt(pos - 1)) { pos += 1 }
+      else {
       val w = tokens.getUTF8String(pos - 1)
       val wBytes = w.getBytes
       val off = pos - start
@@ -96,6 +104,7 @@ object CdcChunkUtil {
         sig = 0L; len = 0L; start = pos + 1
       }
       pos += 1
+      }
     }
     if (len > 0) out.add(new GenericInternalRow(Array[Any](sig, len, start)))
     new GenericArrayData(out.toArray)

@@ -1651,9 +1651,9 @@ object LlmQueries {
          |      regexp_replace(
          |        regexp_replace(
          |          regexp_replace(
-         |            regexp_replace(html, '<head>.*?</head>', ' '),
-         |          '<nav>.*?</nav>', ' '),
-         |        '<footer>.*?</footer>', ' '),
+         |            regexp_replace(html, '<head>.*?</head>', ' ', 'g'),
+         |          '<nav>.*?</nav>', ' ', 'g'),
+         |        '<footer>.*?</footer>', ' ', 'g'),
          |      '<[^>]+>', ' ', 'g'),
          |    '&amp;', '&'), ' +', ' ', 'g')) AS extracted
          |  FROM pages)
@@ -2232,7 +2232,9 @@ object LlmQueries {
     * ships one snapshot, so prev is derived deterministically (the
     * markup-seam convention): ids ≡3 (mod 7) were absent (added), ids
     * ≡5 had reversed word order (changed), ids ≡1 additionally shipped
-    * an archived ghost copy at id+10^6 (removed), the rest unchanged.
+    * an archived ghost copy at id + 2^40 ([[SnapRemovedOffset]] — far
+    * above any real doc id, so ghosts can never collide) (removed), the
+    * rest unchanged.
     * The derivation is the fixture; the join + hash-compare ledger is
     * the operator.
     *

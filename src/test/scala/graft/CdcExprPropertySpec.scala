@@ -66,6 +66,41 @@ class CdcExprPropertySpec extends SparkSuite {
       s"fold-only: ${(fold -- ref).take(3)}; ref-only: ${(ref -- fold).take(3)}")
   }
 
+  test("null tokens are skipped, not NPE: positions preserved, no len contribution") {
+    graft.expr.GraftFunctions.register(spark)
+    // Direct-SQL users can feed array<string> with nulls (containsNull is
+    // not constrained); defined behavior: a null occupies its position
+    // but contributes no term, no len, and can't be a boundary. Reference:
+    // simulate that contract in the test using Spark's own md5/conv for
+    // the hashes (independent of the expression's MessageDigest path).
+    val tokens: Seq[String] = Seq("alpha", null, "beta", "the", null, "café", null)
+    val sqlArray = tokens.map {
+      case null => "CAST(NULL AS STRING)"
+      case w    => s"'$w'"
+    }.mkString("array(", ", ", ")")
+    val got = spark.sql(s"SELECT cdc_chunks($sqlArray, $Mod) AS c")
+      .selectExpr("explode(c) AS c").selectExpr("c.sig", "c.len", "c.start")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+
+    def hexInt(s: String, digits: Int): Long = spark.sql(
+      s"SELECT CAST(conv(substr(md5('$s'), 1, $digits), 16, 10) AS BIGINT) AS v")
+      .collect().head.getLong(0)
+    val expected = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+    var sig = 0L; var len = 0L; var start = 1
+    tokens.zipWithIndex.foreach { case (w, i) =>
+      val pos = i + 1
+      if (w != null) {
+        sig += hexInt(s"${pos - start}|$w", 10)
+        len += 1
+        if (hexInt(w, 8) % Mod == 0) {
+          expected += ((sig, len, start)); sig = 0L; len = 0L; start = pos + 1
+        }
+      }
+    }
+    if (len > 0) expected += ((sig, len, start))
+    assert(got == expected.toSeq)
+  }
+
   test("chunks partition every document: lengths sum to token count") {
     graft.expr.GraftFunctions.register(spark)
     import spark.implicits._
