@@ -2168,6 +2168,111 @@ object LlmQueries {
     */
   private val SourceTokenBudget = 1000L
 
+  // ---- host-graph PageRank: link-structure quality signal ----
+
+  /** Host graph size: hosts are `h0..h${PrHosts-1}` by doc_id residue —
+    * like real crawls, host cardinality is orders below doc cardinality.
+    */
+  private val PrHosts = 97
+
+  /** Rank quantum 10^12 and damping 85/100, kept as integers so every
+    * iteration is exact BIGINT arithmetic in both engines.
+    */
+  private val PrQ = 1000000000000L
+  private val PrBase = PrQ * 15L / 100L
+  private val PrIters = 3
+
+  /** Host-level PageRank over the crawl link graph — the
+    * link-structure quality signal web-corpus pipelines rank domains by
+    * (the graph analog of [[urlHostStats]]' count stats): three damped
+    * power iterations, integer-quantized. The fixture seam (the
+    * derivation is the fixture, the iteration is the operator — the
+    * [[snapshotDiff]] convention): each document links from its own host
+    * to `doc_id·31 mod $PrHosts`, even docs additionally to
+    * `doc_id·53 mod $PrHosts`, and every 4th doc to a HUB host
+    * `doc_id mod 5` — heterogeneous out-degrees plus five high-in-degree
+    * hubs, the skew shape of a real crawl graph. (A first cut with three
+    * unconditional multiplicative targets produced a vertex-transitive
+    * graph whose PageRank is exactly uniform — a correct oracle match
+    * proving nothing.) Iteration rule, exact in BIGINT:
+    *
+    *   r_{t+1}(v) = (15·Q) div 100 + Σ_{u→v} (85·r_t(u)) div (100·outdeg(u))
+    *
+    * Dangling hosts (in-links only) simply contribute nothing — ranks
+    * are unnormalized quality scores for filtering, not a probability
+    * distribution, the convention host-blocklist pipelines actually use.
+    *
+    * 100 TB shape: the ONLY corpus-sized work is the map-side edge
+    * derivation + one DISTINCT hash aggregate down to the edge set
+    * (bounded by hosts², not docs). Every iteration then joins
+    * host-cardinality rank/degree tables BROADCAST onto the edge set —
+    * at web scale (10^7 hosts, 10^9 edges) the same plan shuffle-hashes
+    * instead; either way no iteration ever touches the corpus again,
+    * and the loop is a fixed 3-join plan, not a driver collect.
+    */
+  val pagerankHosts = QueryDef.sql(
+    "llm_pagerank_hosts", {
+      val iterCtes = (1 to PrIters).map { t =>
+        val p = s"r${t - 1}"
+        s"""c$t AS (SELECT l.dst AS host,
+           |         CAST(sum((85 * r.r) // (100 * d.outdeg)) AS BIGINT) AS inflow
+           |       FROM links l JOIN $p r ON r.host = l.src
+           |                    JOIN deg d ON d.src = l.src
+           |       GROUP BY l.dst),
+           |r$t AS (SELECT n.host, CAST($PrBase + coalesce(c.inflow, 0) AS BIGINT) AS r
+           |       FROM nodes n LEFT JOIN c$t c USING (host))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH links AS (SELECT DISTINCT 'h' || CAST(srcn AS VARCHAR) AS src,
+         |    'h' || CAST(dstn AS VARCHAR) AS dst FROM (
+         |    SELECT doc_id % $PrHosts AS srcn, unnest([
+         |      (doc_id * 31) % $PrHosts,
+         |      CASE WHEN doc_id % 2 = 0 THEN (doc_id * 53) % $PrHosts END,
+         |      CASE WHEN doc_id % 4 = 0 THEN doc_id % 5 END]) AS dstn
+         |    FROM documents) e
+         |  WHERE dstn IS NOT NULL AND dstn <> srcn),
+         |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM links GROUP BY src),
+         |nodes AS (SELECT src AS host FROM links UNION SELECT dst FROM links),
+         |r0 AS (SELECT host, CAST($PrQ AS BIGINT) AS r FROM nodes),
+         |$iterCtes
+         |SELECT n.host, coalesce(d.outdeg, 0) AS outdeg, r.r AS rank_q
+         |FROM nodes n LEFT JOIN deg d ON d.src = n.host
+         |             JOIN r$PrIters r USING (host)
+         |ORDER BY host""".stripMargin
+    }
+  ) { (spark, dir) =>
+    val links = documents(spark, dir)
+      .selectExpr(s"doc_id % $PrHosts AS srcn",
+        s"""explode(array(
+           |  (doc_id * 31) % $PrHosts,
+           |  CASE WHEN doc_id % 2 = 0 THEN (doc_id * 53) % $PrHosts END,
+           |  CASE WHEN doc_id % 4 = 0 THEN doc_id % 5 END)) AS dstn""".stripMargin)
+      .filter(col("dstn").isNotNull && col("dstn") =!= col("srcn"))
+      .selectExpr("concat('h', CAST(srcn AS STRING)) AS src",
+        "concat('h', CAST(dstn AS STRING)) AS dst")
+      .distinct()
+      // the edge set is hosts²-bounded and read by deg/nodes/every
+      // iteration — cache it so the corpus-sized derivation runs ONCE
+      // (without this the edge dedup re-scans the corpus ~6×)
+      .cache()
+    val deg = links.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val nodes = links.select(col("src").as("host"))
+      .union(links.select(col("dst").as("host"))).distinct()
+    var r = nodes.withColumn("r", lit(PrQ))
+    for (_ <- 1 to PrIters) {
+      val contrib = links
+        .join(broadcast(r.withColumnRenamed("host", "src")), "src")
+        .join(broadcast(deg), "src")
+        .selectExpr("dst AS host", "(85 * r) div (100 * outdeg) AS c")
+        .groupBy("host").agg(sum("c").as("inflow"))
+      r = nodes.join(contrib, Seq("host"), "left")
+        .selectExpr("host", s"CAST($PrBase + coalesce(inflow, 0) AS BIGINT) AS r")
+    }
+    nodes.join(broadcast(deg.withColumnRenamed("src", "host")), Seq("host"), "left")
+      .join(r, "host")
+      .selectExpr("host", "coalesce(outdeg, CAST(0 AS BIGINT)) AS outdeg", "r AS rank_q")
+      .orderBy("host")
+  }
+
   /** Per-source token budget (the quota twin of [[hostCap]], counting
     * TOKENS not documents — "cap each domain at N billion tokens" is how
     * real mixture specs are written): within each source, docs are
@@ -2960,6 +3065,80 @@ object LlmQueries {
     graft.llm.SemDedup.cappedExactDedup(emb, assignment).orderBy("vec_id")
   }
 
+  // ---- embedding outliers: prototypicality pruning ----
+
+  /** Cells for the outlier pass; 500 vectors → ~60/cell. */
+  private val OutlierK = 8
+
+  /** Cosine quantum 2^40 (the [[graft.llm.Ivf]] packed-key scale) and the
+    * outlier margin 0.15·2^40 — sized to the corpus geometry: member
+    * cosines cluster at ≈0.19 with a below-mean deficit of 0.146 at p95,
+    * so 0.15 flags the genuine ~5% tail rather than a third of every
+    * cell. pos_q = floor(cos·2^40) + 2^40 shifts the
+    * quantized cosine non-negative so the per-cell integer mean is
+    * floor-division in BOTH engines (Spark `div` truncates toward zero,
+    * DuckDB `//` floors — they only agree on non-negatives; the shift
+    * cancels out of the `pos_q < avg − margin` comparison exactly).
+    */
+  private val OutScale = 1099511627776L
+  private val OutMargin = 164926744166L
+
+  /** Embedding-outlier pruning (the prototypicality filter — SemDeDup's
+    * companion pass: where [[semDedup]] drops points TOO CLOSE to a
+    * neighbor, this flags points too FAR from their region — broken
+    * embeddings, mislabeled modality, encoder failures): assign every
+    * vector to its nearest coarse cell ([[graft.llm.Ivf.assign]], the
+    * max_by hash aggregate), compute each cell's mean member→centroid
+    * cosine in exact integer arithmetic, and flag members whose cosine
+    * sits more than 0.05 below their cell mean.
+    *
+    * 100 TB shape: assignment is the one corpus-sized pass (map-side
+    * partial-aggregated, never materializing N×K); the member cosine is
+    * a map-side expression under a BROADCAST centroid join; cell stats
+    * are K rows broadcast back. No windows, no corpus shuffle beyond the
+    * assignment aggregate. Caveat pinned: Σpos_q per cell must stay
+    * under 2^63 — fine to ~4·10^21-member cells, i.e. always.
+    */
+  val embedOutliers = QueryDef.sql(
+    "llm_embed_outliers", {
+      val memberCos = Embed.cosineSql(Embed.dotSql("c.cqv", "e.qv"), "c.cnrm", "e.nrm")
+      s"""WITH emb AS (${Embed.preparedSql}),
+         |cent AS (${Ivf.initCentSql(OutlierK, 0)}),
+         |${Ivf.assignCtesSql(OutlierK)},
+         |scored AS (SELECT a.vec_id, a.cent_id,
+         |    CAST(floor(($memberCos) * $OutScale) AS BIGINT) + $OutScale AS pos_q
+         |  FROM assign a JOIN emb e ON e.vec_id = a.vec_id
+         |                JOIN cent c ON c.cent_id = a.cent_id),
+         |cells AS (SELECT cent_id, CAST(count(*) AS BIGINT) AS cell_n,
+         |    CAST(sum(pos_q) AS BIGINT) // CAST(count(*) AS BIGINT) AS cell_avg_q
+         |  FROM scored GROUP BY cent_id)
+         |SELECT s.vec_id, s.cent_id, s.pos_q - $OutScale AS cos_q, c.cell_n,
+         |  c.cell_avg_q - $OutScale AS cell_avg_cos_q,
+         |  s.pos_q < c.cell_avg_q - $OutMargin AS is_outlier
+         |FROM scored s JOIN cells c USING (cent_id)
+         |ORDER BY s.vec_id""".stripMargin
+    }
+  ) { (spark, dir) =>
+    val emb = Embed.prepared(embeddings(spark, dir))
+    val cent = Ivf.initCent(emb, OutlierK, 0)
+    val scored = Ivf.assign(emb, cent, OutlierK)
+      .join(emb.select("vec_id", "qv", "nrm"), "vec_id")
+      .join(broadcast(cent), "cent_id")
+      .withColumn("ccos",
+        expr(Embed.cosineSql(Embed.dotExpr("cqv", "qv"), "cnrm", "nrm")))
+      .selectExpr("vec_id", "cent_id",
+        s"CAST(floor(ccos * $OutScale) AS BIGINT) + CAST($OutScale AS BIGINT) AS pos_q")
+    val cells = scored.groupBy("cent_id")
+      .agg(count(lit(1)).as("cell_n"), sum("pos_q").as("spq"))
+      .selectExpr("cent_id", "cell_n", "spq div cell_n AS cell_avg_q")
+    scored.join(broadcast(cells), "cent_id")
+      .selectExpr("vec_id", "cent_id",
+        s"pos_q - CAST($OutScale AS BIGINT) AS cos_q", "cell_n",
+        s"cell_avg_q - CAST($OutScale AS BIGINT) AS cell_avg_cos_q",
+        s"pos_q < cell_avg_q - CAST($OutMargin AS BIGINT) AS is_outlier")
+      .orderBy("vec_id")
+  }
+
   // ---- context-window chunking ----
 
   /** Chunk geometry: 64-token windows advancing by 48 (16-token overlap,
@@ -3056,6 +3235,92 @@ object LlmQueries {
       .withColumn("sample_key", expr(mixKeySql("STRING")))
       .select(col("doc_id"), col("source"), col("rate_pct"), col("sample_key"),
         (col("sample_key") * 100 < col("rate_pct") * (1L << 32)).as("kept"))
+      .orderBy("doc_id")
+  }
+
+  // ---- Neyman allocation: variance-optimal stratified sampling ----
+
+  /** Global sample budget: 1/[[NeymanBudgetDiv]] of the corpus. */
+  private val NeymanBudgetDiv = 10L
+
+  /** Variance-optimal stratified sampling (Neyman allocation) — the
+    * statistical upgrade over [[mixSample]]'s FIXED per-source rates: the
+    * global sample budget n = N div $NeymanBudgetDiv is split across
+    * strata (sources) proportionally to N_h·S_h, so high-variance strata
+    * get more of the budget — the estimator-variance-minimizing
+    * allocation for corpus statistics (Neyman 1934). The metric carries
+    * a deterministic per-source dispersion seam (`h mod (1 + src mod 5)
+    * · 60` on top of the token count, where h is the doc's 60-bit md5 —
+    * the fixture's sources are iid in length, so WITHOUT the seam every
+    * stratum allocates identically and the operator proves nothing; the
+    * HASH drives the seam because `doc_id mod m` is CONSTANT within a
+    * source whenever m divides the fixture's 20-source round-robin
+    * period. The derivation is the fixture, the allocation is the
+    * operator). Exactness levers:
+    * N_h·S_h = sqrt(N_h·Σx² − (Σx)²) over EXACT integer sums, floored
+    * back to BIGINT immediately so the cross-strata weight total is an
+    * exact integer sum (a double Σw would be addition-order-dependent);
+    * the per-stratum quota is then one integer division, capped at N_h.
+    * Selection is deterministic: the alloc_n docs with the smallest
+    * 60-bit doc_id hashes per stratum.
+    *
+    * 100 TB shape: metric + hash are map-side; stratum moments are one
+    * partial-aggregated hash agg (strata-cardinality result); the
+    * allocation table is tiny and broadcast; selection is ONE per-source
+    * rank window (spillable sort parallel across sources — the
+    * [[hostCap]] shape and the same bounded-heap upgrade path, since
+    * only ranks ≤ alloc_n matter). Caveat pinned here: N_h·Σx² must stay
+    * under 2^63 — at 10^9-doc strata pre-scale x (bucket to x div 16)
+    * before the moment pass.
+    */
+  val neymanSample = QueryDef.sql(
+    "llm_neyman_sample",
+    s"""WITH m0 AS (SELECT doc_id, source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS len0,
+       |    CAST(substr(source, 4) AS BIGINT) % 5 AS s5,
+       |    ${Text.hexPrefixInt60Sql("md5(CAST(doc_id AS VARCHAR))")} AS h
+       |  FROM documents),
+       |m AS (SELECT doc_id, source,
+       |    CAST(len0 + (h % (1 + s5)) * 60 AS BIGINT) AS x, h FROM m0),
+       |st AS (SELECT source, CAST(count(*) AS BIGINT) AS n_h,
+       |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x * x) AS BIGINT) AS sxx
+       |       FROM m GROUP BY source),
+       |w AS (SELECT source, n_h,
+       |        CAST(floor(sqrt(CAST(n_h * sxx - sx * sx AS DOUBLE))) AS BIGINT) AS wgt
+       |      FROM st),
+       |tot AS (SELECT CAST(sum(wgt) AS BIGINT) AS wsum,
+       |               CAST(sum(n_h) AS BIGINT) AS n_total FROM w),
+       |alloc AS (SELECT source, n_h, wgt,
+       |            least(((n_total // $NeymanBudgetDiv) * wgt) // wsum, n_h) AS alloc_n
+       |          FROM w CROSS JOIN tot),
+       |rk AS (SELECT doc_id, source, x,
+       |         CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS BIGINT) AS samp_rank
+       |       FROM m)
+       |SELECT r.doc_id, r.source, r.x, r.samp_rank, a.alloc_n,
+       |  r.samp_rank <= a.alloc_n AS kept
+       |FROM rk r JOIN alloc a USING (source)
+       |ORDER BY r.doc_id""".stripMargin
+  ) { (spark, dir) =>
+    val m = documents(spark, dir)
+      .selectExpr("doc_id", "source",
+        "CAST(size(split(text, ' ')) AS BIGINT) AS len0",
+        "CAST(substr(source, 4) AS BIGINT) % 5 AS s5",
+        s"${Text.hexPrefixInt60Sql("md5(CAST(doc_id AS STRING))")} AS h")
+      .selectExpr("doc_id", "source",
+        "CAST(len0 + (h % (1 + s5)) * 60 AS BIGINT) AS x", "h")
+    val st = m.groupBy("source")
+      .agg(count(lit(1)).as("n_h"), sum("x").as("sx"), sum(expr("x * x")).as("sxx"))
+    val w = st.selectExpr("source", "n_h",
+      "CAST(floor(sqrt(CAST(n_h * sxx - sx * sx AS DOUBLE))) AS BIGINT) AS wgt")
+    val tot = w.agg(sum("wgt").as("wsum"), sum("n_h").as("n_total"))
+    val alloc = w.crossJoin(broadcast(tot))
+      .selectExpr("source", "n_h", "wgt",
+        s"least(((n_total div $NeymanBudgetDiv) * wgt) div wsum, n_h) AS alloc_n")
+    val rk = m.withColumn("samp_rank",
+      row_number().over(Window.partitionBy("source").orderBy("h", "doc_id")).cast("long"))
+    rk.join(broadcast(alloc.select("source", "alloc_n")), "source")
+      .select(col("doc_id"), col("source"), col("x"), col("samp_rank"),
+        col("alloc_n"), (col("samp_rank") <= col("alloc_n")).as("kept"))
       .orderBy("doc_id")
   }
 
@@ -3325,6 +3590,89 @@ object LlmQueries {
         "coalesce(n_oov, CAST(0 AS BIGINT)) AS n_oov",
         "coalesce(sum_q, CAST(0 AS BIGINT)) AS sum_q",
         "CASE WHEN coalesce(n_bigrams, 0) > 0 THEN sum_q div n_bigrams ELSE CAST(0 AS BIGINT) END AS lm_fluency")
+      .orderBy("doc_id")
+  }
+
+  /** Kneser–Ney discount D = [[KnDiscNum]]/[[KnDiscDen]] = 3/4 — the
+    * standard absolute-discount value, kept as an integer ratio so every
+    * probability term stays in exact BIGINT arithmetic.
+    */
+  private val KnDiscNum = 3L
+  private val KnDiscDen = 4L
+
+  /** Interpolated Kneser–Ney bigram scoring — the smoothing the add-k
+    * [[lmScore]] model lacks: instead of backing off to raw unigram
+    * frequency, the continuation term asks "in how many distinct
+    * contexts does w2 complete a bigram?" (the reason "Francisco" scores
+    * low outside "San Francisco" despite high raw frequency). Quantized:
+    *
+    *   q(w1 w2) = ((4·c2 − 3)·Q) div (4·c1)                  [discounted ML]
+    *            + (((3·n1f(w1)·Q) div (4·c1)) · n1b(w2)) div n_types
+    *
+    * with c2 = count(w1 w2), c1 = Σ_w2 c2 (bigram-derived, so the
+    * last-token edge never desyncs the denominator), n1f(w1) = distinct
+    * continuations of w1 (the λ mass), n1b(w2) = distinct left contexts
+    * of w2, n_types = distinct bigrams. All counts are BIGINT, both
+    * divisions are integer (staged exactly the same way in both
+    * dialects), so q is bit-identical cross-engine; c2 ≥ 1 keeps the
+    * discounted numerator positive. Per-document fluency is the mean
+    * quantized q, exactly as [[lmScore]].
+    *
+    * 100 TB shape: identical to [[lmScore]] plus two more
+    * bigram-TYPE-cardinality stat tables (fw, bw) — model tables scale
+    * with vocabulary, never the corpus; the single scalar (n_types)
+    * rides a broadcast cross join; the corpus-sized scoring join stays
+    * shuffle-hashed against auto-broadcast.
+    */
+  val knLmScore = QueryDef.sql(
+    "llm_kn_lm_score",
+    s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |bi AS (SELECT bg, CAST(count(*) AS BIGINT) AS c2
+       |       FROM (SELECT unnest(${Text.wordNgramsSql(2, distinct = false)}) AS bg
+       |             FROM docs) b GROUP BY bg),
+       |sp AS (SELECT bg, c2, string_split(bg, ' ')[1] AS w1,
+       |              string_split(bg, ' ')[2] AS w2 FROM bi),
+       |fw AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1,
+       |              CAST(count(*) AS BIGINT) AS n1f FROM sp GROUP BY w1),
+       |bw AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1b FROM sp GROUP BY w2),
+       |ty AS (SELECT CAST(count(*) AS BIGINT) AS n_types FROM bi),
+       |q AS (SELECT bg,
+       |        (($KnDiscDen * c2 - $KnDiscNum) * $LmQuantum) // ($KnDiscDen * c1)
+       |        + ((($KnDiscNum * n1f * $LmQuantum) // ($KnDiscDen * c1)) * n1b) // n_types AS q
+       |      FROM sp JOIN fw USING (w1) JOIN bw USING (w2) CROSS JOIN ty),
+       |scored AS (SELECT doc_id, CAST(sum(q) AS BIGINT) AS sum_q,
+       |                  CAST(count(*) AS BIGINT) AS n_bigrams
+       |           FROM (SELECT doc_id, unnest(${Text.wordNgramsSql(2, distinct = false)}) AS bg
+       |                 FROM docs) o JOIN q USING (bg)
+       |           GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  coalesce(n_bigrams, 0) AS n_bigrams,
+       |  coalesce(sum_q, 0) AS sum_q,
+       |  CASE WHEN coalesce(n_bigrams, 0) > 0 THEN sum_q // n_bigrams ELSE 0 END AS kn_fluency
+       |FROM docs d LEFT JOIN scored ON d.doc_id = scored.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  ) { (spark, dir) =>
+    val docs = documents(spark, dir).select(col("doc_id"), split(col("text"), " ").as("tk"))
+    val bi = docs.select(explode(expr("word_ngrams(tk, 2, false)")).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c2"))
+    val sp = bi.selectExpr("bg", "c2",
+      "split(bg, ' ')[0] AS w1", "split(bg, ' ')[1] AS w2")
+    val fw = sp.groupBy("w1").agg(sum("c2").as("c1"), count(lit(1)).as("n1f"))
+    val bw = sp.groupBy("w2").agg(count(lit(1)).as("n1b"))
+    val ty = bi.agg(count(lit(1)).as("n_types"))
+    val q = sp.join(fw, "w1").join(bw, "w2").crossJoin(broadcast(ty))
+      .selectExpr("bg",
+        s"(($KnDiscDen * c2 - $KnDiscNum) * CAST($LmQuantum AS BIGINT)) div ($KnDiscDen * c1)" +
+          s" + ((($KnDiscNum * n1f * CAST($LmQuantum AS BIGINT)) div ($KnDiscDen * c1)) * n1b) div n_types AS q")
+    val scored = docs
+      .select(col("doc_id"), explode(expr("word_ngrams(tk, 2, false)")).as("bg"))
+      .join(q.hint("shuffle_hash"), "bg")
+      .groupBy("doc_id").agg(sum("q").as("sum_q"), count(lit(1)).as("n_bigrams"))
+    docs.select("doc_id").join(scored, Seq("doc_id"), "left")
+      .selectExpr("doc_id",
+        "coalesce(n_bigrams, CAST(0 AS BIGINT)) AS n_bigrams",
+        "coalesce(sum_q, CAST(0 AS BIGINT)) AS sum_q",
+        "CASE WHEN coalesce(n_bigrams, 0) > 0 THEN sum_q div n_bigrams ELSE CAST(0 AS BIGINT) END AS kn_fluency")
       .orderBy("doc_id")
   }
 
@@ -4282,5 +4630,6 @@ object LlmQueries {
     seqPack, packSpans, splitAssign, curation, mixSample, lengthQuantiles, lmScore,
     lmScoreHoldout, dsirWeight, doremiWeight, chunkSplit,
     shuffleShard, clusterBest, ccnetBucket, sqRecall, annLedger, mrlRecall, bpeTrain,
-    bpeApply, bpeFertility)
+    bpeApply, bpeFertility,
+    knLmScore, pagerankHosts, neymanSample, embedOutliers)
 }

@@ -89,6 +89,48 @@ class ScaleShapeSpec extends SparkSuite {
       "no chunk-index hash build may appear:\n" + p.take(2000))
   }
 
+  test("round-9 shapes: kn model joins never broadcast corpus-sized sides") {
+    // llm_kn_lm_score: the scoring join keys the corpus bigram stream on
+    // the bigram-TYPE q-table — shuffle-hashed by hint; the only
+    // broadcast allowed is the single-row n_types scalar. A broadcast of
+    // the q-table would OOM the driver at web scale (vocabulary² types).
+    val p = plan("llm_kn_lm_score")
+    assert(p.contains("ShuffledHashJoin"),
+      "the scoring join must stay shuffle-hashed:\n" + p.take(2000))
+    assert(!p.contains("CartesianProduct"),
+      "the n_types scalar must ride a broadcast, never a cartesian:\n" + p.take(2000))
+  }
+
+  test("round-9 shapes: pagerank iterations run on broadcast host tables only") {
+    // After the one corpus-sized edge dedup, every iteration must join
+    // host-cardinality rank/degree tables BROADCAST onto the edge set —
+    // a sort-merge there would re-shuffle the edge set three times.
+    val p = plan("llm_pagerank_hosts")
+    assert(p.contains("BroadcastHashJoin"),
+      "iteration joins must broadcast the rank/deg side:\n" + p.take(2000))
+    assert(!p.contains("SortMergeJoin"),
+      "no sort-merge join may appear in the iteration chain:\n" + p.take(2000))
+    assert(p.contains("InMemoryTableScan"),
+      "the edge set must be cached (one corpus scan, not six):\n" + p.take(2000))
+  }
+
+  test("round-9 shapes: neyman selection is one per-source window, alloc broadcast") {
+    val p = plan("llm_neyman_sample")
+    val windows = "(?<!\\w)Window(?!\\w)".r.findAllIn(p).length
+    assert(windows == 1,
+      s"exactly the per-source rank window, found $windows:\n" + p.take(2000))
+    assert(p.contains("BroadcastHashJoin"),
+      "the allocation table must broadcast onto the ranked corpus:\n" + p.take(2000))
+  }
+
+  test("round-9 shapes: embed outliers — assignment aggregate + broadcasts, no window") {
+    val p = plan("llm_embed_outliers")
+    assert("(?<!\\w)Window(?!\\w)".r.findFirstIn(p).isEmpty,
+      "no window may appear — cell stats are a hash agg:\n" + p.take(2000))
+    assert(p.contains("BroadcastHashJoin"),
+      "centroids and cell stats must broadcast:\n" + p.take(2000))
+  }
+
   test("nested fixture memoization is recursion-safe from a cold cache") {
     // embeddingsRedelivered's builder memoizes embeddingsNearDup INSIDE
     // its own memo call. The old computeIfAbsent-based memo threw

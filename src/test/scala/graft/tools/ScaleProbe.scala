@@ -105,7 +105,15 @@ object ScaleProbe {
     // token-substitution corpus instead.
     "llm_token_budget", "llm_snapshot_diff",
     // KMV sketch: the corpus pass must compact to vocab before any window
-    "llm_distinct_sketch")
+    "llm_distinct_sketch",
+    // round-9 wave: KN smoothing (lm_score's plan + two more
+    // type-cardinality stat joins), host PageRank (one corpus-sized
+    // edge dedup, then host-cardinality iterations only), Neyman
+    // allocation (moment hash agg + per-source rank window), and
+    // embedding outliers (the IVF assignment aggregate + broadcast
+    // cell stats)
+    "llm_kn_lm_score", "llm_pagerank_hosts", "llm_neyman_sample",
+    "llm_embed_outliers")
   private val Reps = 10
   private val IdStride = 10000000L
 
