@@ -252,12 +252,14 @@ object Bench {
         }
       }
       def docGateRun(provider: Option[String], docBatchSize: Int,
-          shufflePartitions: Option[Int] = None): String = {
+          shufflePartitions: Option[Int] = None,
+          extraConf: Map[String, String] = Map.empty): String = {
         val prevSp = spark.conf.get("spark.sql.shuffle.partitions")
         shufflePartitions.foreach(p =>
           spark.conf.set("spark.sql.shuffle.partitions", p.toString))
         provider.foreach(p =>
           spark.conf.set("spark.sql.streaming.stateStore.providerClass", p))
+        extraConf.foreach { case (k, v) => spark.conf.set(k, v) }
         try {
           val ms = MemoryStream[(Long, java.sql.Timestamp, String, String)]
           val ck = java.nio.file.Files.createTempDirectory(ckRoot, "ck").toString
@@ -279,6 +281,7 @@ object Bench {
         } finally {
           provider.foreach(_ =>
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass"))
+          extraConf.keys.foreach(spark.conf.unset)
           spark.conf.set("spark.sql.shuffle.partitions", prevSp)
         }
       }
@@ -294,6 +297,16 @@ object Bench {
       // the measured proof of both.
       val docGateBig = docGateRun(None, 40000)
       val docGateP8 = docGateRun(None, 10000, Some(8))
+      // round 9: the two levers COMBINED (4× batch + key-sized shards —
+      // the configuration a deployment would actually run) and RocksDB
+      // with changelog checkpointing (per-batch delta upload instead of
+      // full snapshot — the modern provider config for large state; the
+      // plain-RocksDB lane above pays snapshot cost every commit).
+      val docGateTuned = docGateRun(None, 40000, Some(8))
+      val docGateRocksCl = docGateRun(Some(
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"),
+        10000, None, Map(
+          "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true"))
       // JDBC streaming sink (round 8, r7 verdict item 8): the north star
       // names "final write via JDBC connector" — measure rows/s through
       // jdbcStreamAppend into embedded in-memory Derby (the jars Spark
@@ -329,7 +342,8 @@ object Bench {
       s"""{"candles":$exact,"candles_windowed":$windowed,"candles_p8":$exactP8,""" +
         s""""doc_gate":$docGate,""" +
         s""""doc_gate_rocksdb":$docGateRocks,"doc_gate_bigbatch":$docGateBig,""" +
-        s""""doc_gate_p8":$docGateP8,""" +
+        s""""doc_gate_p8":$docGateP8,"doc_gate_tuned":$docGateTuned,""" +
+        s""""doc_gate_rocksdb_changelog":$docGateRocksCl,""" +
         s""""jdbc":$jdbc,"rows":${tickRows.length},"batch_size":$batchSize,""" +
         s""""batches":${batches.length}}"""
     } catch { case e: Throwable =>

@@ -3324,6 +3324,114 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  // ---- multi-epoch expansion: repeat-factor manifest for mixtures ----
+
+  /** Repeat-factor ceiling — no source repeats more than 4 epochs (the
+    * published guidance that ~4 epochs of repeated data is where returns
+    * collapse).
+    */
+  private val MaxEpochs = 4L
+
+  /** Multi-epoch manifest expansion — the UPSAMPLING half of data
+    * mixing ([[mixSample]] is the downsampling half): LANGUAGES below
+    * token parity are repeated toward the largest (the low-resource
+    * upsampling every multilingual training mix performs; the fixture's
+    * en corpus is ~3× any other language, so repeat factors genuinely
+    * spread — the per-SOURCE variant was near-degenerate, sources are
+    * token-balanced). Each language's repeat factor is
+    * r_h = min(⌈maxTok/langTok⌉, $MaxEpochs), and the manifest lists
+    * every (doc, epoch) instance with a deterministic md5
+    * training-shard assignment — the expansion a trainer's data loader
+    * consumes. ⌈a/b⌉ is the integer `(a+b−1) div b` in both dialects.
+    *
+    * 100 TB shape: per-source token totals are one partial-aggregated
+    * hash agg to a sources-cardinality table; the repeat table
+    * broadcasts; the expansion is a map-side explode bounded by
+    * $MaxEpochs×; shard assignment is a map-side hash. No window, no
+    * corpus-keyed join, and the manifest is emitted — never the
+    * repeated text itself (the loader re-reads each doc by id; shipping
+    * repeated bytes would multiply the corpus).
+    */
+  val epochExpand = QueryDef.sql(
+    "llm_epoch_expand",
+    s"""WITH d AS (SELECT doc_id, lang,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
+       |st AS (SELECT lang, CAST(sum(n_tok) AS BIGINT) AS lang_tok FROM d GROUP BY lang),
+       |mx AS (SELECT CAST(max(lang_tok) AS BIGINT) AS max_tok FROM st),
+       |rep AS (SELECT lang, lang_tok,
+       |          least((max_tok + lang_tok - 1) // lang_tok, $MaxEpochs) AS repeat_n
+       |        FROM st CROSS JOIN mx),
+       |ex AS (SELECT doc_id, d.lang, n_tok, repeat_n,
+       |         unnest(range(1, repeat_n + 1)) AS epoch
+       |       FROM d JOIN rep ON rep.lang = d.lang)
+       |SELECT doc_id, lang, n_tok, repeat_n, epoch,
+       |  ${Text.hexPrefixIntSql(
+             "md5(concat(CAST(doc_id AS VARCHAR), '|', CAST(epoch AS VARCHAR)))", 8)} % 16 AS shard
+       |FROM ex ORDER BY doc_id, epoch""".stripMargin
+  ) { (spark, dir) =>
+    val d = documents(spark, dir)
+      .selectExpr("doc_id", "lang", "CAST(size(split(text, ' ')) AS BIGINT) AS n_tok")
+    val st = d.groupBy("lang").agg(sum("n_tok").as("lang_tok"))
+    val mx = st.agg(max("lang_tok").as("max_tok"))
+    val rep = st.crossJoin(broadcast(mx))
+      .selectExpr("lang", "lang_tok",
+        s"least((max_tok + lang_tok - 1) div lang_tok, $MaxEpochs) AS repeat_n")
+    d.join(broadcast(rep.select("lang", "repeat_n")), "lang")
+      .selectExpr("doc_id", "lang", "n_tok", "repeat_n",
+        "explode(sequence(1, CAST(repeat_n AS INT))) AS epoch0")
+      .selectExpr("doc_id", "lang", "n_tok", "repeat_n",
+        "CAST(epoch0 AS BIGINT) AS epoch",
+        s"${Text.hexPrefixIntSql(
+            "md5(concat(CAST(doc_id AS STRING), '|', CAST(epoch0 AS STRING)))", 8)} % 16 AS shard")
+      .orderBy("doc_id", "epoch")
+  }
+
+  // ---- dataset card: per-source corpus summary ----
+
+  /** Per-source dataset card (the datasheet/data-statement summary a
+    * curation pipeline publishes with every corpus release): doc and
+    * token counts, language spread, exact-duplicate count, and the mean
+    * quality score — quality is floored to ppm PER DOCUMENT before
+    * summing so the cross-engine aggregate is an exact integer sum (a
+    * mean over raw doubles would be addition-order-dependent).
+    *
+    * 100 TB shape: one map-side metric projection + one hash aggregate
+    * to a sources-cardinality table; the dup count rides the same agg
+    * as `count(DISTINCT md5)` (Spark partial-aggregates distincts
+    * per-source). Nothing corpus-sized survives the aggregate.
+    */
+  val datasetCard = QueryDef.sql(
+    "llm_dataset_card",
+    s"""SELECT source,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       |  CAST(count(*) - count(DISTINCT content_md5) AS BIGINT) AS n_exact_dup,
+       |  CAST(sum(q_ppm) AS BIGINT) // CAST(count(*) AS BIGINT) AS mean_quality_ppm
+       |FROM (SELECT source, lang, md5(text) AS content_md5, n_tokens,
+       |        CAST(floor(($qualityExpr) * 1000000) AS BIGINT) AS q_ppm
+       |      FROM (SELECT source, lang, text,
+       |              $qualityMetricsSql
+       |            FROM (SELECT source, lang, text, string_split(text, ' ') AS tk
+       |                  FROM documents) d) m) c
+       |GROUP BY source ORDER BY source""".stripMargin
+  ) { (spark, dir) =>
+    documents(spark, dir)
+      .withColumn("tk", split(col("text"), " "))
+      .select(Seq(col("source"), col("lang"), md5(col("text")).as("content_md5"))
+        ++ qualityMetricCols: _*)
+      .withColumn("q_ppm", expr(s"CAST(floor(($qualityExpr) * 1000000) AS BIGINT)"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        countDistinct("lang").as("n_langs"),
+        (count(lit(1)) - countDistinct("content_md5")).as("n_exact_dup"),
+        sum("q_ppm").as("sq"))
+      .selectExpr("source", "n_docs", "n_tokens", "n_langs", "n_exact_dup",
+        "sq div n_docs AS mean_quality_ppm")
+      .orderBy("source")
+  }
+
   // ---- corpus length statistics: exact quantiles via histogram ----
 
   /** Exact per-language token-length quantiles (p50/p90/p99) — the
@@ -4631,5 +4739,6 @@ object LlmQueries {
     lmScoreHoldout, dsirWeight, doremiWeight, chunkSplit,
     shuffleShard, clusterBest, ccnetBucket, sqRecall, annLedger, mrlRecall, bpeTrain,
     bpeApply, bpeFertility,
-    knLmScore, pagerankHosts, neymanSample, embedOutliers)
+    knLmScore, pagerankHosts, neymanSample, embedOutliers,
+    epochExpand, datasetCard)
 }

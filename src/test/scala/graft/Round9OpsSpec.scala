@@ -131,6 +131,64 @@ class Round9OpsSpec extends SparkSuite {
     assert(rows.map(_._5).distinct.length >= 3)
   }
 
+  // ---- multi-epoch expansion ----
+
+  test("epoch_expand replay: repeat factors from token parity; manifest complete") {
+    val docs = graft.fixtures.Fixtures.documents(spark, dir)
+      .selectExpr("doc_id", "lang", "CAST(size(split(text, ' ')) AS BIGINT) AS n")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val langTok = docs.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val maxTok = langTok.values.max
+    val rep = langTok.view.mapValues(t => math.min((maxTok + t - 1) / t, 4L)).toMap
+    val rows = SparkEntry.queries("llm_epoch_expand")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // every doc appears exactly repeat_n(lang) times, epochs 1..r contiguous
+    val byDoc = rows.groupBy(_._1)
+    for ((id, lang, _) <- docs) {
+      val inst = byDoc(id)
+      assert(inst.length == rep(lang).toInt, s"doc $id")
+      assert(inst.map(_._5).sorted.toSeq == (1L to rep(lang)))
+      assert(inst.forall(_._4 == rep(lang)))
+    }
+    assert(rows.length == docs.map(d => rep(d._2)).sum)
+    // shards span the full 0..15 range and are deterministic per (doc, epoch)
+    assert(rows.map(_._6).distinct.sorted.toSeq == (0L to 15L))
+    // the fixture imbalance genuinely exercises the cap and the floor
+    assert(rep.values.min == 1L && rep.values.max == 4L)
+  }
+
+  // ---- dataset card ----
+
+  test("dataset_card replay: counts, dup detection, ppm-floored mean quality") {
+    val docs = graft.fixtures.Fixtures.documents(spark, dir)
+      .selectExpr("source", "lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def qPpm(text: String): Long = {
+      val tk = text.split(' ')
+      val n = tk.length.toDouble
+      val uniq = tk.distinct.length
+      val stop = tk.count(t => t == "the" || t == "a")
+      val prior = if (text.length >= 200) 1.0 else if (text.length >= 100) 0.5 else 0.0
+      math.floor((uniq.toDouble / n * 0.5
+        + (1.0 - stop.toDouble / n) * 0.3 + prior * 0.2) * 1000000).toLong
+    }
+    val got = SparkEntry.queries("llm_dataset_card")(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    for ((src, xs) <- docs.groupBy(_._1)) {
+      val nDocs = xs.length.toLong
+      val nTok = xs.map(_._3.split(' ').length.toLong).sum
+      val nLangs = xs.map(_._2).distinct.length.toLong
+      val nDup = nDocs - xs.map(x => md5hex(x._3)).distinct.length
+      val meanQ = xs.map(x => qPpm(x._3)).sum / nDocs
+      assert(got(src) == ((nDocs, nTok, nLangs, nDup, meanQ)), s"src $src")
+    }
+  }
+
   // ---- embedding outliers ----
 
   test("outlier flag is exactly the mean-margin predicate; flagged set is a tail") {

@@ -113,7 +113,11 @@ object ScaleProbe {
     // embedding outliers (the IVF assignment aggregate + broadcast
     // cell stats)
     "llm_kn_lm_score", "llm_pagerank_hosts", "llm_neyman_sample",
-    "llm_embed_outliers")
+    "llm_embed_outliers",
+    // round-9 second wave: epoch manifest (≤4× bounded explode under a
+    // broadcast repeat table) and the per-source card (one hash agg
+    // with two partial-aggregated distincts)
+    "llm_epoch_expand", "llm_dataset_card")
   private val Reps = 10
   private val IdStride = 10000000L
 
