@@ -51,7 +51,14 @@ object Explain {
       // and the map-side CDC fold (supersedes the word-stream windows)
       "llm_paragraph_dedup", "llm_html_extract", "llm_doremi_weight",
       "llm_mrl_recall", "llm_token_budget", "llm_snapshot_diff",
-      "llm_simhash_neardup", "llm_url_dedup", "llm_ann_ledger")
+      "llm_simhash_neardup", "llm_url_dedup", "llm_ann_ledger",
+      // round-9 wave: KN's shuffle-hashed scoring join + type-bound
+      // model tables, pagerank's cached edge set + broadcast
+      // iterations, neyman's single per-source window + broadcast
+      // allocation, outliers' assignment agg + broadcast cell stats,
+      // epoch manifest's bounded explode, the card's single hash agg
+      "llm_kn_lm_score", "llm_pagerank_hosts", "llm_neyman_sample",
+      "llm_embed_outliers", "llm_epoch_expand", "llm_dataset_card")
     names.foreach { n =>
       println(s"\n================ $n ================")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")
