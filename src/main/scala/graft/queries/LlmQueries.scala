@@ -4381,6 +4381,123 @@ object LlmQueries {
       .orderBy("lang")
   }
 
+  // ---- unigram-LM tokenizer: Viterbi segmentation fertility ----
+
+  /** DP horizon: words longer than this are excluded in BOTH dialects
+    * (fixture max word length is 8; the cap bounds the unrolled DP
+    * depth, the thing that must be static for the oracle).
+    */
+  private val UniMaxW = 16
+
+  /** Max piece length (char n-grams 1..4 — the SentencePiece-practical
+    * band for a character-level candidate vocabulary).
+    */
+  private val UniMaxPiece = 4
+
+  /** Unigram-LM tokenizer scoring (the SentencePiece-side sibling of
+    * [[bpeTrain]]/[[bpeApply]]'s merge-based family): segment every word
+    * by minimum-description-length Viterbi over a character-n-gram piece
+    * vocabulary. Piece cost ≈ −log₂ p(piece), integer-exact as
+    * `bits(Σfreq) − bits(freq)` with `bits = length(bin(x))` — both
+    * engines share the bin() spelling, no libm ln anywhere. The DP
+    * minimizes one packed BIGINT `total_cost·64 + n_pieces` (cost
+    * first, fewer pieces on ties — deterministic, path-independent
+    * min), unrolled to the fixed $UniMaxW-position horizon.
+    *
+    * THE SHAPE (why this never touches the corpus after two hash aggs):
+    * segmentation depends only on the word STRING, so the DP runs over
+    * DISTINCT words — word-vocabulary-bound (Heaps' law: ~10^6-10^7 rows
+    * at web scale), with the corpus contributing exactly (1) the word
+    * count aggregate and (2) the final per-doc stats join
+    * (shuffle-hashed, the [[lmScore]] lever). Each DP level is a
+    * join+aggregate over the vocab-sized frontier, PLAN-FENCED through
+    * the documented `createDataFrame(df.rdd, schema)` idiom
+    * ([[dedupClusters]] precedent) because the 4-ary level recurrence
+    * would otherwise tetranacci the plan tree (~43k subtree copies at
+    * depth 16); the candidate table is cached (piece-vocabulary-sized).
+    * Fertility = pieces per word, the tokenizer-quality headline.
+    */
+  val unigramFertility = QueryDef.sql(
+    "llm_unigram_fertility", {
+      val dpCtes = (1 to UniMaxW).map { i =>
+        val prevUnion = (math.max(0, i - UniMaxPiece) until i)
+          .map(j => s"SELECT * FROM dp$j").mkString(" UNION ALL ")
+        s"""dp$i AS MATERIALIZED (SELECT c.w, $i AS pos, min(p.key + c.cost * 64 + 1) AS key
+           |  FROM cand c JOIN ($prevUnion) p ON p.w = c.w AND p.pos = c.s
+           |  WHERE c.e = $i GROUP BY c.w)""".stripMargin
+      }.mkString(",\n")
+      val allDp = (1 to UniMaxW).map(i => s"SELECT * FROM dp$i").mkString(" UNION ALL ")
+      s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         |wf AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt
+         |       FROM (SELECT unnest(tk) AS w FROM docs) u GROUP BY w),
+         |dw AS MATERIALIZED (SELECT w, cnt FROM wf WHERE len(w) <= $UniMaxW),
+         |sl_s AS (SELECT unnest(range(0, $UniMaxW)) AS s),
+         |sl_l AS (SELECT unnest(range(1, ${UniMaxPiece + 1})) AS l),
+         |raw AS (SELECT w, cnt, CAST(s AS INT) AS s, CAST(s + l AS INT) AS e,
+         |          substr(w, CAST(s + 1 AS INT), CAST(l AS INT)) AS piece
+         |        FROM dw, sl_s, sl_l WHERE s + l <= len(w)),
+         |pc AS (SELECT piece, CAST(sum(cnt) AS BIGINT) AS freq FROM raw GROUP BY piece),
+         |tot AS (SELECT CAST(length(bin(CAST(sum(freq) AS BIGINT))) AS BIGINT) AS tot_bits FROM pc),
+         |cand AS MATERIALIZED (SELECT w, s, e,
+         |           tot_bits - length(bin(freq)) AS cost
+         |         FROM raw JOIN pc USING (piece) CROSS JOIN tot),
+         |dp0 AS MATERIALIZED (SELECT w, 0 AS pos, CAST(0 AS BIGINT) AS key FROM dw),
+         |$dpCtes,
+         |ws AS (SELECT d.w, dp.key FROM dw d
+         |       JOIN ($allDp) dp ON dp.w = d.w AND dp.pos = len(d.w)),
+         |occ AS (SELECT doc_id, unnest(tk) AS w FROM docs),
+         |ds AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |         CAST(sum(key % 64) AS BIGINT) AS n_pieces,
+         |         CAST(sum(key // 64) AS BIGINT) AS sum_cost
+         |       FROM occ JOIN ws USING (w) GROUP BY doc_id)
+         |SELECT doc_id, n_words, n_pieces, sum_cost,
+         |  (n_pieces * 1000000) // n_words AS fertility_ppm
+         |FROM ds ORDER BY doc_id""".stripMargin
+    }
+  ) { (spark, dir) =>
+    def fence(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      spark.createDataFrame(df.rdd, df.schema)
+    val docs = documents(spark, dir).select(col("doc_id"), split(col("text"), " ").as("tk"))
+    val wf = docs.select(explode(col("tk")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    val dw = wf.filter(length(col("w")) <= UniMaxW).cache()
+    val spans = spark.range(0, UniMaxW).toDF("s")
+      .crossJoin(spark.range(1, UniMaxPiece + 1).toDF("l"))
+    val raw = dw.crossJoin(broadcast(spans))
+      .filter(expr("s + l <= length(w)"))
+      .selectExpr("w", "cnt", "CAST(s AS INT) AS s", "CAST(s + l AS INT) AS e",
+        "substring(w, CAST(s + 1 AS INT), CAST(l AS INT)) AS piece")
+    val pc = raw.groupBy("piece").agg(sum("cnt").as("freq"))
+    val tot = pc.agg(expr("CAST(length(bin(sum(freq))) AS BIGINT)").as("tot_bits"))
+    val cand = raw.join(pc.hint("shuffle_hash"), "piece").crossJoin(broadcast(tot))
+      .selectExpr("w", "s", "e", "tot_bits - length(bin(freq)) AS cost")
+      .cache()
+    var dps = Map(0 -> dw.select(col("w"), lit(0).as("pos"), lit(0L).as("key")))
+    for (i <- 1 to UniMaxW) {
+      val prev = (math.max(0, i - UniMaxPiece) until i).map(dps)
+        .reduce(_ unionAll _)
+        .select(col("w").as("pw"), col("pos"), col("key").as("pkey"))
+      val dpi = cand.filter(col("e") === i)
+        .join(prev, col("pw") === col("w") && col("pos") === col("s"))
+        .groupBy("w").agg(min(expr("pkey + cost * 64 + 1")).as("key"))
+        .select(col("w"), lit(i).as("pos"), col("key"))
+      dps += i -> fence(dpi)
+    }
+    val allDp = (1 to UniMaxW).map(dps).reduce(_ unionAll _)
+      .select(col("w").as("dw2"), col("pos"), col("key"))
+    val ws = dw.join(allDp, col("dw2") === col("w") && col("pos") === length(col("w")))
+      .select(col("w"), col("key"))
+    docs.select(col("doc_id"), explode(col("tk")).as("w"))
+      .join(ws.hint("shuffle_hash"), "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(expr("key % 64")).as("n_pieces"),
+        sum(expr("key div 64")).as("sum_cost"))
+      .selectExpr("doc_id", "n_words", "n_pieces", "sum_cost",
+        "(n_pieces * 1000000) div n_words AS fertility_ppm")
+      .orderBy("doc_id")
+  }
+
   // ---- int8 scalar quantization + recall ledger ----
 
   /** Scalar-quantization code range (int8 symmetric: [-127, 127]). */
@@ -4740,5 +4857,5 @@ object LlmQueries {
     shuffleShard, clusterBest, ccnetBucket, sqRecall, annLedger, mrlRecall, bpeTrain,
     bpeApply, bpeFertility,
     knLmScore, pagerankHosts, neymanSample, embedOutliers,
-    epochExpand, datasetCard)
+    epochExpand, datasetCard, unigramFertility)
 }

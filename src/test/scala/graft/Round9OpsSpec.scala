@@ -189,6 +189,45 @@ class Round9OpsSpec extends SparkSuite {
     }
   }
 
+  // ---- unigram tokenizer fertility ----
+
+  test("unigram replay: Viterbi DP over distinct words recomputed in Scala") {
+    val docs = graft.fixtures.Fixtures.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(' ').toSeq))
+    val allWords = docs.flatMap(_._2)
+    val wf = allWords.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      .filter(_._1.length <= 16)
+    // piece freq = sum of word counts over every (pos, len<=4) occurrence
+    val pieceFreq = scala.collection.mutable.Map.empty[String, Long]
+    for ((w, cnt) <- wf; s <- 0 until w.length; l <- 1 to 4 if s + l <= w.length)
+      pieceFreq(w.substring(s, s + l)) = pieceFreq.getOrElse(w.substring(s, s + l), 0L) + cnt
+    val totBits = java.lang.Long.toBinaryString(pieceFreq.values.sum).length.toLong
+    def cost(p: String): Long = totBits - java.lang.Long.toBinaryString(pieceFreq(p)).length
+    def dpKey(w: String): Long = {
+      val best = Array.fill(w.length + 1)(Long.MaxValue)
+      best(0) = 0L
+      for (i <- 1 to w.length; l <- 1 to math.min(4, i) if best(i - l) != Long.MaxValue) {
+        val k = best(i - l) + cost(w.substring(i - l, i)) * 64 + 1
+        if (k < best(i)) best(i) = k
+      }
+      best(w.length)
+    }
+    val keys = wf.keys.map(w => w -> dpKey(w)).toMap
+    val expected = docs.map { case (id, tk) =>
+      val ks = tk.filter(_.length <= 16).map(keys)
+      val nPieces = ks.map(_ % 64).sum
+      id -> ((ks.size.toLong, nPieces, ks.map(_ / 64).sum,
+        nPieces * 1000000 / ks.size))
+    }.toMap
+    val got = SparkEntry.queries("llm_unigram_fertility")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == expected)
+    // the DP genuinely segments: fertility strictly between all-singles
+    // (ppm = mean word length) and the one-piece floor
+    assert(got.values.exists(_._4 < 2000000) && got.values.forall(_._4 >= 1000000))
+  }
+
   // ---- embedding outliers ----
 
   test("outlier flag is exactly the mean-margin predicate; flagged set is a tail") {

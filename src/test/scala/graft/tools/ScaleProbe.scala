@@ -117,7 +117,10 @@ object ScaleProbe {
     // round-9 second wave: epoch manifest (≤4× bounded explode under a
     // broadcast repeat table) and the per-source card (one hash agg
     // with two partial-aggregated distincts)
-    "llm_epoch_expand", "llm_dataset_card")
+    "llm_epoch_expand", "llm_dataset_card",
+    // unigram tokenizer: the DP must stay word-vocabulary-bound (the
+    // corpus contributes only the word-count agg + the stats join)
+    "llm_unigram_fertility")
   private val Reps = 10
   private val IdStride = 10000000L
 
