@@ -228,6 +228,25 @@ class Round9OpsSpec extends SparkSuite {
     assert(got.values.exists(_._4 < 2000000) && got.values.forall(_._4 >= 1000000))
   }
 
+  // ---- interval join ----
+
+  test("session concurrency replay: naive range count over sf0.001 matches") {
+    val small = "/root/testdata/sf0.001"
+    val evts = graft.fixtures.Fixtures.events(spark, small)
+      .select("ts").collect().map(_.getTimestamp(0).getTime)
+    val got = SparkEntry.queries("evt_session_concurrency")(spark, small).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getTimestamp(2).getTime,
+        r.getLong(3), r.getLong(4)))
+    assert(got.nonEmpty)
+    for ((_, start, end, nEvents, nConc) <- got) {
+      val expect = evts.count(t => t >= start && t < end).toLong
+      assert(nConc == expect, s"[$start,$end): $nConc vs $expect")
+      assert(nConc >= nEvents) // own events are inside the window
+    }
+    // concurrency genuinely exceeds own-session counts somewhere
+    assert(got.exists { case (_, _, _, ne, nc) => nc > ne })
+  }
+
   // ---- embedding outliers ----
 
   test("outlier flag is exactly the mean-margin predicate; flagged set is a tail") {

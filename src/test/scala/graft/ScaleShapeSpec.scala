@@ -131,6 +131,18 @@ class ScaleShapeSpec extends SparkSuite {
       "centroids and cell stats must broadcast:\n" + p.take(2000))
   }
 
+  test("round-9 shapes: interval join is a bucketed equi-join, never a nested loop") {
+    // evt_session_concurrency: the naive BETWEEN join plans as
+    // BroadcastNestedLoopJoin (O(points × intervals)); the engine's
+    // bucket-expansion rewrite must keep it an equi-join on the bucket
+    // key with the residual range filter post-join.
+    val p = plan("evt_session_concurrency")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "the range join must not fall to a nested loop:\n" + p.take(2000))
+    assert(p.contains("bkt"),
+      "the bucket key must carry the join:\n" + p.take(2000))
+  }
+
   test("nested fixture memoization is recursion-safe from a cold cache") {
     // embeddingsRedelivered's builder memoizes embeddingsNearDup INSIDE
     // its own memo call. The old computeIfAbsent-based memo threw

@@ -120,7 +120,10 @@ object ScaleProbe {
     "llm_epoch_expand", "llm_dataset_card",
     // unigram tokenizer: the DP must stay word-vocabulary-bound (the
     // corpus contributes only the word-count agg + the stats join)
-    "llm_unigram_fertility")
+    "llm_unigram_fertility",
+    // interval join: bucketed equi-join must stay linear (the naive
+    // BETWEEN plan is O(points x intervals))
+    "evt_session_concurrency")
   private val Reps = 10
   private val IdStride = 10000000L
 
