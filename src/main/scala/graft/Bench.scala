@@ -307,6 +307,32 @@ object Bench {
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"),
         10000, None, Map(
           "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true"))
+      // stream-stream interval join (round 9): the state-pair class —
+      // both sides buffer rows for the watermark horizon; throughput is
+      // bounded by state insert + eviction, not output volume (noop
+      // sink). Ticks feed BOTH sides (self-join density), 30 s window.
+      val streamJoin: String = {
+        val ms1 = MemoryStream[Tick]
+        val ms2 = MemoryStream[Tick]
+        val ck = java.nio.file.Files.createTempDirectory(ckRoot, "ck").toString
+        val q = graft.streaming.EnrichJoin
+          .tradeQuoteWindow(ms1.toDS().toDF(), ms2.toDS().toDF(), "30 SECONDS", "1 minute")
+          .writeStream.outputMode("append")
+          .format("noop").option("checkpointLocation", ck).start()
+        try {
+          val jb = batches.take(5)
+          ms1.addData(jb.head.toSeq); ms2.addData(jb.head.toSeq)
+          q.processAllAvailable()
+          val after = q.lastProgress.batchId
+          val t0 = System.nanoTime()
+          jb.tail.foreach { b =>
+            ms1.addData(b.toSeq); ms2.addData(b.toSeq); q.processAllAvailable()
+          }
+          val sec = (System.nanoTime() - t0) / 1e9
+          val rows = jb.tail.map(_.length * 2).sum
+          breakdown(q, after, math.round(rows / sec))
+        } finally q.stop()
+      }
       // JDBC streaming sink (round 8, r7 verdict item 8): the north star
       // names "final write via JDBC connector" — measure rows/s through
       // jdbcStreamAppend into embedded in-memory Derby (the jars Spark
@@ -344,6 +370,7 @@ object Bench {
         s""""doc_gate_rocksdb":$docGateRocks,"doc_gate_bigbatch":$docGateBig,""" +
         s""""doc_gate_p8":$docGateP8,"doc_gate_tuned":$docGateTuned,""" +
         s""""doc_gate_rocksdb_changelog":$docGateRocksCl,""" +
+        s""""stream_join":$streamJoin,""" +
         s""""jdbc":$jdbc,"rows":${tickRows.length},"batch_size":$batchSize,""" +
         s""""batches":${batches.length}}"""
     } catch { case e: Throwable =>

