@@ -444,9 +444,47 @@ object IngestQueries {
       .orderBy("trade_no")
   }
 
+  /** "Open" sentinel for the current SCD2 version (the idiomatic
+    * high-value end bound; avoids a nullable column in the oracle hash).
+    */
+  private val Scd2Open = Long.MaxValue
+
+  /** SCD2 TEMPORAL VERSIONING over the re-delivered trade stream — the
+    * warehouse-side complement of the dedup family: where
+    * [[dedupTrades]] KEEPS only the last version (ReplacingMergeTree
+    * semantics), this keeps EVERY version as a validity interval
+    * `[valid_from_seq, valid_to_seq)` with the current row carrying the
+    * open sentinel — the slowly-changing-dimension shape an auditing /
+    * time-travel consumer reads. One `lead()` window per key chain;
+    * version chains are short (the fixture re-delivers every 10th
+    * trade once), so the window sort is a parallel per-key micro-sort,
+    * the [[graft.ingest.Dedup]] scale argument in interval form.
+    */
+  val dedupTradesScd2 = QueryDef.sql(
+    "dedup_trades_scd2",
+    withCtes(
+      s"""SELECT trade_no, ingest_seq AS valid_from_seq,
+         |  coalesce(lead(ingest_seq) OVER (PARTITION BY trade_no ORDER BY ingest_seq),
+         |           CAST($Scd2Open AS BIGINT)) AS valid_to_seq,
+         |  price,
+         |  lead(ingest_seq) OVER (PARTITION BY trade_no ORDER BY ingest_seq) IS NULL AS is_current
+         |FROM trades_versioned
+         |ORDER BY trade_no, valid_from_seq""".stripMargin,
+      tradesCte, tradesVersionedCte)
+  ) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("trade_no").orderBy("ingest_seq")
+    tradesVersioned(spark, dir)
+      .select(col("trade_no"), col("ingest_seq").as("valid_from_seq"),
+        coalesce(lead(col("ingest_seq"), 1).over(w), lit(Scd2Open)).as("valid_to_seq"),
+        col("price"),
+        lead(col("ingest_seq"), 1).over(w).isNull.as("is_current"))
+      .orderBy("trade_no", "valid_from_seq")
+  }
+
   val all: Seq[QueryDef] = Seq(
     a16CandlesBatch, dedupTrades, dedupTradesColumnar, dedupTradesLastBy,
-    dedupTradesCompacted, dedupQuotes, dedupQuotesColumnar,
+    dedupTradesCompacted, dedupQuotes, dedupQuotesColumnar, dedupTradesScd2,
     a06Cascade, a07Valid, a09Bond, a10Periods,
     a11Projection, a12TradeParse, a13QuotesEnvelope, a14SecinfoParse,
     a15HistoryParse, a17Positions, a01StreamCandles, a01CandlesReplay,
