@@ -123,7 +123,9 @@ object ScaleProbe {
     "llm_unigram_fertility",
     // interval join: bucketed equi-join must stay linear (the naive
     // BETWEEN plan is O(points x intervals))
-    "evt_session_concurrency")
+    "evt_session_concurrency",
+    // SCD2: one lead() window over short per-key version chains
+    "dedup_trades_scd2")
   private val Reps = 10
   private val IdStride = 10000000L
 
