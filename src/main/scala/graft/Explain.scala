@@ -58,7 +58,12 @@ object Explain {
       // allocation, outliers' assignment agg + broadcast cell stats,
       // epoch manifest's bounded explode, the card's single hash agg
       "llm_kn_lm_score", "llm_pagerank_hosts", "llm_neyman_sample",
-      "llm_embed_outliers", "llm_epoch_expand", "llm_dataset_card")
+      "llm_embed_outliers", "llm_epoch_expand", "llm_dataset_card",
+      // analytics wave: funnel's single-shuffle sorted-array DP fold,
+      // retention's co-partitioned cohort join, sequence-match's one
+      // sort shared by both running-max windows, CMS's broadcast
+      // counter-table probe join
+      "evt_funnel", "evt_retention", "evt_sequence_match", "llm_cms_sketch")
     names.foreach { n =>
       println(s"\n================ $n ================")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.fixtures.Fixtures._
@@ -114,5 +115,167 @@ object EventQueries {
       .orderBy("user_id", "session_start")
   }
 
-  val all: Seq[QueryDef] = Seq(evtSessions, evtSessionConcurrency)
+  /** Funnel window: 24 h in microseconds. */
+  private val FunnelWindowUs = 86400000000L
+
+  /** The funnel DP as a SQL `aggregate` fold over a (t, s)-sorted
+    * array<struct<t: bigint, s: int>> column named `a` — exposed
+    * package-private so the property spec can drive it over hand-built
+    * chains (late-start chains, window edges, ties) without a fixture.
+    */
+  private[graft] def funnelLevelExpr(windowUs: Long, levels: Int): String = {
+    val init = Seq.fill(levels)("-1L").mkString("array(", ", ", ")")
+    s"""aggregate(a, $init,
+       |  (st, e) -> transform(st, (x, i) ->
+       |    CASE WHEN e.s = i + 1 THEN
+       |      CASE WHEN i = 0 THEN greatest(x, e.t)
+       |           WHEN element_at(st, i) >= 0L
+       |                AND e.t - element_at(st, i) <= ${windowUs}L
+       |             THEN greatest(x, element_at(st, i))
+       |           ELSE x END
+       |    ELSE x END),
+       |  st -> size(filter(st, x -> x >= 0L)))""".stripMargin
+  }
+
+  /** WINDOW FUNNEL — ClickHouse's `windowFunnel(W)(ts, c1, c2, c3)`
+    * aggregate (the analytics family a ClickHouse-backed exporter's
+    * dashboards lean on next after plain aggs): per user, the deepest
+    * prefix of view → click → purchase reachable through events in
+    * non-strict time order with the WHOLE chain inside a 24 h window.
+    *
+    * Spark-first plan: ONE shuffle (groupBy user) collecting the user's
+    * step events into a sorted array, then a codegen'd `aggregate`
+    * higher-order fold runs the standard funnel DP — `start[i]` = the
+    * LATEST chain-start time among chains reaching level i (latest start
+    * maximizes window headroom, so if any chain extends, the kept one
+    * does; events arrive time-sorted, so order constraints hold by
+    * construction). O(events × levels), state = 3 longs — no all-pairs
+    * anything. Per-user state is that user's step events (the same
+    * bound ClickHouse's windowFunnel buffers).
+    *
+    * The DuckDB oracle spells the semantics directly as existential
+    * chain joins (fine at oracle scale, quadratic in general — the DP
+    * is the engine's scale path). Non-strict `>=` comparisons match the
+    * DP's (t, step)-sorted processing on ties exactly.
+    */
+  val evtFunnel = QueryDef.sql(
+    "evt_funnel",
+    s"""WITH ev AS (SELECT user_id, event_type,
+       |    CAST(epoch_ns(ts) // 1000 AS BIGINT) AS t FROM events),
+       |v AS (SELECT user_id, t FROM ev WHERE event_type = 'view'),
+       |c AS (SELECT user_id, t FROM ev WHERE event_type = 'click'),
+       |p AS (SELECT user_id, t FROM ev WHERE event_type = 'purchase'),
+       |l1 AS (SELECT DISTINCT user_id FROM v),
+       |l2 AS (SELECT DISTINCT v.user_id FROM v JOIN c
+       |  ON c.user_id = v.user_id AND c.t >= v.t
+       |  AND c.t - v.t <= $FunnelWindowUs),
+       |l3 AS (SELECT DISTINCT v.user_id FROM v
+       |  JOIN c ON c.user_id = v.user_id AND c.t >= v.t
+       |  JOIN p ON p.user_id = v.user_id AND p.t >= c.t
+       |  AND p.t - v.t <= $FunnelWindowUs)
+       |SELECT 1 AS level, CAST(count(*) AS BIGINT) AS n_users FROM l1
+       |UNION ALL SELECT 2, CAST(count(*) AS BIGINT) FROM l2
+       |UNION ALL SELECT 3, CAST(count(*) AS BIGINT) FROM l3
+       |ORDER BY level""".stripMargin
+  ) { (spark, dir) =>
+    // explicit isin (not a CASE-is-null filter) so the step predicate
+    // pushes down to the parquet scan
+    val e = events(spark, dir)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"),
+        expr("CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2" +
+          " WHEN 'purchase' THEN 3 END").as("s"),
+        expr("unix_micros(ts)").as("t"))
+    e.groupBy("user_id")
+      .agg(sort_array(collect_list(struct(col("t"), col("s")))).as("a"))
+      .withColumn("lvl", expr(funnelLevelExpr(FunnelWindowUs, 3)))
+      .filter(col("lvl") >= 1)
+      .select(explode(sequence(lit(1), col("lvl"))).as("level"))
+      .groupBy("level").agg(count(lit(1)).as("n_users"))
+      .orderBy("level")
+  }
+
+  /** COHORT RETENTION — ClickHouse's `retention(...)` family recast as
+    * the cohort matrix every engagement dashboard draws: users grouped
+    * by first-active day, counted again at day offsets 0/1/3/7/14.
+    * Two co-partitioned shuffles on user_id (distinct active-days, then
+    * the cohort min joined back — Catalyst reuses the hash partitioning
+    * on the aggregated side), then a tiny (days × offsets) aggregate.
+    */
+  val evtRetention = QueryDef.sql(
+    "evt_retention",
+    """WITH e AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+      |c AS (SELECT user_id, min(d) AS cohort_day FROM e GROUP BY user_id)
+      |SELECT c.cohort_day,
+      |  CAST(date_diff('day', c.cohort_day, e.d) AS INTEGER) AS offset_days,
+      |  CAST(count(*) AS BIGINT) AS n_users
+      |FROM e JOIN c ON e.user_id = c.user_id
+      |WHERE date_diff('day', c.cohort_day, e.d) IN (0, 1, 3, 7, 14)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  ) { (spark, dir) =>
+    val e = events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val cohort = e.groupBy("user_id").agg(min("d").as("cohort_day"))
+    e.join(cohort, "user_id")
+      .withColumn("offset_days", datediff(col("d"), col("cohort_day")))
+      .filter(col("offset_days").isin(0, 1, 3, 7, 14))
+      .groupBy("cohort_day", "offset_days")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_day", "offset_days")
+  }
+
+  /** SEQUENCE MATCH with negation — ClickHouse `sequenceMatch` extended
+    * with the pattern class it cannot express: signup → purchase with NO
+    * error in between. Per purchase event, the preceding running-max
+    * signup/error times (ONE shuffle, two window functions over the same
+    * (user, time) sort) decide cleanliness: a purchase is clean iff a
+    * signup precedes it and the latest such signup is after the latest
+    * preceding error. The running-max formulation is the scale path —
+    * the naive per-pair "no error between" check is O(purchases ×
+    * errors). Total (t, event_type, event_id) sort order makes ROWS
+    * framing deterministic in both engines.
+    */
+  val evtSequenceMatch = QueryDef.sql(
+    "evt_sequence_match",
+    """WITH e AS (SELECT user_id, event_id, event_type,
+      |    CAST(epoch_ns(ts) // 1000 AS BIGINT) AS t FROM events),
+      |m AS (SELECT user_id, event_type, t,
+      |    max(CASE WHEN event_type = 'signup' THEN t END) OVER
+      |      (PARTITION BY user_id ORDER BY t, event_type, event_id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_signup,
+      |    max(CASE WHEN event_type = 'error' THEN t END) OVER
+      |      (PARTITION BY user_id ORDER BY t, event_type, event_id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_error
+      |  FROM e),
+      |p AS (SELECT user_id, t,
+      |    (prev_signup IS NOT NULL
+      |     AND (prev_error IS NULL OR prev_signup > prev_error)) AS clean
+      |  FROM m WHERE event_type = 'purchase')
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n_purchases,
+      |  CAST(sum(CASE WHEN clean THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+      |  coalesce(min(CASE WHEN clean THEN t END), -1) AS first_clean_t
+      |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin
+  ) { (spark, dir) =>
+    val e = events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_micros(ts)").as("t"))
+    val w = Window.partitionBy("user_id")
+      .orderBy("t", "event_type", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // both running maxes in ONE select → one Window node, one sort
+    e.select(col("user_id"), col("event_type"), col("t"),
+        max(when(col("event_type") === "signup", col("t"))).over(w).as("prev_signup"),
+        max(when(col("event_type") === "error", col("t"))).over(w).as("prev_error"))
+      .filter(col("event_type") === "purchase")
+      .withColumn("clean", col("prev_signup").isNotNull &&
+        (col("prev_error").isNull || col("prev_signup") > col("prev_error")))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(when(col("clean"), 1L).otherwise(0L)).as("n_clean"),
+        coalesce(min(when(col("clean"), col("t"))), lit(-1L)).as("first_clean_t"))
+      .orderBy("user_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(evtSessions, evtSessionConcurrency,
+    evtFunnel, evtRetention, evtSequenceMatch)
 }

@@ -3558,6 +3558,87 @@ object LlmQueries {
       .orderBy("grain", "lang")
   }
 
+  // ---- frequency sketch: deterministic count-min heavy hitters ----
+
+  /** Count-min sketch geometry: depth (independent hash rows) × width
+    * (buckets per row).
+    */
+  private val CmsDepth = 4
+  private val CmsWidth = 256
+
+  /** Heavy hitters kept in the ledger. */
+  private val CmsTopK = 50
+
+  /** Deterministic COUNT-MIN sketch with an oracle-gated error ledger —
+    * the frequency twin of [[distinctSketch]]'s cardinality KMV: the
+    * streaming-friendly "how often is this token seen" sketch a 100 TB
+    * pipeline uses where exact per-key counts don't fit. Each of
+    * [[CmsDepth]] md5-derived hash rows maps a token to one of
+    * [[CmsWidth]] counters; a token's estimate is the MIN over its row
+    * counters, an overestimate by exactly the colliding mass (the
+    * ledger's `overcount` column is provably ≥ 0 — the oracle checks the
+    * estimator itself, not just plumbing). Ledger = the top-[[CmsTopK]]
+    * exact tokens, ties broken by token for determinism.
+    *
+    * 100 TB shape: ONE corpus-sized pass (explode → map-side-combined
+    * token count); everything after is vocab-sized — the 4-row hash
+    * expansion runs over DISTINCT tokens, the counter table is
+    * depth×width = 2048 rows and BROADCAST to the top-k probe side, so
+    * the sketch query adds zero extra shuffles over the count itself.
+    * The exact count feeding the sketch here is the fixture-scale
+    * derivation making the ledger exact-comparable; the production form
+    * folds the same bucket sums directly from occurrence hashes. Grain
+    * is word BIGRAMS (the unigram vocab is 31 — under one key per
+    * bucket, every overcount would be 0 and the ledger would never
+    * exercise the collision path; the ~960-key bigram vocab at width
+    * 256 puts ~4 keys in every row bucket, the sketch's design regime).
+    */
+  val cmsSketch = QueryDef.sql(
+    "llm_cms_sketch", {
+      val h = Text.hexPrefixInt60Sql(
+        "md5(concat(CAST(r AS VARCHAR), ':', tok))")
+      s"""WITH tk0 AS (SELECT string_split(text, ' ') AS tk FROM documents),
+         |toks AS (SELECT unnest(${Text.wordNgramsSql(2, distinct = false)}) AS tok FROM tk0),
+         |cnt AS (SELECT tok, CAST(count(*) AS BIGINT) AS exact_cnt
+         |  FROM toks GROUP BY tok),
+         |hashed AS (SELECT tok, exact_cnt, r, $h % $CmsWidth AS bkt
+         |  FROM cnt CROSS JOIN range(0, $CmsDepth) t(r)),
+         |buckets AS (SELECT r, bkt, CAST(sum(exact_cnt) AS BIGINT) AS bkt_cnt
+         |  FROM hashed GROUP BY r, bkt),
+         |top AS (SELECT tok, exact_cnt FROM cnt
+         |  ORDER BY exact_cnt DESC, tok LIMIT $CmsTopK),
+         |toph AS (SELECT tok, exact_cnt, r, $h % $CmsWidth AS bkt
+         |  FROM top CROSS JOIN range(0, $CmsDepth) t(r))
+         |SELECT t.tok, t.exact_cnt, min(b.bkt_cnt) AS cms_cnt,
+         |  min(b.bkt_cnt) - t.exact_cnt AS overcount
+         |FROM toph t JOIN buckets b ON b.r = t.r AND b.bkt = t.bkt
+         |GROUP BY t.tok, t.exact_cnt
+         |ORDER BY exact_cnt DESC, tok""".stripMargin
+    }
+  ) { (spark, dir) =>
+    val bktExpr = expr(
+      s"""transform(sequence(0, ${CmsDepth - 1}), r -> named_struct(
+         |  'r', CAST(r AS BIGINT),
+         |  'bkt', CAST(conv(substr(md5(concat(CAST(r AS STRING), ':', tok)),
+         |                   1, 15), 16, 10) AS BIGINT) % $CmsWidth))""".stripMargin)
+    val cnt = documents(spark, dir)
+      .select(split(col("text"), " ").as("tk"))
+      .select(explode(expr("word_ngrams(tk, 2, false)")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
+    def expand(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("tok"), col("exact_cnt"), explode(bktExpr).as("rb"))
+      .select(col("tok"), col("exact_cnt"),
+        col("rb.r").as("r"), col("rb.bkt").as("bkt"))
+    val buckets = expand(cnt)
+      .groupBy("r", "bkt").agg(sum("exact_cnt").as("bkt_cnt"))
+    val top = cnt.orderBy(col("exact_cnt").desc, col("tok")).limit(CmsTopK)
+    expand(top)
+      .join(broadcast(buckets), Seq("r", "bkt"))
+      .groupBy("tok", "exact_cnt").agg(min("bkt_cnt").as("cms_cnt"))
+      .withColumn("overcount", col("cms_cnt") - col("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("tok"))
+  }
+
   // ---- LM fluency scoring: integer-quantized bigram model ----
 
   /** Probability quantum: q(bigram) = (count(w1 w2) · 10^6) div count(w1)
@@ -4851,7 +4932,7 @@ object LlmQueries {
     bloomDedup,
     semDedup, semDedupGuarded,
     semDedupCapped,
-    topNgrams, distinctSketch,
+    topNgrams, distinctSketch, cmsSketch,
     seqPack, packSpans, splitAssign, curation, mixSample, lengthQuantiles, lmScore,
     lmScoreHoldout, dsirWeight, doremiWeight, chunkSplit,
     shuffleShard, clusterBest, ccnetBucket, sqRecall, annLedger, mrlRecall, bpeTrain,

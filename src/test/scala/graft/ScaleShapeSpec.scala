@@ -143,6 +143,35 @@ class ScaleShapeSpec extends SparkSuite {
       "the bucket key must carry the join:\n" + p.take(2000))
   }
 
+  test("analytics shapes: funnel is one partial-aggregated collect, no pair joins") {
+    // the DP fold replaces the oracle's existential chain joins — the
+    // plan must be ONE user-keyed aggregation (map-side partial
+    // collect), the step filter must reach the scan, and no join of any
+    // kind may appear (a chain-join shape is O(views × clicks))
+    val p = plan("evt_funnel")
+    assert(p.contains("partial_collect_list"),
+      "per-user arrays must partial-aggregate map-side:\n" + p.take(2000))
+    assert(!p.contains("Join"), "the funnel plan must be join-free:\n" + p.take(2000))
+    assert(p.contains("In(event_type"),
+      "step filter must push down to the parquet scan:\n" + p.take(2000))
+  }
+
+  test("analytics shapes: sequence-match shares ONE sort across both running maxes") {
+    val p = plan("evt_sequence_match")
+    assert("Window \\[".r.findAllIn(p).size == 1,
+      "both running-max window functions must ride one Window node (one sort):\n" + p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "no per-pair no-error-between check may appear:\n" + p.take(2000))
+  }
+
+  test("analytics shapes: cms probes the counter table by broadcast") {
+    val p = plan("llm_cms_sketch")
+    assert(p.contains("BroadcastExchange"),
+      "the depth×width counter table must broadcast to the top-k probe:\n" + p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the sketch join must stay equi-join shaped:\n" + p.take(2000))
+  }
+
   test("nested fixture memoization is recursion-safe from a cold cache") {
     // embeddingsRedelivered's builder memoizes embeddingsNearDup INSIDE
     // its own memo call. The old computeIfAbsent-based memo threw

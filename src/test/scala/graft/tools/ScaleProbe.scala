@@ -125,7 +125,12 @@ object ScaleProbe {
     // BETWEEN plan is O(points x intervals))
     "evt_session_concurrency",
     // SCD2: one lead() window over short per-key version chains
-    "dedup_trades_scd2")
+    "dedup_trades_scd2",
+    // analytics wave: funnel's per-user sorted-array DP (array size =
+    // per-user step events — constant here; the user count carries the
+    // 10×), sequence-match's shared-sort running-max windows, and the
+    // CMS corpus pass (bucket table stays depth×width at any scale)
+    "evt_funnel", "evt_sequence_match", "llm_cms_sketch", "evt_retention")
   private val Reps = 10
   private val IdStride = 10000000L
 
