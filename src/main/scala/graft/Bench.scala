@@ -444,7 +444,25 @@ object Bench {
     val total = times.values.sum
     val coldTotal = coldTimes.values.sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total":$coldTotal,"cold_queries":$cqs,"errors":$es,"inversions":$invs,"reprobes":$reps,"streaming":$streamingJson,"sf":"$sfDir"}"""
-    println(line)
+    // The driver keeps only the last ~2000 chars of stdout and parses the
+    // JSON line out of that tail — the full artifact outgrew it rounds
+    // ago (12 kB at 147 entries), which is why BENCH_r07/r08 both record
+    // "parsed": null. stdout therefore carries ONE COMPACT line (the
+    // dashboard q-series + summary counters, ~1 kB — always whole inside
+    // the tail); the full per-entry artifact goes to BENCH_FULL.json
+    // below, committed each round, as before.
+    def r3(v: Double): String = f"$v%.3f"
+    val headlineQs = times.toSeq.filter(_._1.matches("q\\d+.*")).sortBy(_._1)
+      .map { case (k, v) => s"${jstr(k)}:${r3(v)}" }.mkString("{", ",", "}")
+    val streamRps = """"([a-z0-9_]+)":\{"rows_per_sec":(\d+)""".r
+      .findAllMatchIn(streamingJson)
+      .map(m => s"${jstr(m.group(1))}:${m.group(2)}").mkString("{", ",", "}")
+    val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
+      s""""queries":$headlineQs,"cold_total":${r3(coldTotal)},""" +
+      s""""n_queries":${times.size},"n_errors":${errors.size},""" +
+      s""""n_inversions":${inversions.size},"streaming_rows_per_sec":$streamRps,""" +
+      s""""full":"BENCH_FULL.json","sf":"$sfDir"}"""
+    println(compact)
     // The driver's stdout capture has truncated the per-query head in past
     // rounds (r4/r5 verdicts) — ALSO persist the full artifact to a file
     // (committed per round) so every entry's warm+cold time is judgeable.
