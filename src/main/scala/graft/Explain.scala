@@ -63,7 +63,12 @@ object Explain {
       // retention's co-partitioned cohort join, sequence-match's one
       // sort shared by both running-max windows, CMS's broadcast
       // counter-table probe join
-      "evt_funnel", "evt_retention", "evt_sequence_match", "llm_cms_sketch")
+      "evt_funnel", "evt_retention", "evt_sequence_match", "llm_cms_sketch",
+      // incremental-aggregation wave: state-merge's two metadata-scale
+      // aggregates around a parts-table scan, summing rollup's
+      // partial+merge pair, the text ingest edges' schema-pinned scans
+      "qx_topk_state_merge", "rollup_summing_merge",
+      "a22_csv_source_roundtrip", "a23_json_source_roundtrip")
     names.foreach { n =>
       println(s"\n================ $n ================")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

@@ -35,6 +35,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_topk"),
       info("graft_topk", "graft_topk(col, k) - SpaceSaving top-k (ClickHouse topK)"),
       exprs => TopK(exprs.head, exprs(1))))
+    ext.injectFunction((FunctionIdentifier("graft_topk_state"),
+      info("graft_topk_state", "graft_topk_state(col, k) - serialized sketch (ClickHouse topKState)"),
+      exprs => graft.expr.TopKState(exprs.head, exprs(1))))
+    ext.injectFunction((FunctionIdentifier("graft_topk_merge"),
+      info("graft_topk_merge", "graft_topk_merge(state, k) - fold persisted states (ClickHouse topKMerge)"),
+      exprs => graft.expr.TopKMerge(exprs.head, exprs(1))))
     ext.injectFunction((FunctionIdentifier("graft_last_by"),
       info("graft_last_by", "graft_last_by(value, ord) - value at max ord on the hash-aggregate path"),
       exprs => LastBy(exprs.head, exprs(1))))

@@ -59,6 +59,42 @@ final class TopKBuffer(val capacity: Int) {
       .take(k).map(_._1).toArray
 }
 
+/** Shared wire format for [[TopKBuffer]] — used both between partial and
+  * final aggregation ([[TopK]].serialize) and AT REST by the
+  * `-State`/`-Merge` combinator pair ([[TopKState]]/[[TopKMerge]]): a
+  * state persisted by one job must deserialize in a later one, so the
+  * layout is explicit (int capacity, int n, then n × (UTF value, long
+  * count, long error)) rather than Java serialization. Entries are
+  * written value-sorted so equal sketches produce identical bytes
+  * (HashMap iteration order would otherwise leak into the parquet).
+  */
+object TopKBuffer {
+  def write(b: TopKBuffer): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(b.capacity)
+    out.writeInt(b.counters.size)
+    b.counters.toSeq.sortBy(_._1).foreach { case (v, (c, e)) =>
+      out.writeUTF(v); out.writeLong(c); out.writeLong(e)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  def read(bytes: Array[Byte]): TopKBuffer = {
+    val in = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val b = new TopKBuffer(in.readInt())
+    val n = in.readInt()
+    var i = 0
+    while (i < n) {
+      val v = in.readUTF(); val c = in.readLong(); val e = in.readLong()
+      b.counters.update(v, (c, e))
+      i += 1
+    }
+    b
+  }
+}
+
 /** `graft_topk(col, k)` — approximate top-k heavy hitters as
   * array&lt;string&gt;, the Spark-native port of ClickHouse `topK(k)(col)`.
   * A [[TypedImperativeAggregate]] so it participates in partial/final
@@ -93,30 +129,9 @@ case class TopK(
   override def eval(b: TopKBuffer): Any =
     new GenericArrayData(b.topK(k).map(UTF8String.fromString))
 
-  override def serialize(b: TopKBuffer): Array[Byte] = {
-    val bos = new ByteArrayOutputStream()
-    val out = new DataOutputStream(bos)
-    out.writeInt(b.capacity)
-    out.writeInt(b.counters.size)
-    b.counters.foreach { case (v, (c, e)) =>
-      out.writeUTF(v); out.writeLong(c); out.writeLong(e)
-    }
-    out.flush()
-    bos.toByteArray
-  }
+  override def serialize(b: TopKBuffer): Array[Byte] = TopKBuffer.write(b)
 
-  override def deserialize(bytes: Array[Byte]): TopKBuffer = {
-    val in = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
-    val b = new TopKBuffer(in.readInt())
-    val n = in.readInt()
-    var i = 0
-    while (i < n) {
-      val v = in.readUTF(); val c = in.readLong(); val e = in.readLong()
-      b.counters.update(v, (c, e))
-      i += 1
-    }
-    b
-  }
+  override def deserialize(bytes: Array[Byte]): TopKBuffer = TopKBuffer.read(bytes)
 
   override def withNewMutableAggBufferOffset(newOffset: Int): TopK =
     copy(mutableAggBufferOffset = newOffset)
@@ -127,6 +142,110 @@ case class TopK(
     copy(child = newChildren(0), kExpr = newChildren(1))
 
   override def prettyName: String = "graft_topk"
+}
+
+/** `graft_topk_state(col, k)` — the ClickHouse `topKState` combinator:
+  * aggregates like [[TopK]] but emits the SERIALIZED SKETCH (binary)
+  * instead of the finished array. The AggregatingMergeTree idiom at
+  * 100 TB: each ingest batch (a day, an hour, one micro-batch) persists
+  * per-group states into a parts table whose size tracks GROUPS × PARTS,
+  * not rows; any later query folds states via [[TopKMerge]] and never
+  * rescans the raw facts. While every per-part sketch stays under
+  * capacity the round-trip is lossless; past capacity it degrades to the
+  * standard SpaceSaving-merge approximation (TopKStateSpec pins both
+  * regimes).
+  */
+case class TopKState(
+    child: Expression,
+    kExpr: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKBuffer] {
+
+  private lazy val k: Int = kExpr.eval().asInstanceOf[Number].intValue()
+  private def capacity: Int = math.max(k * 5, 64)
+
+  override def children: Seq[Expression] = Seq(child, kExpr)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+
+  override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(capacity)
+
+  override def update(b: TopKBuffer, input: InternalRow): TopKBuffer = {
+    val v = child.eval(input)
+    if (v != null) b.add(v.toString)
+    b
+  }
+
+  override def merge(b: TopKBuffer, o: TopKBuffer): TopKBuffer = { b.merge(o); b }
+
+  override def eval(b: TopKBuffer): Any = TopKBuffer.write(b)
+
+  override def serialize(b: TopKBuffer): Array[Byte] = TopKBuffer.write(b)
+  override def deserialize(bytes: Array[Byte]): TopKBuffer = TopKBuffer.read(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKState =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKState =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TopKState =
+    copy(child = newChildren(0), kExpr = newChildren(1))
+
+  override def prettyName: String = "graft_topk_state"
+}
+
+/** `graft_topk_merge(state, k)` — the ClickHouse `topKMerge` combinator:
+  * folds PERSISTED [[TopKState]] blobs (one row per part × group) back
+  * into a sketch and finishes it to the top-k array, with the same
+  * (count desc, value asc) determinism as [[TopK]]. Input states may
+  * carry any capacity (it travels in the wire format); the fold keeps
+  * the widest seen so a merge never narrows what a part measured.
+  */
+case class TopKMerge(
+    child: Expression,
+    kExpr: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKBuffer] {
+
+  private lazy val k: Int = kExpr.eval().asInstanceOf[Number].intValue()
+  private def capacity: Int = math.max(k * 5, 64)
+
+  override def children: Seq[Expression] = Seq(child, kExpr)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(capacity)
+
+  override def update(b: TopKBuffer, input: InternalRow): TopKBuffer = {
+    val v = child.eval(input)
+    if (v == null) return b
+    val other = TopKBuffer.read(v.asInstanceOf[Array[Byte]])
+    // fold into the wider of the two buffers so a high-capacity part
+    // state is never truncated by the default merge buffer
+    if (other.capacity > b.capacity) { other.merge(b); other }
+    else { b.merge(other); b }
+  }
+
+  override def merge(b: TopKBuffer, o: TopKBuffer): TopKBuffer =
+    if (o.capacity > b.capacity) { o.merge(b); o } else { b.merge(o); b }
+
+  override def eval(b: TopKBuffer): Any =
+    new GenericArrayData(b.topK(k).map(UTF8String.fromString))
+
+  override def serialize(b: TopKBuffer): Array[Byte] = TopKBuffer.write(b)
+  override def deserialize(bytes: Array[Byte]): TopKBuffer = TopKBuffer.read(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKMerge =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKMerge =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TopKMerge =
+    copy(child = newChildren(0), kExpr = newChildren(1))
+
+  override def prettyName: String = "graft_topk_merge"
 }
 
 /** Session-level registration of the custom function surface — the two
@@ -151,6 +270,10 @@ object GraftFunctions {
     val registry = spark.sessionState.functionRegistry
     registry.createOrReplaceTempFunction(
       "graft_topk", exprs => TopK(exprs.head, exprs(1)), "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_topk_state", exprs => TopKState(exprs.head, exprs(1)), "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_topk_merge", exprs => TopKMerge(exprs.head, exprs(1)), "built-in")
     registry.createOrReplaceTempFunction(
       "graft_last_by", exprs => LastBy(exprs.head, exprs(1)), "built-in")
     registry.createOrReplaceTempFunction(

@@ -85,37 +85,13 @@ object IngestQueries {
       Dedup.lastWriteWinsSql("trades_versioned", Schemas.tradesKey, "ingest_seq", tradeCols),
       tradesCte, tradesVersionedCte)
   ) { (spark, dir) =>
-    // one scratch dir per (application, input), MEMOIZED so reruns within
-    // an app are idempotent (Overwrite into the same path), UNIQUE per
-    // JVM (createTempDirectory) so concurrent applications can't race on
-    // a shared /tmp path, and deleted on JVM exit so nothing leaks
-    val out = IngestQueries.compactedScratch
-      .computeIfAbsent(s"${spark.sparkContext.applicationId}|$dir", _ =>
-        java.nio.file.Files.createTempDirectory("graft_compacted_").toString)
+    // scratch keyed by (application, input) — see graft.sources.Scratch
+    // for the memo/uniqueness/cleanup contract
+    val out = graft.sources.Scratch.dir(
+      s"compacted|${spark.sparkContext.applicationId}|$dir")
     graft.sources.Sinks.materializeTradesCompacted(
       tradesVersioned(spark, dir), "ingest_seq", out)
     spark.read.parquet(out).select(tradeCols.map(col): _*)
-  }
-
-  /** Scratch paths for [[dedupTradesCompacted]], cleaned up at JVM exit. */
-  private val compactedScratch = {
-    val m = new java.util.concurrent.ConcurrentHashMap[String, String]()
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      m.values.forEach { p =>
-        val root = java.nio.file.Paths.get(p)
-        if (java.nio.file.Files.exists(root)) {
-          // close the walk stream, and never let one racing dir (other
-          // shutdown hooks may still be flushing — deleteIfExists throws
-          // CHECKED IOExceptions like DirectoryNotEmptyException) abort
-          // the cleanup of the remaining roots
-          val walk = java.nio.file.Files.walk(root)
-          try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-            .forEach(f => java.nio.file.Files.deleteIfExists(f))
-          catch { case scala.util.control.NonFatal(_) => () }
-          finally walk.close()
-        }
-      }))
-    m
   }
 
   private val quoteCols = Seq("time", "secid", "board", "sec_code", "price",
@@ -145,6 +121,83 @@ object IngestQueries {
   ) { (spark, dir) =>
     Dedup.lastWriteWinsColumnar(quotes(spark, dir), Schemas.quotesKey,
       "quote_seq", packCols = Set("source"))
+  }
+
+  /** SummingMergeTree-analog incremental rollup (round 9; db.go:31 —
+    * every reference table is a *MergeTree, and the summing variant is
+    * how ClickHouse deployments keep turnover dashboards off the raw
+    * fact table). Four simulated delivery batches (`trade_no % 4`) each
+    * write their PARTIAL (sec_code, side, hour) sums into a
+    * part-partitioned rollup via
+    * [[graft.sources.Sinks.materializeSummingParts]]; the read path
+    * finishes the query from the rollup alone — re-summing KEYS × PARTS
+    * pre-aggregated rows, never the facts. The oracle is the direct
+    * GROUP BY over the raw trades: passing proves partial-sum +
+    * merge-sum ≡ one-shot aggregation (the additivity contract), so a
+    * lost part, a double-counted part or a measure/key drift is a hash
+    * mismatch.
+    */
+  val rollupSummingMerge = QueryDef.sql(
+    "rollup_summing_merge",
+    withCtes(
+      s"""SELECT sec_code, buy_sell, hour,
+         |  CAST(SUM(quantity) AS BIGINT) AS qty, CAST(COUNT(*) AS BIGINT) AS cnt
+         |FROM (SELECT sec_code, buy_sell, ${TradeQueries.bucketSql("time", 3600)} AS hour, quantity
+         |      FROM trades) b
+         |GROUP BY sec_code, buy_sell, hour
+         |ORDER BY sec_code, buy_sell, hour""".stripMargin,
+      tradesCte)
+  ) { (spark, dir) =>
+    val keys = Seq("sec_code", "buy_sell", "hour")
+    val parts = graft.sources.Scratch.dir(
+      s"summing_parts|${spark.sparkContext.applicationId}|$dir")
+    graft.sources.Sinks.materializeSummingParts(
+      trades(spark, dir)
+        .withColumn("ingest_part", pmod(col("trade_no"), lit(4L)))
+        .withColumn("hour", TradeQueries.bucket(col("time"), 3600)),
+      partCol = "ingest_part", keyCols = keys,
+      measures = Seq("qty" -> sum(col("quantity")), "cnt" -> count(lit(1))),
+      path = parts, mode = org.apache.spark.sql.SaveMode.Overwrite)
+    graft.sources.Sinks.readSummingMerged(spark, parts, keys, Seq("qty", "cnt"))
+      .orderBy("sec_code", "buy_sell", "hour")
+  }
+
+  // ---- A22/A23 — text-format ingest edge (CSV / JSON-lines) ----
+
+  /** CSV ingest surface held to an IDENTITY oracle: the documents table
+    * (free text — spaces, punctuation, the quoting-hostile payload)
+    * written through [[graft.sources.Sources.writeCsv]] and read back
+    * with [[graft.sources.Sources.readCsv]]'s explicit schema must equal
+    * the parquet original row-for-row. One hash pins header handling,
+    * RFC-4180 quote doubling, multiLine fields and null encoding — the
+    * classic silent-corruption seams of a text ingest edge.
+    */
+  val a22CsvRoundtrip = QueryDef.sql(
+    "a22_csv_source_roundtrip",
+    "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id"
+  ) { (spark, dir) =>
+    val docs = documents(spark, dir)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val out = graft.sources.Scratch.dir(
+      s"csv_roundtrip|${spark.sparkContext.applicationId}|$dir")
+    graft.sources.Sources.writeCsv(docs, out)
+    graft.sources.Sources.readCsv(spark, out, docs.schema).orderBy("doc_id")
+  }
+
+  /** JSON-lines twin of [[a22CsvRoundtrip]] over the TYPED table: trades
+    * carries timestamp, double, bigint, int and fixed-width string
+    * columns, so the identity oracle pins the timestamp text format,
+    * float fidelity and integer width through the JSON edge.
+    */
+  val a23JsonRoundtrip = QueryDef.sql(
+    "a23_json_source_roundtrip",
+    withCtes("SELECT * FROM trades ORDER BY trade_no", tradesCte)
+  ) { (spark, dir) =>
+    val t = trades(spark, dir)
+    val out = graft.sources.Scratch.dir(
+      s"json_roundtrip|${spark.sparkContext.applicationId}|$dir")
+    graft.sources.Sources.writeJsonl(t, out)
+    graft.sources.Sources.readJsonl(spark, out, t.schema).orderBy("trade_no")
   }
 
   // ---- A6-A10 filter cascade (fixed config standing in for the env vars) ----
@@ -488,5 +541,5 @@ object IngestQueries {
     a06Cascade, a07Valid, a09Bond, a10Periods,
     a11Projection, a12TradeParse, a13QuotesEnvelope, a14SecinfoParse,
     a15HistoryParse, a17Positions, a01StreamCandles, a01CandlesReplay,
-    layoutZorderKey)
+    layoutZorderKey, rollupSummingMerge, a22CsvRoundtrip, a23JsonRoundtrip)
 }

@@ -547,8 +547,55 @@ object TradeQueries {
       .orderBy("trade_no")
   }
 
+  /** ClickHouse `-State`/`-Merge` combinators (beyond-reference, round 9):
+    * the AggregatingMergeTree idiom the reference's ClickHouse tables
+    * live next to (db.go:31 — every table is a *MergeTree). Stage 1
+    * aggregates each PART (here: one trading day × side) to a serialized
+    * SpaceSaving sketch via `graft_topk_state` and persists the states
+    * table; stage 2 answers the query from STATES ONLY —
+    * `graft_topk_merge` folds them per side and finishes to the ranked
+    * top-10, never rescanning the raw facts.
+    *
+    * The 100 TB shape: the states table is GROUPS × PARTS rows (here
+    * days × 2, each ≤ 64 counters ≈ 1 kB), so a year of 100 TB of trades
+    * compacts to a few thousand kilobyte-sized rows and every subsequent
+    * top-k query is a metadata-scale scan — the same reason ClickHouse
+    * materializes `topKState` in AggregatingMergeTree views. The oracle
+    * is the exact ranking (count desc, code asc): with ≤ 60 instrument
+    * codes per sketch capacity 64, serialize→persist→merge is lossless,
+    * so a wire-format or merge bug is a hash mismatch. TopKStateSpec
+    * additionally pins the OVER-capacity merge regime (approximation
+    * bounds), which no oracle can express.
+    */
+  val qxTopkStateMerge = QueryDef.sql(
+    "qx_topk_state_merge",
+    withCtes(
+      """SELECT buy_sell, pos, sec FROM (
+        |  SELECT buy_sell, sec_code AS sec,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY buy_sell ORDER BY cnt DESC, sec_code) - 1 AS INT) AS pos
+        |  FROM (SELECT buy_sell, sec_code, COUNT(*) AS cnt FROM trades GROUP BY buy_sell, sec_code) c) r
+        |WHERE pos < 10
+        |ORDER BY buy_sell, pos""".stripMargin,
+      tradesCte)
+  ) { (spark, dir) =>
+    GraftFunctions.register(spark)
+    val parts = graft.sources.Scratch.dir(
+      s"topk_states|${spark.sparkContext.applicationId}|$dir")
+    trades(spark, dir)
+      .withColumn("part_date", to_date(col("time")))
+      .groupBy(col("part_date"), col("buy_sell"))
+      .agg(expr("graft_topk_state(sec_code, 10)").as("state"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(parts)
+    spark.read.parquet(parts)
+      .groupBy("buy_sell")
+      .agg(expr("graft_topk_merge(state, 10)").as("arr"))
+      .select(col("buy_sell"), posexplode(col("arr")))
+      .toDF("buy_sell", "pos", "sec")
+      .orderBy("buy_sell", "pos")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22,
-    qxSaltedTurnover, qxAsofTradeQuote, qxAsofCustom)
+    qxSaltedTurnover, qxAsofTradeQuote, qxAsofCustom, qxTopkStateMerge)
 }

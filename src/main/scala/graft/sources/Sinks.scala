@@ -76,6 +76,46 @@ object Sinks {
     compacted.write.mode(SaveMode.Overwrite).partitionBy("trade_date").parquet(path)
   }
 
+  /** SummingMergeTree-analog incremental rollup (db.go:31 family): each
+    * ingest part (a delivery batch, a day, one micro-batch) writes its
+    * PARTIAL aggregate rows — additive measures pre-summed per key — into
+    * a parts table; [[readSummingMerged]] finishes any later query by
+    * re-summing per key across parts. At 100 TB the parts table is
+    * KEYS × PARTS rows, so the rollup a dashboard actually scans is
+    * orders of magnitude smaller than the fact table, and each new batch
+    * costs ONE partial aggregate of just that batch — never a rescan of
+    * history. Correct for any commutative-monoid measure (sum, count;
+    * min/max work the same way) — exactly ClickHouse's SummingMergeTree
+    * contract.
+    *
+    * A production ingest calls this per batch with `SaveMode.Append`
+    * (one new part directory per delivery); the harness entry passes
+    * `Overwrite` so in-application reruns (the bench warm lane) stay
+    * idempotent.
+    */
+  def materializeSummingParts(facts: DataFrame, partCol: String,
+      keyCols: Seq[String], measures: Seq[(String, org.apache.spark.sql.Column)],
+      path: String, mode: SaveMode = SaveMode.Append): Unit = {
+    import org.apache.spark.sql.functions.col
+    val aggs = measures.map { case (n, c) => c.as(n) }
+    facts.groupBy((partCol +: keyCols).map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .write.mode(mode).partitionBy(partCol).parquet(path)
+  }
+
+  /** Query-time merge of a [[materializeSummingParts]] table: sum every
+    * measure per key across parts. Measure columns keep their names so
+    * the rollup is transparent to readers.
+    */
+  def readSummingMerged(spark: org.apache.spark.sql.SparkSession, path: String,
+      keyCols: Seq[String], measureCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, sum}
+    val aggs = measureCols.map(m => sum(col(m)).as(m))
+    spark.read.parquet(path)
+      .groupBy(keyCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Bucketed materialization (SURVEY §7.7 / builder brief "bucketing
     * for co-located joins"): persist a table hash-bucketed AND
     * bucket-sorted on the join key. Two tables bucketed the same way

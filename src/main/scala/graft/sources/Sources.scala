@@ -32,4 +32,58 @@ object Sources {
     */
   def stream(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.readStream.schema(schema).parquet(path)
+
+  // =======================================================================
+  // Text-format ingest surface (round 9): the reference's upstream feeds
+  // are text on the wire (XML envelopes re-serialized to CSV/JSON drops in
+  // typical deployments), so the engine exposes CSV and JSON-lines readers
+  // with the same explicit-schema discipline as the parquet path. Options
+  // are centralized here so the write and read sides CANNOT drift: the
+  // registered round-trip entries (a22/a23) hold write→read to an identity
+  // oracle, which pins quoting, escaping, embedded newlines (multiLine),
+  // timestamp text format and null encoding in one hash.
+  //
+  // Scale notes: both readers are splittable per FILE; CSV with
+  // multiLine=true additionally can't split INSIDE a file (a quoted field
+  // may span lines), so the writer keeps the input's partitioning — many
+  // moderate files — rather than coalescing, and a 100 TB drop stays
+  // parallel. JSON-lines splits by line unconditionally. These formats are
+  // the INGEST EDGE only; first hop materializes to parquet (batchAppend).
+  // =======================================================================
+
+  /** Shared CSV options — header row, full quoting with `"` doubled as the
+    * escape (RFC-4180), ISO timestamps; `multiLine` lets quoted text carry
+    * embedded newlines. Known format limit (inherent to CSV, not an
+    * option away): an EMPTY STRING and NULL serialize identically, so
+    * empty strings read back as null — feeds that need the distinction
+    * take the JSON edge ([[writeJsonl]]), which preserves both.
+    */
+  private def csvOptions(r: org.apache.spark.sql.DataFrameReader) =
+    r.option("header", true).option("quote", "\"").option("escape", "\"")
+      .option("multiLine", true)
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
+
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("header", true).option("quote", "\"").option("escape", "\"")
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
+      // the WRITER trims cell whitespace by default (StateMergeSpec
+      // caught "trailing space " arriving back as "trailing space");
+      // data fidelity wins over pretty output on an ingest edge
+      .option("ignoreLeadingWhiteSpace", false)
+      .option("ignoreTrailingWhiteSpace", false)
+      .csv(path)
+
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    csvOptions(spark.read.schema(schema)).csv(path)
+
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
+      .json(path)
+
+  def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema)
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
+      .json(path)
 }

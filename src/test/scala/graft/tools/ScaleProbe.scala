@@ -130,7 +130,14 @@ object ScaleProbe {
     // per-user step events — constant here; the user count carries the
     // 10×), sequence-match's shared-sort running-max windows, and the
     // CMS corpus pass (bucket table stays depth×width at any scale)
-    "evt_funnel", "evt_sequence_match", "llm_cms_sketch", "evt_retention")
+    "evt_funnel", "evt_sequence_match", "llm_cms_sketch", "evt_retention",
+    // incremental-aggregation wave: state-merge (one facts pass to
+    // days×side sketch states, then metadata-scale merge — the probe
+    // measures the facts pass), summing rollup (partial agg + parts
+    // write + KEYS×PARTS re-sum), and the text ingest edges (write+read
+    // must both stay splittable-parallel and linear in bytes)
+    "qx_topk_state_merge", "rollup_summing_merge",
+    "a22_csv_source_roundtrip", "a23_json_source_roundtrip")
   private val Reps = 10
   private val IdStride = 10000000L
 
