@@ -68,7 +68,9 @@ object Explain {
       // aggregates around a parts-table scan, summing rollup's
       // partial+merge pair, the text ingest edges' schema-pinned scans
       "qx_topk_state_merge", "rollup_summing_merge",
-      "a22_csv_source_roundtrip", "a23_json_source_roundtrip")
+      "a22_csv_source_roundtrip", "a23_json_source_roundtrip",
+      // wave 5: partitioned JDBC source scan, composed KMV state merge
+      "a24_jdbc_source_roundtrip", "llm_uniq_state_merge")
     names.foreach { n =>
       println(s"\n================ $n ================")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

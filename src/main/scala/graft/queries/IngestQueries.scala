@@ -200,6 +200,79 @@ object IngestQueries {
     graft.sources.Sources.readJsonl(spark, out, t.schema).orderBy("trade_no")
   }
 
+  /** JDBC as a SOURCE (round 9; completes the A-surface's production
+    * parity: SinksSpec proved the sink, this registers the read side
+    * with the driver gate). Trades are staged into an embedded Derby
+    * database — the JDBC engine Spark already ships — then read back
+    * through `spark.read.jdbc` as a PARTITIONED scan: `partitionColumn =
+    * trade_no` with bounds discovered by one min/max aggregate, 8
+    * concurrent range queries. That is the 100 TB-relevant part: an
+    * unpartitioned JDBC read is ONE executor pulling the whole table
+    * through one cursor; the bounded-stride form is how a relational
+    * side actually feeds a cluster (the bounds lookup is two scalars —
+    * the standard, documented driver action for JDBC ingestion). The
+    * identity oracle pins type fidelity through the SQL edge: timestamp,
+    * double, bigint, int and string columns must survive explicit DDL,
+    * insertion and 8-way partitioned reassembly bit-for-bit.
+    *
+    * The staging table gets an EXPLICIT primary key on the partition
+    * column — the production precondition the first cut of this entry
+    * measured the absence of: without an index every range partition
+    * full-scans the table (8 partitions = 8 sequential scans, 14.7 s at
+    * sf0.1), and Spark's default 1000-row insert batches through one
+    * connection bottleneck the staging side. Keyed DDL + 8 writer
+    * connections × 10k-row batches is the shape a relational feed
+    * actually has.
+    *
+    * The staged slice is a deterministic 5% of trades (`trade_no % 20 =
+    * 3`, same filter in the oracle): the relational side of a 100 TB
+    * deployment holds REFERENCE-scale tables (a directory, a sample, a
+    * control set) — the fact stream never transits one SQL cursor, and
+    * benchmarking embedded Derby's insert path is not what this entry
+    * verifies. ScaleProbe still carries it so the staged volume's
+    * LINEARITY stays measured.
+    */
+  val a24JdbcRoundtrip = QueryDef.sql(
+    "a24_jdbc_source_roundtrip",
+    withCtes(
+      "SELECT * FROM trades WHERE trade_no % 20 = 3 ORDER BY trade_no",
+      tradesCte)
+  ) { (spark, dir) =>
+    val t = trades(spark, dir).filter(pmod(col("trade_no"), lit(20L)) === 3)
+    val db = graft.sources.Scratch.dir(
+      s"jdbc_roundtrip|${spark.sparkContext.applicationId}|$dir")
+    val url = s"jdbc:derby:$db/graftsrc;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.iapi.jdbc.AutoloadedDriver")
+    // keyed DDL (quoted lowercase identifiers so the JDBC metadata
+    // round-trips the DataFrame's column names); drop-and-recreate keeps
+    // in-application reruns idempotent like the parquet scratch entries
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try st.executeUpdate("DROP TABLE trades_src")
+      catch { case _: java.sql.SQLException => () } // first run: no table
+      st.executeUpdate(
+        """CREATE TABLE trades_src (
+          |  "time" TIMESTAMP, "secid" INT, "sec_code" VARCHAR(16),
+          |  "trade_no" BIGINT PRIMARY KEY, "board" VARCHAR(8),
+          |  "price" DOUBLE, "quantity" BIGINT, "buy_sell" VARCHAR(1),
+          |  "open_interest" INT, "period" VARCHAR(1))""".stripMargin)
+      st.close()
+    } finally conn.close()
+    t.repartition(8).write.mode(org.apache.spark.sql.SaveMode.Append)
+      .option("batchsize", 10000)
+      .jdbc(url, "trades_src", props)
+    val bounds = t.agg(min("trade_no"), max("trade_no")).head()
+    spark.read
+      .option("partitionColumn", "trade_no")
+      .option("lowerBound", bounds.getLong(0))
+      .option("upperBound", bounds.getLong(1))
+      .option("numPartitions", 8)
+      .jdbc(url, "trades_src", props)
+      .orderBy("trade_no")
+  }
+
   // ---- A6-A10 filter cascade (fixed config standing in for the env vars) ----
 
   /** EXPORT_SEC_BOARDS / EXPORT_SEC_CODES analog: one substring code, one
@@ -541,5 +614,6 @@ object IngestQueries {
     a06Cascade, a07Valid, a09Bond, a10Periods,
     a11Projection, a12TradeParse, a13QuotesEnvelope, a14SecinfoParse,
     a15HistoryParse, a17Positions, a01StreamCandles, a01CandlesReplay,
-    layoutZorderKey, rollupSummingMerge, a22CsvRoundtrip, a23JsonRoundtrip)
+    layoutZorderKey, rollupSummingMerge, a22CsvRoundtrip, a23JsonRoundtrip,
+    a24JdbcRoundtrip)
 }

@@ -3558,6 +3558,61 @@ object LlmQueries {
       .orderBy("grain", "lang")
   }
 
+  /** Shared KMV estimator text — identical arithmetic in both engines. */
+  private val kmvEstSql =
+    s"""CASE WHEN k_used < $SketchK THEN CAST(k_used AS DOUBLE)
+       |    ELSE (CAST(${SketchK - 1} AS DOUBLE) * POW(2, 60)) / CAST(kth_min AS DOUBLE) END"""
+      .stripMargin.replace("\n", "")
+
+  /** ClickHouse `uniqState`/`uniqMerge` BY COMPOSITION (round 9 — the
+    * combinator pattern of `qx_topk_state_merge` without any custom
+    * aggregate, guide preference (a): compose built-ins when semantics
+    * allow). KMV is order-invariant and its merge is LOSSLESS —
+    * bottomK(A ∪ B) = bottomK(bottomK(A) ∪ bottomK(B)) — so the state is
+    * just a sorted array<bigint> column: each part (a source) persists
+    * its per-lang bottom-[[SketchK]] distinct token hashes; query time
+    * unions the states, re-takes the bottom-K and applies the
+    * [[distinctSketch]] estimator. The oracle is the ONE-SHOT derivation
+    * over the raw corpus — passing IS the merge-identity proof, which is
+    * exactly what lets a 100 TB deployment keep per-day/per-shard uniq
+    * states (K × 8 bytes each) and answer any cross-slice cardinality
+    * from states alone. Each per-part window sorts only that part's
+    * distinct hashes; the merge touches PARTS × K rows.
+    */
+  val uniqStateMerge = QueryDef.sql(
+    "llm_uniq_state_merge",
+    s"""WITH units AS (SELECT lang, unnest(string_split(text, ' ')) AS u FROM documents),
+       |dh AS (SELECT DISTINCT lang, ${Text.hexPrefixInt60Sql("md5(u)")} AS h FROM units),
+       |ranked AS (SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS r FROM dh),
+       |kept AS (SELECT lang, CAST(count(*) AS BIGINT) AS k_used, max(h) AS kth_min
+       |  FROM ranked WHERE r <= $SketchK GROUP BY lang)
+       |SELECT lang, k_used, kth_min, $kmvEstSql AS est_distinct
+       |FROM kept ORDER BY lang""".stripMargin
+  ) { (spark, dir) =>
+    val states = graft.sources.Scratch.dir(
+      s"uniq_states|${spark.sparkContext.applicationId}|$dir")
+    val dh = documents(spark, dir)
+      .select(col("lang"), col("source"),
+        explode(split(col("text"), " ")).as("u"))
+      .select(col("lang"), col("source"),
+        expr("CAST(conv(substr(md5(u), 1, 15), 16, 10) AS BIGINT)").as("h"))
+      .distinct()
+    val perPart = Window.partitionBy("lang", "source").orderBy("h")
+    dh.withColumn("r", row_number().over(perPart)).filter(col("r") <= SketchK)
+      .groupBy("lang", "source")
+      .agg(sort_array(collect_list("h")).as("ks"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(states)
+    // uniqMerge: union the persisted bottom-K sets, re-take the bottom-K
+    val perLang = Window.partitionBy("lang").orderBy("h")
+    spark.read.parquet(states)
+      .select(col("lang"), explode(col("ks")).as("h")).distinct()
+      .withColumn("r", row_number().over(perLang)).filter(col("r") <= SketchK)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("k_used"), max("h").as("kth_min"))
+      .withColumn("est_distinct", expr(kmvEstSql))
+      .orderBy("lang")
+  }
+
   // ---- frequency sketch: deterministic count-min heavy hitters ----
 
   /** Count-min sketch geometry: depth (independent hash rows) × width
@@ -4932,7 +4987,7 @@ object LlmQueries {
     bloomDedup,
     semDedup, semDedupGuarded,
     semDedupCapped,
-    topNgrams, distinctSketch, cmsSketch,
+    topNgrams, distinctSketch, uniqStateMerge, cmsSketch,
     seqPack, packSpans, splitAssign, curation, mixSample, lengthQuantiles, lmScore,
     lmScoreHoldout, dsirWeight, doremiWeight, chunkSplit,
     shuffleShard, clusterBest, ccnetBucket, sqRecall, annLedger, mrlRecall, bpeTrain,

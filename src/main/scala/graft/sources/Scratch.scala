@@ -22,18 +22,19 @@ object Scratch {
 
   Runtime.getRuntime.addShutdownHook(new Thread(() =>
     dirs.values.forEach { p =>
-      val root: Path = Paths.get(p)
-      if (Files.exists(root)) {
-        // close the walk stream, and never let one racing dir (other
-        // shutdown hooks may still be flushing — deleteIfExists throws
-        // CHECKED IOExceptions like DirectoryNotEmptyException) abort
-        // the cleanup of the remaining roots
-        val walk = Files.walk(root)
-        try walk.sorted(java.util.Comparator.reverseOrder[Path]())
-          .forEach(f =>
-            try Files.deleteIfExists(f)
-            catch { case _: java.io.IOException => () })
-        finally walk.close()
-      }
+      // never let one racing dir (other shutdown hooks may still be
+      // flushing — deletes throw DirectoryNotEmptyException and friends)
+      // abort the cleanup of the remaining roots
+      try {
+        val root: Path = Paths.get(p)
+        if (Files.exists(root)) {
+          val walk = Files.walk(root)
+          try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+            .forEach(f =>
+              try Files.deleteIfExists(f)
+              catch { case _: java.io.IOException => () })
+          finally walk.close()
+        }
+      } catch { case scala.util.control.NonFatal(_) => () }
     }))
 }

@@ -109,6 +109,38 @@ class StateMergeSpec extends SparkSuite {
     assert(s.read.parquet(out).count() == 4)
   }
 
+  // ---- streaming materialized-view maintenance ----
+
+  test("streaming micro-batches maintain a topKState MV answering the batch query") {
+    // the AggregatingMergeTree STREAMING shape: each micro-batch appends
+    // ONE state row to the MV parts table (foreachBatch = the insert
+    // trigger); any reader answers top-k from states without seeing the
+    // stream — and must get exactly what a batch topk over all rows says
+    val s = registered()
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    val mv = java.nio.file.Files.createTempDirectory("graft_mv_").toString
+    val q = ms.toDS().toDF("v").writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        batch.selectExpr(s"CAST($id AS BIGINT) AS part", "graft_topk_state(v, 3) AS st")
+          .write.mode(SaveMode.Append).parquet(mv)
+      }
+      .start()
+    val b1 = Seq("a", "a", "b", "c")
+    val b2 = Seq("b", "b", "b", "d")
+    ms.addData(b1); q.processAllAvailable()
+    ms.addData(b2); q.processAllAvailable()
+    q.stop()
+    val merged = s.read.parquet(mv)
+      .selectExpr("graft_topk_merge(st, 3) AS arr").head().getSeq[String](0)
+    val direct = (b1 ++ b2).toDF("v")
+      .selectExpr("graft_topk(v, 3) AS arr").head().getSeq[String](0)
+    assert(merged == direct && merged == Seq("b", "a", "c"))
+    assert(s.read.parquet(mv).count() == 2) // one state row per micro-batch
+  }
+
   // ---- text-format edge on hostile inputs ----
 
   test("csv round-trips embedded newlines, quotes, commas and unicode") {

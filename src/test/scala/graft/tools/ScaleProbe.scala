@@ -137,7 +137,12 @@ object ScaleProbe {
     // write + KEYS×PARTS re-sum), and the text ingest edges (write+read
     // must both stay splittable-parallel and linear in bytes)
     "qx_topk_state_merge", "rollup_summing_merge",
-    "a22_csv_source_roundtrip", "a23_json_source_roundtrip")
+    "a22_csv_source_roundtrip", "a23_json_source_roundtrip",
+    // wave 5: the JDBC edge (staging write + 8-way partitioned read,
+    // linear in rows through one external SQL engine) and the composed
+    // KMV state merge (per-part windows over that part's distinct
+    // hashes; the merge is PARTS × K)
+    "a24_jdbc_source_roundtrip", "llm_uniq_state_merge")
   private val Reps = 10
   private val IdStride = 10000000L
 
