@@ -70,7 +70,14 @@ object Explain {
       "qx_topk_state_merge", "rollup_summing_merge",
       "a22_csv_source_roundtrip", "a23_json_source_roundtrip",
       // wave 5: partitioned JDBC source scan, composed KMV state merge
-      "a24_jdbc_source_roundtrip", "llm_uniq_state_merge")
+      "a24_jdbc_source_roundtrip", "llm_uniq_state_merge",
+      // wave 6 relational classes: declared-values pivot (one agg, no
+      // distinct-scan), rollup's single Expand+agg, both moving frames
+      // on ONE Window/Sort
+      "qx_pivot_turnover", "qx_rollup_turnover", "qx_moving_turnover",
+      // wave 7: time-based RANGE frame (one Window/Sort), codegen'd
+      // schema-full from_json projection (map-side, no UDF)
+      "qx_range_frame_turnover", "llm_json_metadata")
     names.foreach { n =>
       println(s"\n================ $n ================")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

@@ -3613,6 +3613,50 @@ object LlmQueries {
       .orderBy("lang")
   }
 
+  // ---- semi-structured metadata extraction (JSON edge) ----
+
+  /** JSON metadata extraction — the semi-structured shape every web-crawl
+    * pipeline starts from (WARC/CC records carry their provenance as a
+    * JSON header next to the payload). The derivation wraps each doc's
+    * METADATA columns in a JSON envelope the same way in both engines
+    * (identifier-safe values only — the multimodal stub-codec
+    * convention); the OPERATOR under test is the parse side: Spark's
+    * schema-full `from_json` (codegen'd, map-side, linear — no UDF)
+    * must recover every field bit-for-bit where the oracle uses DuckDB's
+    * json_extract. A parser that mis-handles field order, numeric
+    * widths or missing-field nulls (every 7th doc drops `source`, so
+    * the null path is genuinely exercised) hash-mismatches.
+    */
+  val jsonMetadata = QueryDef.sql(
+    "llm_json_metadata",
+    """SELECT doc_id,
+      |  json_extract_string(js, '$.lang') AS j_lang,
+      |  json_extract_string(js, '$.source') AS j_source,
+      |  CAST(json_extract(js, '$.n') AS BIGINT) AS j_n
+      |FROM (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 7 = 0
+      |      THEN '{"id":' || CAST(doc_id AS VARCHAR) || ',"lang":"' || lang || '","n":' || CAST(n_chars AS VARCHAR) || '}'
+      |      ELSE '{"id":' || CAST(doc_id AS VARCHAR) || ',"lang":"' || lang || '","source":"' || source || '","n":' || CAST(n_chars AS VARCHAR) || '}'
+      |    END AS js
+      |  FROM documents) d
+      |ORDER BY doc_id""".stripMargin
+  ) { (spark, dir) =>
+    documents(spark, dir)
+      .selectExpr("doc_id",
+        """CASE WHEN doc_id % 7 = 0
+          |  THEN concat('{"id":', CAST(doc_id AS STRING), ',"lang":"', lang, '","n":', CAST(n_chars AS STRING), '}')
+          |  ELSE concat('{"id":', CAST(doc_id AS STRING), ',"lang":"', lang, '","source":"', source, '","n":', CAST(n_chars AS STRING), '}')
+          |END AS js""".stripMargin.replace("\n", " "))
+      .select(col("doc_id"),
+        from_json(col("js"),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "id BIGINT, lang STRING, source STRING, n BIGINT")).as("j"))
+      .select(col("doc_id"), col("j.lang").as("j_lang"),
+        col("j.source").as("j_source"), col("j.n").as("j_n"))
+      .orderBy("doc_id")
+  }
+
   // ---- frequency sketch: deterministic count-min heavy hitters ----
 
   /** Count-min sketch geometry: depth (independent hash rows) × width
@@ -4987,7 +5031,7 @@ object LlmQueries {
     bloomDedup,
     semDedup, semDedupGuarded,
     semDedupCapped,
-    topNgrams, distinctSketch, uniqStateMerge, cmsSketch,
+    topNgrams, distinctSketch, uniqStateMerge, jsonMetadata, cmsSketch,
     seqPack, packSpans, splitAssign, curation, mixSample, lengthQuantiles, lmScore,
     lmScoreHoldout, dsirWeight, doremiWeight, chunkSplit,
     shuffleShard, clusterBest, ccnetBucket, sqRecall, annLedger, mrlRecall, bpeTrain,

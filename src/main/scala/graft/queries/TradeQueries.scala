@@ -594,8 +594,132 @@ object TradeQueries {
       .orderBy("buy_sell", "pos")
   }
 
+  /** PIVOT (round 9 — the relational operator class, not the manual
+    * if-sum spelling the dashboard panels use): per-security turnover
+    * spread across the buy/sell sides as COLUMNS. The pivot values are
+    * DECLARED (`Seq("B","S")`) — the two-pass form (Spark collecting
+    * distinct pivot values first) is a driver-side scan a 100 TB table
+    * never wants; with declared values the plan is ONE partial/final
+    * hash aggregate, exactly the CASE-sum the oracle spells.
+    */
+  val qxPivotTurnover = QueryDef.sql(
+    "qx_pivot_turnover",
+    withCtes(
+      """SELECT sec_code,
+        |  SUM(CASE WHEN buy_sell = 'B' THEN price * quantity END) AS B,
+        |  SUM(CASE WHEN buy_sell = 'S' THEN price * quantity END) AS S
+        |FROM trades GROUP BY sec_code ORDER BY sec_code""".stripMargin,
+      tradesCte)
+  ) { (spark, dir) =>
+    trades(spark, dir)
+      .withColumn("t_term", col("price") * col("quantity"))
+      .groupBy(col("sec_code"))
+      .pivot("buy_sell", Seq("B", "S"))
+      .agg(sum(col("t_term")))
+      .orderBy("sec_code")
+  }
+
+  /** ROLLUP (GROUPING SETS — the subtotal lattice ClickHouse spells
+    * `WITH ROLLUP`): turnover at (board, sec_code), per-board subtotal
+    * and grand total in one pass. Spark plans the three grouping sets as
+    * ONE Expand (3 rows per input) + one hash aggregate — no re-scan per
+    * level, which is the property that matters at 100 TB (the naive
+    * UNION-of-three-GROUP-BYs reads the table three times). The fixture
+    * has no NULL boards/codes, so subtotal rows are unambiguous.
+    */
+  val qxRollupTurnover = QueryDef.sql(
+    "qx_rollup_turnover",
+    withCtes(
+      """SELECT board, sec_code, SUM(price * quantity) AS turnover,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM trades GROUP BY ROLLUP(board, sec_code)
+        |ORDER BY board, sec_code""".stripMargin,
+      tradesCte)
+  ) { (spark, dir) =>
+    trades(spark, dir)
+      .rollup(col("board"), col("sec_code"))
+      .agg(sum(col("price") * col("quantity")).as("turnover"),
+        count(lit(1)).as("cnt"))
+      .orderBy("board", "sec_code")
+  }
+
+  /** Moving-frame window aggregates (ClickHouse `groupArrayMovingSum` /
+    * `neighbor` family): per-security 5-minute turnover with a 3-bucket
+    * trailing moving sum and the bucket-over-bucket delta. One shuffle on
+    * sec_code, one sort per partition, both frames ride the SAME Window
+    * node — the shape to check in the Explain audit (two windows that
+    * agree on (partition, order) must not plan two sorts).
+    */
+  val qxMovingTurnover = QueryDef.sql(
+    "qx_moving_turnover",
+    withCtes(
+      s"""SELECT sec_code, minute, vol,
+         |  SUM(vol) OVER (PARTITION BY sec_code ORDER BY minute
+         |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_sum,
+         |  vol - lag(vol) OVER (PARTITION BY sec_code ORDER BY minute) AS delta
+         |FROM (
+         |  SELECT sec_code, ${bucketSql("time", IntervalSec)} AS minute,
+         |    SUM(price * quantity) AS vol
+         |  FROM trades GROUP BY sec_code, minute) b
+         |ORDER BY sec_code, minute""".stripMargin,
+      tradesCte)
+  ) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val buckets = trades(spark, dir)
+      .withColumn("minute", bucket(col("time"), IntervalSec))
+      .groupBy(col("sec_code"), col("minute"))
+      .agg(sum(col("price") * col("quantity")).as("vol"))
+    val w = Window.partitionBy("sec_code").orderBy("minute")
+    buckets
+      .withColumn("moving_sum", sum(col("vol")).over(w.rowsBetween(-2, 0)))
+      .withColumn("delta", col("vol") - lag(col("vol"), 1).over(w))
+      .orderBy("sec_code", "minute")
+  }
+
+  /** RANGE-frame window aggregate — the TIME-based frame class
+    * ([[qxMovingTurnover]] is the ROWS twin; a time-defined frame is not
+    * a count-defined one — the inclusive 900 s window spans FOUR bucket
+    * positions when trading is dense and fewer when a security goes
+    * quiet, and 16k of the 18.5k output rows differ between the two
+    * spellings at sf0.01). Spark's `rangeBetween` needs a numeric
+    * ordering column, so
+    * the frame rides the bucket's epoch seconds — integer arithmetic,
+    * identical in the oracle. Same single-Window/single-sort shape as
+    * the ROWS form.
+    */
+  val qxRangeFrameTurnover = QueryDef.sql(
+    "qx_range_frame_turnover",
+    withCtes(
+      s"""SELECT sec_code, minute, vol,
+         |  SUM(vol) OVER (PARTITION BY sec_code ORDER BY epoch_s
+         |    RANGE BETWEEN 900 PRECEDING AND CURRENT ROW) AS trailing_15m
+         |FROM (
+         |  SELECT sec_code, minute, CAST(epoch(minute) AS BIGINT) AS epoch_s,
+         |    SUM(price * quantity) AS vol
+         |  FROM (SELECT sec_code, ${bucketSql("time", IntervalSec)} AS minute,
+         |        price, quantity FROM trades) r
+         |  GROUP BY sec_code, minute) b
+         |ORDER BY sec_code, minute""".stripMargin,
+      tradesCte)
+  ) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val buckets = trades(spark, dir)
+      .withColumn("minute", bucket(col("time"), IntervalSec))
+      .groupBy(col("sec_code"), col("minute"))
+      .agg(sum(col("price") * col("quantity")).as("vol"))
+      .withColumn("epoch_s", unix_seconds(col("minute")))
+    val w = Window.partitionBy("sec_code").orderBy("epoch_s")
+      .rangeBetween(-900, 0)
+    buckets
+      .withColumn("trailing_15m", sum(col("vol")).over(w))
+      .select(col("sec_code"), col("minute"), col("vol"), col("trailing_15m"))
+      .orderBy("sec_code", "minute")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22,
-    qxSaltedTurnover, qxAsofTradeQuote, qxAsofCustom, qxTopkStateMerge)
+    qxSaltedTurnover, qxAsofTradeQuote, qxAsofCustom, qxTopkStateMerge,
+    qxPivotTurnover, qxRollupTurnover, qxMovingTurnover,
+    qxRangeFrameTurnover)
 }

@@ -142,7 +142,14 @@ object ScaleProbe {
     // linear in rows through one external SQL engine) and the composed
     // KMV state merge (per-part windows over that part's distinct
     // hashes; the merge is PARTS × K)
-    "a24_jdbc_source_roundtrip", "llm_uniq_state_merge")
+    "a24_jdbc_source_roundtrip", "llm_uniq_state_merge",
+    // wave 6 relational classes: pivot + rollup are single-pass hash
+    // aggregates (rollup's Expand is a fixed 3×); the moving-frame
+    // window must stay one sort per sec_code partition
+    "qx_pivot_turnover", "qx_rollup_turnover", "qx_moving_turnover",
+    // wave 7: RANGE frame rides the same bucket window; json parse is a
+    // pure map-side projection that must track text volume
+    "qx_range_frame_turnover", "llm_json_metadata")
   private val Reps = 10
   private val IdStride = 10000000L
 
