@@ -172,6 +172,43 @@ class ScaleShapeSpec extends SparkSuite {
       "the sketch join must stay equi-join shaped:\n" + p.take(2000))
   }
 
+  test("incremental-aggregation shapes: queries answer from states/parts, never the facts") {
+    // the AggregatingMergeTree contract is a PLAN property: the merge
+    // side must scan the persisted states/parts table only — a fact-table
+    // scan sneaking back in would silently void the whole idiom
+    val ps = plan("qx_topk_state_merge")
+    assert(ps.contains("graft_topk_merge"),
+      "the merge side must fold states through the merge combinator:\n" + ps.take(2000))
+    assert(!ps.contains("lineitem"),
+      "topk merge must read ONLY the states table:\n" + ps.take(2000))
+    val pu = plan("llm_uniq_state_merge")
+    assert(!pu.contains("documents"),
+      "uniq merge must read ONLY the persisted bottom-K states:\n" + pu.take(2000))
+    val pr = plan("rollup_summing_merge")
+    assert(!pr.contains("lineitem"),
+      "the summing read path must re-sum parts, not facts:\n" + pr.take(2000))
+    val pj = plan("a24_jdbc_source_roundtrip")
+    assert(pj.contains("JDBCRelation") && pj.contains("numPartitions=8"),
+      "the JDBC source must be the 8-way partitioned range scan:\n" + pj.take(2000))
+  }
+
+  test("relational-class shapes: one Expand rollup, fused Window frames, agg-only pivot") {
+    def count(p: String, marker: String): Int =
+      p.sliding(marker.length).count(_ == marker)
+    val pr = plan("qx_rollup_turnover")
+    assert(count(pr, "Expand [") == 1,
+      "all three grouping levels must ride ONE Expand:\n" + pr.take(2000))
+    val pm = plan("qx_moving_turnover")
+    assert(count(pm, "Window [") == 1,
+      "trailing sum + lag delta must fuse on one Window node:\n" + pm.take(2000))
+    val pf = plan("qx_range_frame_turnover")
+    assert(count(pf, "Window [") == 1,
+      "the RANGE frame must plan one Window node:\n" + pf.take(2000))
+    val pp = plan("qx_pivot_turnover")
+    assert(!pp.contains("Expand [") && !pp.contains("CartesianProduct"),
+      "declared-values pivot must stay pure hash aggregation:\n" + pp.take(2000))
+  }
+
   test("nested fixture memoization is recursion-safe from a cold cache") {
     // embeddingsRedelivered's builder memoizes embeddingsNearDup INSIDE
     // its own memo call. The old computeIfAbsent-based memo threw
