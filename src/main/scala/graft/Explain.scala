@@ -77,7 +77,9 @@ object Explain {
       "qx_pivot_turnover", "qx_rollup_turnover", "qx_moving_turnover",
       // wave 7: time-based RANGE frame (one Window/Sort), codegen'd
       // schema-full from_json projection (map-side, no UDF)
-      "qx_range_frame_turnover", "llm_json_metadata")
+      "qx_range_frame_turnover", "llm_json_metadata",
+      // TTL retention: the read side scans only surviving partitions
+      "layout_ttl_retention")
     names.foreach { n =>
       println(s"\n================ $n ================")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

@@ -570,6 +570,55 @@ object IngestQueries {
       .orderBy("trade_no")
   }
 
+  /** MergeTree TTL retention (round 9 — the last *MergeTree-family
+    * feature class: `TTL time + INTERVAL n DAY DELETE`, db.go:31's
+    * engines all support it). Enforced the way 100 TB actually does it:
+    * the trades layout is day-partitioned
+    * ([[graft.sources.Sinks.materializeTrades]]), so expiry DROPS WHOLE
+    * PARTITION DIRECTORIES — a metadata-scale operation (one directory
+    * delete per expired day), never a row-filtering rewrite of
+    * surviving data. TTL granularity therefore equals partition
+    * granularity, exactly ClickHouse's `ttl_only_drop_parts` fast path.
+    * The cutoff (keep the newest days, expire everything before
+    * min_day + 2) is derived from the data so the entry is
+    * SF-invariant; in production it is a constant config. The oracle is
+    * the row-level predicate the partition drop must be EQUIVALENT to —
+    * passing proves partition-boundary alignment (an off-by-one day or
+    * a partial-partition delete is a hash mismatch).
+    */
+  val layoutTtlRetention = QueryDef.sql(
+    "layout_ttl_retention",
+    withCtes(
+      """SELECT time, secid, sec_code, trade_no, board, price, quantity,
+        |       buy_sell, open_interest, period
+        |FROM trades
+        |WHERE CAST(time AS DATE) >= (SELECT MIN(CAST(time AS DATE)) + 2 FROM trades)
+        |ORDER BY trade_no""".stripMargin,
+      tradesCte)
+  ) { (spark, dir) =>
+    val cols = Seq("time", "secid", "sec_code", "trade_no", "board",
+      "price", "quantity", "buy_sell", "open_interest", "period")
+    val out = graft.sources.Scratch.dir(
+      s"ttl_layout|${spark.sparkContext.applicationId}|$dir")
+    graft.sources.Sinks.materializeTrades(trades(spark, dir), out)
+    // the TTL cutoff: two-scalar driver lookup standing in for config
+    val cutoff = trades(spark, dir)
+      .agg(date_add(min(to_date(col("time"))), 2)).head().getDate(0).toString
+    // expiry = drop whole day partitions below the cutoff (lexicographic
+    // compare is date order for ISO yyyy-MM-dd partition values)
+    java.nio.file.Files.list(java.nio.file.Paths.get(out)).forEach { p =>
+      val n = p.getFileName.toString
+      if (n.startsWith("trade_date=") &&
+          n.stripPrefix("trade_date=") < cutoff) {
+        val walk = java.nio.file.Files.walk(p)
+        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+        finally walk.close()
+      }
+    }
+    spark.read.parquet(out).select(cols.map(col): _*).orderBy("trade_no")
+  }
+
   /** "Open" sentinel for the current SCD2 version (the idiomatic
     * high-value end bound; avoids a nullable column in the oracle hash).
     */
@@ -614,6 +663,6 @@ object IngestQueries {
     a06Cascade, a07Valid, a09Bond, a10Periods,
     a11Projection, a12TradeParse, a13QuotesEnvelope, a14SecinfoParse,
     a15HistoryParse, a17Positions, a01StreamCandles, a01CandlesReplay,
-    layoutZorderKey, rollupSummingMerge, a22CsvRoundtrip, a23JsonRoundtrip,
-    a24JdbcRoundtrip)
+    layoutZorderKey, layoutTtlRetention, rollupSummingMerge,
+    a22CsvRoundtrip, a23JsonRoundtrip, a24JdbcRoundtrip)
 }

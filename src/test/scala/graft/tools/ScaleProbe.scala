@@ -149,7 +149,10 @@ object ScaleProbe {
     "qx_pivot_turnover", "qx_rollup_turnover", "qx_moving_turnover",
     // wave 7: RANGE frame rides the same bucket window; json parse is a
     // pure map-side projection that must track text volume
-    "qx_range_frame_turnover", "llm_json_metadata")
+    "qx_range_frame_turnover", "llm_json_metadata",
+    // TTL: the layout write grows with rows; expiry itself is
+    // metadata-scale (one directory delete per expired day)
+    "layout_ttl_retention")
   private val Reps = 10
   private val IdStride = 10000000L
 
