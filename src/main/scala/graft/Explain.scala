@@ -79,7 +79,12 @@ object Explain {
       // schema-full from_json projection (map-side, no UDF)
       "qx_range_frame_turnover", "llm_json_metadata",
       // TTL retention: the read side scans only surviving partitions
-      "layout_ttl_retention")
+      "layout_ttl_retention",
+      // collapsing family: both FINAL forms must be all-hash (no
+      // SortAggregate, no Window); the sign-weighted aggregate is one
+      // partial-aggregated scan
+      "dedup_trades_collapsing", "dedup_trades_vcollapsing",
+      "qx_collapsing_turnover")
     names.foreach { n =>
       println(s"\n================ $n ================")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

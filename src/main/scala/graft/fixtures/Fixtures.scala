@@ -211,6 +211,56 @@ object Fixtures {
        |  FROM trades WHERE trade_no % 10 = 0)""".stripMargin
 
   // =========================================================================
+  // collapsing trades  (sign-column state stream for the Collapsing /
+  // VersionedCollapsing MergeTree read paths): the correction discipline
+  // writes, for every amended trade (every 10th), a cancel of the old
+  // state (sign -1, same payload) plus the new state (sign +1, price+1,
+  // version 2); every 100th trade is then FULLY cancelled (sign -1 of
+  // the version-2 state) — its key must vanish from the FINAL read.
+  // `ingest_seq` is arrival order (what CollapsingMergeTree trusts);
+  // `version` is the logical state version (what VersionedCollapsing
+  // pairs on, making the collapse arrival-order-free).
+  // =========================================================================
+
+  def tradesCollapsing(spark: SparkSession, dir: String): DataFrame = {
+    val t = trades(spark, dir)
+    val amendCols = Seq("time", "secid", "sec_code", "trade_no", "board",
+      "price + 1 AS price", "quantity", "buy_sell", "open_interest", "period")
+    val base = t.selectExpr(
+      Seq("*", "CAST(1 AS INT) AS sign", "CAST(1 AS INT) AS version",
+        "CAST(1 AS BIGINT) AS ingest_seq"): _*)
+    val cancelV1 = t.filter("trade_no % 10 = 0").selectExpr(
+      Seq("*", "CAST(-1 AS INT) AS sign", "CAST(1 AS INT) AS version",
+        "CAST(2 AS BIGINT) AS ingest_seq"): _*)
+    val stateV2 = t.filter("trade_no % 10 = 0").selectExpr(
+      amendCols ++ Seq("CAST(1 AS INT) AS sign", "CAST(2 AS INT) AS version",
+        "CAST(3 AS BIGINT) AS ingest_seq"): _*)
+    val cancelV2 = t.filter("trade_no % 100 = 0").selectExpr(
+      amendCols ++ Seq("CAST(-1 AS INT) AS sign", "CAST(2 AS INT) AS version",
+        "CAST(4 AS BIGINT) AS ingest_seq"): _*)
+    base.unionByName(cancelV1).unionByName(stateV2).unionByName(cancelV2)
+  }
+
+  /** DuckDB twin of [[tradesCollapsing]]. */
+  val tradesCollapsingCte: String =
+    s"""trades_collapsing AS (
+       |  SELECT *, CAST(1 AS INT) AS sign, CAST(1 AS INT) AS version,
+       |         CAST(1 AS BIGINT) AS ingest_seq FROM trades
+       |  UNION ALL
+       |  SELECT *, CAST(-1 AS INT), CAST(1 AS INT), CAST(2 AS BIGINT)
+       |  FROM trades WHERE trade_no % 10 = 0
+       |  UNION ALL
+       |  SELECT time, secid, sec_code, trade_no, board, price + 1, quantity,
+       |         buy_sell, open_interest, period, CAST(1 AS INT),
+       |         CAST(2 AS INT), CAST(3 AS BIGINT)
+       |  FROM trades WHERE trade_no % 10 = 0
+       |  UNION ALL
+       |  SELECT time, secid, sec_code, trade_no, board, price + 1, quantity,
+       |         buy_sell, open_interest, period, CAST(-1 AS INT),
+       |         CAST(2 AS INT), CAST(4 AS BIGINT)
+       |  FROM trades WHERE trade_no % 100 = 0)""".stripMargin
+
+  // =========================================================================
   // transaq_securities  (from part; one row per secid, single board)
   // =========================================================================
 

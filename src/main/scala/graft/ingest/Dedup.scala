@@ -136,26 +136,36 @@ object Dedup {
   def lastWriteWinsColumnar(df: DataFrame, keys: Seq[String], seq: String,
       packCols: Set[String]): DataFrame = {
     val others = df.columns.filterNot(keys.contains).filterNot(_ == seq).toSeq
-    val aggs = others.map { o =>
-      if (packCols(o)) {
-        // the 1..8-ASCII-bytes precondition must fail loudly. Longer or
-        // non-ASCII values overflow the BIGINT cast; empty strings make
-        // conv() NULL; a leading byte < 0x10 makes hex(BIGINT) odd-length
-        // (minimal form drops the zero nibble) so unhex() yields NULL —
-        // all three decode to corrupted/NULL payloads that LOOK valid.
-        val checked = s"CASE WHEN octet_length($o) > 8 " +
-          s"OR octet_length($o) <> char_length($o) " +
-          s"OR octet_length($o) = 0 OR ascii($o) < 16 " +
-          s"THEN raise_error(concat('lastWriteWinsColumnar: column $o value not " +
-          s"packable into BIGINT (need 1..8 ASCII bytes, first byte >= 0x10): ', $o)) " +
-          s"ELSE $o END"
-        expr(s"decode(unhex(hex(max_by(" +
-          s"CAST(conv(hex(encode($checked, 'UTF-8')), 16, 10) AS BIGINT), $seq))), 'UTF-8')").as(o)
-      } else max_by(col(o), col(seq)).as(o)
-    } :+ max(col(seq)).as(seq)
+    val aggs = others.map(o => maxByAgg(o, seq, packCols(o)).as(o)) :+
+      max(col(seq)).as(seq)
     df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
       .select(df.columns.map(col).toSeq: _*)
   }
+
+  /** One fixed-width-buffer `max_by(value, ord)` slot of the columnar
+    * plan — shared by [[lastWriteWinsColumnar]] (ord = the version
+    * column) and [[Collapse]] (ord = a CASE restricting the winner to
+    * state rows). `packed` routes a short-ASCII string column through
+    * the invertible BIGINT packing so the aggregate keeps its
+    * HashAggregateExec-compatible fixed-width buffer.
+    */
+  private[ingest] def maxByAgg(o: String, ordSql: String,
+      packed: Boolean): org.apache.spark.sql.Column =
+    if (packed) {
+      // the 1..8-ASCII-bytes precondition must fail loudly. Longer or
+      // non-ASCII values overflow the BIGINT cast; empty strings make
+      // conv() NULL; a leading byte < 0x10 makes hex(BIGINT) odd-length
+      // (minimal form drops the zero nibble) so unhex() yields NULL —
+      // all three decode to corrupted/NULL payloads that LOOK valid.
+      val checked = s"CASE WHEN octet_length($o) > 8 " +
+        s"OR octet_length($o) <> char_length($o) " +
+        s"OR octet_length($o) = 0 OR ascii($o) < 16 " +
+        s"THEN raise_error(concat('lastWriteWinsColumnar: column $o value not " +
+        s"packable into BIGINT (need 1..8 ASCII bytes, first byte >= 0x10): ', $o)) " +
+        s"ELSE $o END"
+      expr(s"decode(unhex(hex(max_by(" +
+        s"CAST(conv(hex(encode($checked, 'UTF-8')), 16, 10) AS BIGINT), $ordSql))), 'UTF-8')")
+    } else expr(s"max_by($o, $ordSql)")
 
   /** Merge-time variant: last-write-wins over partition-local key runs.
     * REQUIRES same-key rows co-located and contiguous, ordered with the

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.fixtures.Fixtures._
-import graft.ingest.{CandleBuilder, Dedup, Filters, Parse, Positions}
+import graft.ingest.{CandleBuilder, Collapse, Dedup, Filters, Parse, Positions}
 import graft.schema.Schemas
 
 /** Query registrations for the §2.A ingestion/transform layer — each
@@ -657,9 +657,100 @@ object IngestQueries {
       .orderBy("trade_no", "valid_from_seq")
   }
 
+  private val collapseCols = Seq("time", "secid", "sec_code", "trade_no",
+    "board", "price", "quantity", "buy_sell", "open_interest", "period")
+
+  /** CollapsingMergeTree FINAL over the sign-column correction stream
+    * ([[graft.fixtures.Fixtures.tradesCollapsing]]): amended trades
+    * resolve to their latest state, fully-cancelled trades VANISH — the
+    * dedup family's third mechanism (annihilation, not last-write-wins).
+    * One all-hash aggregation ([[Collapse.finalState]]); the oracle
+    * replays sign-netting + latest-state selection independently, so a
+    * wrong net (a surviving cancelled key, a lost amendment) is a row or
+    * hash mismatch. `version` is dropped: the unversioned engine trusts
+    * arrival order (`ingest_seq`) alone.
+    */
+  val dedupTradesCollapsing = QueryDef.sql(
+    "dedup_trades_collapsing",
+    withCtes(
+      s"""SELECT ${collapseCols.mkString(", ")} FROM (
+         |  SELECT *, sum(sign) OVER (PARTITION BY trade_no) AS net,
+         |    row_number() OVER (PARTITION BY trade_no, sign
+         |                       ORDER BY ingest_seq DESC) AS rn
+         |  FROM trades_collapsing) t
+         |WHERE net >= 1 AND sign = 1 AND rn = 1
+         |ORDER BY trade_no""".stripMargin,
+      tradesCte, tradesCollapsingCte)
+  ) { (spark, dir) =>
+    Collapse.finalState(tradesCollapsing(spark, dir).drop("version"),
+      Seq("trade_no"), "sign", "ingest_seq", packCols = Set("sec_code", "board", "buy_sell", "period"))
+      .orderBy("trade_no")
+  }
+
+  /** VersionedCollapsingMergeTree FINAL over the SAME stream with
+    * `ingest_seq` withheld — pairs annihilate on (trade_no, version), so
+    * the result is provably arrival-order-free (CollapseSpec shuffles
+    * the input; here the operator simply never sees arrival order). The
+    * surviving relation carries its `version` column, as ClickHouse's
+    * does. Same final states as the unversioned entry (v2 for amended,
+    * absent for cancelled) — by construction of the correction
+    * discipline, not by shared code: the oracle derivations differ.
+    */
+  val dedupTradesVCollapsing = QueryDef.sql(
+    "dedup_trades_vcollapsing",
+    withCtes(
+      s"""SELECT ${collapseCols.mkString(", ")}, version FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY trade_no
+         |                               ORDER BY version DESC) AS rn
+         |  FROM (
+         |    SELECT trade_no, version,
+         |      ${collapseCols.filterNot(_ == "trade_no")
+               .map(c => s"max($c) AS $c").mkString(", ")},
+         |      sum(sign) AS net
+         |    FROM trades_collapsing GROUP BY trade_no, version) v
+         |  WHERE net = 1) s
+         |WHERE rn = 1
+         |ORDER BY trade_no""".stripMargin,
+      tradesCte, tradesCollapsingCte)
+  ) { (spark, dir) =>
+    Collapse.versionedFinal(tradesCollapsing(spark, dir).drop("ingest_seq"),
+      Seq("trade_no"), "sign", "version", packCols = Set("sec_code", "board", "buy_sell", "period"))
+      .orderBy("trade_no")
+  }
+
+  /** The aggregate-WITHOUT-FINAL idiom — ClickHouse's documented way to
+    * read a collapsing table at scale: `sum(metric * sign)` nets
+    * cancels against states inside an ordinary aggregation, so the
+    * query is ONE pure map-side partial aggregate over the raw stream —
+    * no per-key collapse, no window, cost independent of the
+    * correction rate. The fully-cancelled trades contribute zero to
+    * every sum; identical SQL runs on both engines.
+    */
+  val qxCollapsingTurnover = QueryDef.sql(
+    "qx_collapsing_turnover",
+    withCtes(
+      """SELECT secid,
+        |  CAST(sum(sign) AS BIGINT) AS n_trades,
+        |  CAST(sum(quantity * sign) AS BIGINT) AS qty_lots,
+        |  CAST(sum(price * quantity * sign) AS DOUBLE) AS turnover
+        |FROM trades_collapsing
+        |GROUP BY secid HAVING sum(sign) > 0
+        |ORDER BY secid""".stripMargin,
+      tradesCte, tradesCollapsingCte)
+  ) { (spark, dir) =>
+    tradesCollapsing(spark, dir)
+      .groupBy("secid")
+      .agg(sum("sign").cast("long").as("n_trades"),
+        sum(col("quantity") * col("sign")).as("qty_lots"),
+        sum(col("price") * col("quantity") * col("sign")).as("turnover"))
+      .filter(col("n_trades") > 0)
+      .orderBy("secid")
+  }
+
   val all: Seq[QueryDef] = Seq(
     a16CandlesBatch, dedupTrades, dedupTradesColumnar, dedupTradesLastBy,
     dedupTradesCompacted, dedupQuotes, dedupQuotesColumnar, dedupTradesScd2,
+    dedupTradesCollapsing, dedupTradesVCollapsing, qxCollapsingTurnover,
     a06Cascade, a07Valid, a09Bond, a10Periods,
     a11Projection, a12TradeParse, a13QuotesEnvelope, a14SecinfoParse,
     a15HistoryParse, a17Positions, a01StreamCandles, a01CandlesReplay,

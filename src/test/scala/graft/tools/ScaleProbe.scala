@@ -152,7 +152,11 @@ object ScaleProbe {
     "qx_range_frame_turnover", "llm_json_metadata",
     // TTL: the layout write grows with rows; expiry itself is
     // metadata-scale (one directory delete per expired day)
-    "layout_ttl_retention")
+    "layout_ttl_retention",
+    // collapsing family: each FINAL is hash aggregation over the
+    // correction stream (1.21× rows); the no-FINAL form is one scan
+    "dedup_trades_collapsing", "dedup_trades_vcollapsing",
+    "qx_collapsing_turnover")
   private val Reps = 10
   private val IdStride = 10000000L
 
