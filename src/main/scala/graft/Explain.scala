@@ -84,7 +84,10 @@ object Explain {
       // SortAggregate, no Window); the sign-weighted aggregate is one
       // partial-aggregated scan
       "dedup_trades_collapsing", "dedup_trades_vcollapsing",
-      "qx_collapsing_turnover")
+      "qx_collapsing_turnover",
+      // bucketed co-located join (join subtree must carry no Exchange)
+      // and deterministic hash sampling (map-side predicate + partial agg)
+      "layout_bucketed_join", "qx_sample_turnover")
     names.foreach { n =>
       println(s"\n================ $n ================")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

@@ -747,6 +747,84 @@ object IngestQueries {
       .orderBy("secid")
   }
 
+  /** The co-located join body shared by the registered entry and the
+    * plan-shape spec: both sides live in CATALOG BUCKETED tables on the
+    * join key, so the sort-merge join's distribution requirement is met
+    * by the SCAN — zero Exchange in the join subtree (BucketingSpec
+    * asserts it on this exact function). The entry's outer ORDER BY adds
+    * the one range exchange any sorted output pays.
+    */
+  private[graft] def bucketedJoin(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val sfx = java.lang.Integer.toHexString(dir.hashCode)
+    val (ta, tb) = (s"graft_bkt_facts_$sfx", s"graft_bkt_corr_$sfx")
+    val t = trades(spark, dir)
+    graft.sources.Sinks.materializeBucketed(
+      t.select("trade_no", "price"), ta, 8, "trade_no")
+    graft.sources.Sinks.materializeBucketed(
+      t.filter("trade_no % 10 = 0").selectExpr("trade_no", "price + 1 AS price"),
+      tb, 8, "trade_no")
+    // merge hints force the fact-fact SMJ shape (at 100 TB neither side
+    // broadcasts); the bucketed layout then elides BOTH shuffles
+    spark.table(ta).as("t").hint("merge")
+      .join(spark.table(tb).as("c").hint("merge"), "trade_no")
+      .select(col("trade_no"), col("t.price").as("price_v1"),
+        col("c.price").as("price_v2"))
+  }
+
+  /** Bucketing as a first-class layout operator (the 100 TB co-located
+    * join lever): write-time bucket shuffle amortized over every later
+    * join on the key. The oracle replays the join over the RAW table, so
+    * a bucket-routing error (a row hashed into the wrong bucket and
+    * silently dropped by the bucket-pruned scan) is a row-count or hash
+    * mismatch — this gates the round-trip, while BucketingSpec gates the
+    * zero-Exchange plan.
+    */
+  val layoutBucketedJoin = QueryDef.sql(
+    "layout_bucketed_join",
+    withCtes(
+      """SELECT t.trade_no, t.price AS price_v1, c.price AS price_v2
+        |FROM trades t
+        |JOIN (SELECT trade_no, price + 1 AS price FROM trades
+        |      WHERE trade_no % 10 = 0) c
+        |  ON t.trade_no = c.trade_no
+        |ORDER BY t.trade_no""".stripMargin,
+      tradesCte)
+  ) { (spark, dir) => bucketedJoin(spark, dir).orderBy("trade_no") }
+
+  /** ClickHouse `SAMPLE 1/10` semantics — DETERMINISTIC hash sampling on
+    * the sampling key, not rand(): the same key always lands in the same
+    * sample, so samples are reproducible across queries, consistent
+    * across tables sampled by the same key (joinable), and extrapolation
+    * is exact arithmetic (× 10). The predicate is identical SQL in both
+    * engines (md5 → 8-hex-digit integer, [[graft.llm.Text.hexPrefixIntSql]]);
+    * it evaluates map-side ahead of the partial aggregate, so a 100 TB
+    * scan aggregates a tenth of the rows with no shuffle added.
+    */
+  val qxSampleTurnover = {
+    val pred =
+      s"${graft.llm.Text.hexPrefixIntSql("md5(CAST(trade_no AS STRING))", 8)} % 10 = 0"
+    QueryDef.sql(
+      "qx_sample_turnover",
+      withCtes(
+        s"""SELECT secid,
+           |  CAST(count(*) AS BIGINT) * 10 AS est_trades,
+           |  CAST(sum(quantity) AS BIGINT) * 10 AS est_qty,
+           |  CAST(sum(price * quantity) AS DOUBLE) * 10 AS est_turnover
+           |FROM trades WHERE $pred
+           |GROUP BY secid ORDER BY secid""".stripMargin,
+        tradesCte)
+    ) { (spark, dir) =>
+      trades(spark, dir)
+        .filter(expr(pred))
+        .groupBy("secid")
+        .agg((count(lit(1)) * 10).as("est_trades"),
+          (sum("quantity") * 10).as("est_qty"),
+          (sum(col("price") * col("quantity")) * 10).as("est_turnover"))
+        .orderBy("secid")
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     a16CandlesBatch, dedupTrades, dedupTradesColumnar, dedupTradesLastBy,
     dedupTradesCompacted, dedupQuotes, dedupQuotesColumnar, dedupTradesScd2,
@@ -754,6 +832,7 @@ object IngestQueries {
     a06Cascade, a07Valid, a09Bond, a10Periods,
     a11Projection, a12TradeParse, a13QuotesEnvelope, a14SecinfoParse,
     a15HistoryParse, a17Positions, a01StreamCandles, a01CandlesReplay,
-    layoutZorderKey, layoutTtlRetention, rollupSummingMerge,
+    layoutZorderKey, layoutTtlRetention, layoutBucketedJoin,
+    qxSampleTurnover, rollupSummingMerge,
     a22CsvRoundtrip, a23JsonRoundtrip, a24JdbcRoundtrip)
 }

@@ -128,12 +128,24 @@ object Sinks {
     * BucketingSpec asserts the exchange-free join plan.
     */
   def materializeBucketed(df: DataFrame, table: String, buckets: Int,
-      key: String): Unit =
+      key: String): Unit = {
+    val spark = df.sparkSession
+    // the managed LOCATION can outlive the metastore entry (the embedded
+    // Derby catalog is per-session; the warehouse directory is not) —
+    // Overwrite only replaces tables the CURRENT catalog knows, so a
+    // stale location from an earlier session must be cleared explicitly
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val wh = new org.apache.hadoop.fs.Path(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")))
+    val loc = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, key)
       .sortBy(key)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** A5 — streaming micro-batch append (at-least-once; pair with the
     * dedup read path downstream).

@@ -51,4 +51,17 @@ class BucketingSpec extends SparkSuite {
       spark.sql("DROP TABLE IF EXISTS graft_bkt_b")
     }
   }
+
+  test("the registered layout_bucketed_join entry joins with zero exchange") {
+    val df = graft.queries.IngestQueries.bucketedJoin(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the merge hint + bucketed scans must satisfy the SMJ distribution
+    // outright — any Exchange here means the write-time bucketing failed
+    assert(!plan.contains("Exchange"), s"bucketed entry join shuffles:\n$plan")
+    assert(plan.contains("Bucketed: true"), s"bucket scan not used:\n$plan")
+    assert(plan.contains("SortMergeJoin"), s"not the fact-fact SMJ shape:\n$plan")
+    val sfx = java.lang.Integer.toHexString(dir.hashCode)
+    spark.sql(s"DROP TABLE IF EXISTS graft_bkt_facts_$sfx")
+    spark.sql(s"DROP TABLE IF EXISTS graft_bkt_corr_$sfx")
+  }
 }

@@ -156,7 +156,10 @@ object ScaleProbe {
     // collapsing family: each FINAL is hash aggregation over the
     // correction stream (1.21× rows); the no-FINAL form is one scan
     "dedup_trades_collapsing", "dedup_trades_vcollapsing",
-    "qx_collapsing_turnover")
+    "qx_collapsing_turnover",
+    // bucketed join pays the two bucketed writes + the co-located read;
+    // hash sampling is a map-side tenth-selectivity scan
+    "layout_bucketed_join", "qx_sample_turnover")
   private val Reps = 10
   private val IdStride = 10000000L
 
