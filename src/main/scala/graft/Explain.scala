@@ -87,7 +87,9 @@ object Explain {
       "qx_collapsing_turnover",
       // bucketed co-located join (join subtree must carry no Exchange)
       // and deterministic hash sampling (map-side predicate + partial agg)
-      "layout_bucketed_join", "qx_sample_turnover")
+      "layout_bucketed_join", "qx_sample_turnover",
+      // t-digest ledger: ObjectHashAggregate sketch + cum-hist exact twin
+      "qx_quantile_tdigest")
     names.foreach { n =>
       println(s"\n================ $n ================")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

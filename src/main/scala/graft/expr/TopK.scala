@@ -277,6 +277,9 @@ object GraftFunctions {
     registry.createOrReplaceTempFunction(
       "graft_last_by", exprs => LastBy(exprs.head, exprs(1)), "built-in")
     registry.createOrReplaceTempFunction(
+      "graft_tdigest_quantiles",
+      exprs => TDigestQuantiles(exprs.head, exprs(1)), "built-in")
+    registry.createOrReplaceTempFunction(
       "graft_capped_longs", exprs => CappedLongs(exprs.head, exprs(1)), "built-in")
     registry.createOrReplaceTempFunction(
       "to_start_of_interval", exprs => toStartOfInterval(exprs), "built-in")

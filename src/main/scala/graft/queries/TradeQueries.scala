@@ -716,10 +716,74 @@ object TradeQueries {
       .orderBy("sec_code", "minute")
   }
 
+  /** ClickHouse `quantilesTDigest(0.5, 0.9, 0.99)(price)` — the last
+    * member of its approximate-aggregate family here (after topK, uniq,
+    * CMS): the custom [[graft.expr.TDigestQuantiles]] sketch, one O(δ)
+    * digest per group on the shuffle regardless of row count. The
+    * digest's centroid contents legitimately depend on partial-merge
+    * order, so the HASHED output is the sketch's actual contract — a
+    * tie-aware rank-accuracy ledger (`within_bound`: the approx value's
+    * open/closed rank bracket must contain pct ± 2%, far looser than
+    * δ=200's theoretical O(q(1-q)/δ)) — alongside the exact
+    * cum-histogram quantiles both engines derive independently. A
+    * digest drifting past its guarantee flips a boolean and fails the
+    * hash; the raw approx value is deliberately not hashed.
+    */
+  val qxQuantileTdigest = QueryDef.sql(
+    "qx_quantile_tdigest",
+    withCtes(
+      """SELECT board, pct,
+        |  CAST(min(CASE WHEN cum * 100 >= n * pct THEN price END) AS DOUBLE) AS exact_q,
+        |  CAST(max(n) AS BIGINT) AS n_rows,
+        |  TRUE AS within_bound
+        |FROM (
+        |  SELECT board, price,
+        |    sum(cnt) OVER (PARTITION BY board ORDER BY price) AS cum,
+        |    sum(cnt) OVER (PARTITION BY board) AS n
+        |  FROM (SELECT board, price, count(*) AS cnt FROM trades
+        |        GROUP BY board, price) h) c
+        |CROSS JOIN (SELECT unnest(ARRAY[50, 90, 99]) AS pct) p
+        |GROUP BY board, pct
+        |ORDER BY board, pct""".stripMargin,
+      tradesCte)
+  ) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val t = trades(spark, dir).select(col("board"), col("price"))
+    // the sketch under test: one digest per board, three finished cuts
+    val dig = t.groupBy("board")
+      .agg(expr("graft_tdigest_quantiles(price, array(0.50D, 0.90D, 0.99D))").as("qs"))
+      .select(col("board"), posexplode(col("qs")).as(Seq("i", "approx_q")))
+      .withColumn("pct", element_at(array(lit(50), lit(90), lit(99)), col("i") + 1))
+      .drop("i")
+    // exact quantiles via the cumulative histogram (llm_length_quantiles
+    // derivation — identical arithmetic to the oracle)
+    def q(p: Int) =
+      min(when(col("cum") * 100 >= col("n") * p, col("price"))).as(s"p$p")
+    val wb = Window.partitionBy("board")
+    val exact = t.groupBy("board", "price").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum("cnt").over(wb.orderBy("price")))
+      .withColumn("n", sum("cnt").over(wb))
+      .groupBy("board").agg(max("n").as("n_rows"), q(50), q(90), q(99))
+      .selectExpr("board", "n_rows",
+        "stack(3, 50, p50, 90, p90, 99, p99) AS (pct, exact_q)")
+    // tie-aware rank bracket of each approx cut over the raw values
+    val bracket = t.join(broadcast(dig), "board")
+      .groupBy("board", "pct")
+      .agg(sum(when(col("price") < col("approx_q"), 1L).otherwise(0L)).as("c_lt"),
+        sum(when(col("price") <= col("approx_q"), 1L).otherwise(0L)).as("c_le"))
+    exact.join(bracket, Seq("board", "pct"))
+      .withColumn("within_bound",
+        (col("c_le").cast("double") / col("n_rows") >= col("pct") / 100.0 - 0.02) &&
+          (col("c_lt").cast("double") / col("n_rows") <= col("pct") / 100.0 + 0.02))
+      .select(col("board"), col("pct"), col("exact_q").cast("double").as("exact_q"),
+        col("n_rows").cast("long").as("n_rows"), col("within_bound"))
+      .orderBy("board", "pct")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22,
     qxSaltedTurnover, qxAsofTradeQuote, qxAsofCustom, qxTopkStateMerge,
     qxPivotTurnover, qxRollupTurnover, qxMovingTurnover,
-    qxRangeFrameTurnover)
+    qxRangeFrameTurnover, qxQuantileTdigest)
 }

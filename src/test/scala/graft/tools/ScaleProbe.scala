@@ -159,7 +159,10 @@ object ScaleProbe {
     "qx_collapsing_turnover",
     // bucketed join pays the two bucketed writes + the co-located read;
     // hash sampling is a map-side tenth-selectivity scan
-    "layout_bucketed_join", "qx_sample_turnover")
+    "layout_bucketed_join", "qx_sample_turnover",
+    // t-digest: O(δ) sketches on the shuffle; the ledger's exact twin
+    // and rank bracket are the row-linear parts
+    "qx_quantile_tdigest")
   private val Reps = 10
   private val IdStride = 10000000L
 
