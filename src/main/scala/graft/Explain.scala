@@ -88,8 +88,9 @@ object Explain {
       // bucketed co-located join (join subtree must carry no Exchange)
       // and deterministic hash sampling (map-side predicate + partial agg)
       "layout_bucketed_join", "qx_sample_turnover",
-      // t-digest ledger: ObjectHashAggregate sketch + cum-hist exact twin
-      "qx_quantile_tdigest")
+      // t-digest ledger: ObjectHashAggregate sketch + cum-hist exact twin;
+      // the state/merge form reads the persisted parts table instead
+      "qx_quantile_tdigest", "qx_tdigest_state_merge")
     names.foreach { n =>
       println(s"\n================ $n ================")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

@@ -198,3 +198,102 @@ case class TDigestQuantiles(
 
   override def prettyName: String = "graft_tdigest_quantiles"
 }
+
+/** `graft_tdigest_state(x)` — the ClickHouse `quantileTDigestState`
+  * combinator: aggregates like [[TDigestQuantiles]] but emits the
+  * SERIALIZED DIGEST. The AggregatingMergeTree idiom for quantiles at
+  * 100 TB: each ingest part persists one O(δ) digest per group; later
+  * queries fold states via [[TDigestMerge]] and never rescan the facts.
+  * The t-digest merge is the SAME operation as its partial/final merge,
+  * so persisting states loses nothing beyond the usual re-compression.
+  */
+case class TDigestState(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TDigestBuffer] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+
+  override def createAggregationBuffer(): TDigestBuffer =
+    new TDigestBuffer(200.0)
+
+  override def update(b: TDigestBuffer, input: InternalRow): TDigestBuffer = {
+    val v = child.eval(input)
+    if (v != null) b.add(v.asInstanceOf[Number].doubleValue())
+    b
+  }
+
+  override def merge(b: TDigestBuffer, o: TDigestBuffer): TDigestBuffer = {
+    b.merge(o); b
+  }
+
+  override def eval(b: TDigestBuffer): Any = TDigestBuffer.write(b)
+  override def serialize(b: TDigestBuffer): Array[Byte] = TDigestBuffer.write(b)
+  override def deserialize(bytes: Array[Byte]): TDigestBuffer =
+    TDigestBuffer.read(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TDigestState =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TDigestState =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TDigestState =
+    copy(child = newChildren(0))
+
+  override def prettyName: String = "graft_tdigest_state"
+}
+
+/** `graft_tdigest_merge(state, array(p…))` — the `quantileTDigestMerge`
+  * combinator: folds persisted [[TDigestState]] blobs back into one
+  * digest and finishes it to the quantile array. The digest's δ travels
+  * in the wire format, so parts written at different compressions merge
+  * at the widest-seen resolution of the fold buffer.
+  */
+case class TDigestMerge(
+    child: Expression,
+    psExpr: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TDigestBuffer] {
+
+  private lazy val ps: Array[Double] =
+    psExpr.eval().asInstanceOf[ArrayData].toDoubleArray()
+
+  override def children: Seq[Expression] = Seq(child, psExpr)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def createAggregationBuffer(): TDigestBuffer =
+    new TDigestBuffer(200.0)
+
+  override def update(b: TDigestBuffer, input: InternalRow): TDigestBuffer = {
+    val v = child.eval(input)
+    if (v == null) return b
+    b.merge(TDigestBuffer.read(v.asInstanceOf[Array[Byte]]))
+    b
+  }
+
+  override def merge(b: TDigestBuffer, o: TDigestBuffer): TDigestBuffer = {
+    b.merge(o); b
+  }
+
+  override def eval(b: TDigestBuffer): Any =
+    new GenericArrayData(ps.map(b.quantile))
+
+  override def serialize(b: TDigestBuffer): Array[Byte] = TDigestBuffer.write(b)
+  override def deserialize(bytes: Array[Byte]): TDigestBuffer =
+    TDigestBuffer.read(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TDigestMerge =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TDigestMerge =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TDigestMerge =
+    copy(child = newChildren(0), psExpr = newChildren(1))
+
+  override def prettyName: String = "graft_tdigest_merge"
+}

@@ -280,6 +280,11 @@ object GraftFunctions {
       "graft_tdigest_quantiles",
       exprs => TDigestQuantiles(exprs.head, exprs(1)), "built-in")
     registry.createOrReplaceTempFunction(
+      "graft_tdigest_state", exprs => TDigestState(exprs.head), "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_tdigest_merge",
+      exprs => TDigestMerge(exprs.head, exprs(1)), "built-in")
+    registry.createOrReplaceTempFunction(
       "graft_capped_longs", exprs => CappedLongs(exprs.head, exprs(1)), "built-in")
     registry.createOrReplaceTempFunction(
       "to_start_of_interval", exprs => toStartOfInterval(exprs), "built-in")

@@ -729,34 +729,31 @@ object TradeQueries {
     * digest drifting past its guarantee flips a boolean and fails the
     * hash; the raw approx value is deliberately not hashed.
     */
-  val qxQuantileTdigest = QueryDef.sql(
-    "qx_quantile_tdigest",
-    withCtes(
-      """SELECT board, pct,
-        |  CAST(min(CASE WHEN cum * 100 >= n * pct THEN price END) AS DOUBLE) AS exact_q,
-        |  CAST(max(n) AS BIGINT) AS n_rows,
-        |  TRUE AS within_bound
-        |FROM (
-        |  SELECT board, price,
-        |    sum(cnt) OVER (PARTITION BY board ORDER BY price) AS cum,
-        |    sum(cnt) OVER (PARTITION BY board) AS n
-        |  FROM (SELECT board, price, count(*) AS cnt FROM trades
-        |        GROUP BY board, price) h) c
-        |CROSS JOIN (SELECT unnest(ARRAY[50, 90, 99]) AS pct) p
-        |GROUP BY board, pct
-        |ORDER BY board, pct""".stripMargin,
-      tradesCte)
-  ) { (spark, dir) =>
+  /** The rank-accuracy ledger's DuckDB twin — exact cum-histogram
+    * quantiles plus the `TRUE` bound columns the Spark side must earn.
+    */
+  private val tdigestLedgerSql: String =
+    """SELECT board, pct,
+      |  CAST(min(CASE WHEN cum * 100 >= n * pct THEN price END) AS DOUBLE) AS exact_q,
+      |  CAST(max(n) AS BIGINT) AS n_rows,
+      |  TRUE AS within_bound
+      |FROM (
+      |  SELECT board, price,
+      |    sum(cnt) OVER (PARTITION BY board ORDER BY price) AS cum,
+      |    sum(cnt) OVER (PARTITION BY board) AS n
+      |  FROM (SELECT board, price, count(*) AS cnt FROM trades
+      |        GROUP BY board, price) h) c
+      |CROSS JOIN (SELECT unnest(ARRAY[50, 90, 99]) AS pct) p
+      |GROUP BY board, pct
+      |ORDER BY board, pct""".stripMargin
+
+  /** Finish a per-board digest relation `dig(board, pct, approx_q)` into
+    * the hashed ledger: exact cum-histogram quantiles (the oracle's
+    * arithmetic) + the tie-aware rank bracket of each approx cut.
+    */
+  private def tdigestLedger(t: org.apache.spark.sql.DataFrame,
+      dig: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val t = trades(spark, dir).select(col("board"), col("price"))
-    // the sketch under test: one digest per board, three finished cuts
-    val dig = t.groupBy("board")
-      .agg(expr("graft_tdigest_quantiles(price, array(0.50D, 0.90D, 0.99D))").as("qs"))
-      .select(col("board"), posexplode(col("qs")).as(Seq("i", "approx_q")))
-      .withColumn("pct", element_at(array(lit(50), lit(90), lit(99)), col("i") + 1))
-      .drop("i")
-    // exact quantiles via the cumulative histogram (llm_length_quantiles
-    // derivation — identical arithmetic to the oracle)
     def q(p: Int) =
       min(when(col("cum") * 100 >= col("n") * p, col("price"))).as(s"p$p")
     val wb = Window.partitionBy("board")
@@ -766,7 +763,6 @@ object TradeQueries {
       .groupBy("board").agg(max("n").as("n_rows"), q(50), q(90), q(99))
       .selectExpr("board", "n_rows",
         "stack(3, 50, p50, 90, p90, 99, p99) AS (pct, exact_q)")
-    // tie-aware rank bracket of each approx cut over the raw values
     val bracket = t.join(broadcast(dig), "board")
       .groupBy("board", "pct")
       .agg(sum(when(col("price") < col("approx_q"), 1L).otherwise(0L)).as("c_lt"),
@@ -780,10 +776,56 @@ object TradeQueries {
       .orderBy("board", "pct")
   }
 
+  /** Explode a digest-quantiles array column into (board, pct, approx_q). */
+  private def explodeCuts(dig: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    dig.select(col("board"), posexplode(col("qs")).as(Seq("i", "approx_q")))
+      .withColumn("pct", element_at(array(lit(50), lit(90), lit(99)), col("i") + 1))
+      .drop("i")
+
+  val qxQuantileTdigest = QueryDef.sql(
+    "qx_quantile_tdigest",
+    withCtes(tdigestLedgerSql, tradesCte)
+  ) { (spark, dir) =>
+    val t = trades(spark, dir).select(col("board"), col("price"))
+    // the sketch under test: one digest per board, three finished cuts
+    val dig = explodeCuts(t.groupBy("board")
+      .agg(expr("graft_tdigest_quantiles(price, array(0.50D, 0.90D, 0.99D))").as("qs")))
+    tdigestLedger(t, dig)
+  }
+
+  /** `quantileTDigestState` / `quantileTDigestMerge` — the
+    * AggregatingMergeTree combinator pair for quantiles (same idiom as
+    * [[qxTopkStateMerge]]): each day-part persists ONE O(δ) digest per
+    * board; the read path folds the persisted states and never rescans
+    * facts. Unlike topK-under-capacity, a digest fold is NOT lossless —
+    * re-compression is the approximation — so the oracle is the same
+    * rank-accuracy ledger as `qx_quantile_tdigest`: the merged digest
+    * must still land every cut inside pct ± 2%, proving state
+    * persistence + merge preserves the sketch's contract.
+    */
+  val qxTdigestStateMerge = QueryDef.sql(
+    "qx_tdigest_state_merge",
+    withCtes(tdigestLedgerSql, tradesCte)
+  ) { (spark, dir) =>
+    GraftFunctions.register(spark)
+    val t = trades(spark, dir).select(col("board"), col("price"), col("time"))
+    val parts = graft.sources.Scratch.dir(
+      s"tdigest_states|${spark.sparkContext.applicationId}|$dir")
+    t.withColumn("part_date", to_date(col("time")))
+      .groupBy("part_date", "board")
+      .agg(expr("graft_tdigest_state(price)").as("state"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(parts)
+    val dig = explodeCuts(spark.read.parquet(parts)
+      .groupBy("board")
+      .agg(expr("graft_tdigest_merge(state, array(0.50D, 0.90D, 0.99D))").as("qs")))
+    tdigestLedger(t.select("board", "price"), dig)
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22,
     qxSaltedTurnover, qxAsofTradeQuote, qxAsofCustom, qxTopkStateMerge,
     qxPivotTurnover, qxRollupTurnover, qxMovingTurnover,
-    qxRangeFrameTurnover, qxQuantileTdigest)
+    qxRangeFrameTurnover, qxQuantileTdigest, qxTdigestStateMerge)
 }

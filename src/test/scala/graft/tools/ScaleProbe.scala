@@ -162,7 +162,7 @@ object ScaleProbe {
     "layout_bucketed_join", "qx_sample_turnover",
     // t-digest: O(δ) sketches on the shuffle; the ledger's exact twin
     // and rank bracket are the row-linear parts
-    "qx_quantile_tdigest")
+    "qx_quantile_tdigest", "qx_tdigest_state_merge")
   private val Reps = 10
   private val IdStride = 10000000L
 
