@@ -90,7 +90,10 @@ object Explain {
       "layout_bucketed_join", "qx_sample_turnover",
       // t-digest ledger: ObjectHashAggregate sketch + cum-hist exact twin;
       // the state/merge form reads the persisted parts table instead
-      "qx_quantile_tdigest", "qx_tdigest_state_merge")
+      "qx_quantile_tdigest", "qx_tdigest_state_merge",
+      // relational surface: LIMIT BY (one window), WITH FILL (grid
+      // generate + left join, bucket-bound), semi/anti broadcast joins
+      "qx_limit_by", "qx_with_fill_turnover", "qx_semi_anti_codes")
     names.foreach { n =>
       println(s"\n================ $n ================")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

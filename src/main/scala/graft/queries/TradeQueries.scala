@@ -822,10 +822,118 @@ object TradeQueries {
     tdigestLedger(t.select("board", "price"), dig)
   }
 
+  /** ClickHouse `LIMIT n BY group` — per-group top-n as a first-class
+    * clause (the "latest 3 prints per instrument" ticker query). One
+    * window over one (sec_code)-hash exchange; ordering is total
+    * (time DESC, trade_no DESC tiebreak) so the oracle hashes exactly.
+    * Scale note: with 60 keys the per-key micro-sort is free; for
+    * millions of groups × huge fan-in the capped-collect aggregate
+    * ([[graft.expr.CappedLongs]]) is the no-sort spelling — this entry
+    * registers the CLAUSE semantics.
+    */
+  val qxLimitBy = QueryDef.sql(
+    "qx_limit_by",
+    withCtes(
+      """SELECT sec_code, rn, trade_no, price FROM (
+        |  SELECT sec_code, trade_no, price,
+        |    CAST(row_number() OVER (PARTITION BY sec_code
+        |      ORDER BY time DESC, trade_no DESC) AS INT) AS rn
+        |  FROM trades) r
+        |WHERE rn <= 3
+        |ORDER BY sec_code, rn""".stripMargin,
+      tradesCte)
+  ) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("sec_code")
+      .orderBy(col("time").desc, col("trade_no").desc)
+    trades(spark, dir)
+      .select(col("sec_code"), col("trade_no"), col("price"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= 3)
+      .select(col("sec_code"), col("rn"), col("trade_no"), col("price"))
+      .orderBy("sec_code", "rn")
+  }
+
+  /** ClickHouse `ORDER BY minute WITH FILL` — time-series gap filling:
+    * every security's 5-minute grid from its first to its last bucket,
+    * absent buckets zero-filled (what a dashboard line chart needs when
+    * trading goes quiet; the RANGE-frame entry showed the buckets ARE
+    * gappy). The grid is generated from the per-key span (60 tiny rows,
+    * broadcast) via sequence/explode — never a driver loop — and the
+    * fill is one left join keyed exactly like the aggregate, so the
+    * whole thing is bucket-cardinality-bound, not row-bound.
+    */
+  val qxWithFillTurnover = QueryDef.sql(
+    "qx_with_fill_turnover",
+    withCtes(
+      """SELECT g.sec_code AS sec_code, g.minute AS minute,
+        |  coalesce(b.vol, CAST(0 AS DOUBLE)) AS vol,
+        |  b.vol IS NULL AS filled
+        |FROM g LEFT JOIN b ON b.sec_code = g.sec_code AND b.minute = g.minute
+        |ORDER BY g.sec_code, g.minute""".stripMargin,
+      tradesCte,
+      s"""b AS (
+         |  SELECT sec_code, ${bucketSql("time", IntervalSec)} AS minute,
+         |    SUM(price * quantity) AS vol
+         |  FROM trades GROUP BY sec_code, minute),
+         |s AS (SELECT sec_code, min(minute) AS mn, max(minute) AS mx
+         |      FROM b GROUP BY sec_code),
+         |g AS (SELECT sec_code,
+         |        unnest(generate_series(mn, mx, INTERVAL ${IntervalSec} SECOND)) AS minute
+         |      FROM s)""".stripMargin)
+  ) { (spark, dir) =>
+    val b = trades(spark, dir)
+      .withColumn("minute", bucket(col("time"), IntervalSec))
+      .groupBy("sec_code", "minute")
+      .agg(sum(col("price") * col("quantity")).as("vol"))
+    val grid = b.groupBy("sec_code")
+      .agg(min("minute").as("mn"), max("minute").as("mx"))
+      .select(col("sec_code"),
+        explode(expr(s"sequence(mn, mx, interval $IntervalSec seconds)")).as("minute"))
+    grid.join(b, Seq("sec_code", "minute"), "left")
+      .select(col("sec_code"), col("minute"),
+        coalesce(col("vol"), lit(0.0)).as("vol"),
+        col("vol").isNull.as("filled"))
+      .orderBy("sec_code", "minute")
+  }
+
+  /** Semi/anti joins — ClickHouse `GLOBAL IN (subquery)` and its
+    * negation (`WHERE sec_code [NOT] IN (SELECT …)`): the traded codes
+    * split by whether the dimension knows them as SHARE instruments.
+    * Spark plans both sides as BroadcastHashJoin LeftSemi/LeftAnti over
+    * the broadcast dimension — no shuffle of the fact-derived side, the
+    * exact distributed-IN evaluation GLOBAL IN exists to express. The
+    * oracle spells EXISTS/NOT EXISTS (null-safe, same relation).
+    */
+  val qxSemiAntiCodes = QueryDef.sql(
+    "qx_semi_anti_codes",
+    withCtes(
+      """SELECT 'semi' AS side, sec_code FROM codes c
+        |WHERE EXISTS (SELECT 1 FROM securities s
+        |              WHERE s.seccode = c.sec_code AND s.sectype = 'SHARE')
+        |UNION ALL
+        |SELECT 'anti' AS side, sec_code FROM codes c
+        |WHERE NOT EXISTS (SELECT 1 FROM securities s
+        |                  WHERE s.seccode = c.sec_code AND s.sectype = 'SHARE')
+        |ORDER BY side, sec_code""".stripMargin,
+      tradesCte, securitiesCte,
+      "codes AS (SELECT DISTINCT sec_code FROM trades)")
+  ) { (spark, dir) =>
+    val shares = securities(spark, dir)
+      .filter(col("sectype") === "SHARE").select(col("seccode"))
+    val codes = trades(spark, dir).select("sec_code").distinct()
+    def side(joinType: String, label: String) =
+      codes.join(broadcast(shares), codes("sec_code") === shares("seccode"), joinType)
+        .select(lit(label).as("side"), col("sec_code"))
+    side("left_semi", "semi").unionByName(side("left_anti", "anti"))
+      .orderBy("side", "sec_code")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22,
     qxSaltedTurnover, qxAsofTradeQuote, qxAsofCustom, qxTopkStateMerge,
     qxPivotTurnover, qxRollupTurnover, qxMovingTurnover,
-    qxRangeFrameTurnover, qxQuantileTdigest, qxTdigestStateMerge)
+    qxRangeFrameTurnover, qxQuantileTdigest, qxTdigestStateMerge,
+    qxLimitBy, qxWithFillTurnover, qxSemiAntiCodes)
 }

@@ -162,7 +162,10 @@ object ScaleProbe {
     "layout_bucketed_join", "qx_sample_turnover",
     // t-digest: O(δ) sketches on the shuffle; the ledger's exact twin
     // and rank bracket are the row-linear parts
-    "qx_quantile_tdigest", "qx_tdigest_state_merge")
+    "qx_quantile_tdigest", "qx_tdigest_state_merge",
+    // relational surface: LIMIT BY rides one window; WITH FILL is
+    // bucket-cardinality-bound; semi/anti is a broadcast over distinct
+    "qx_limit_by", "qx_with_fill_turnover", "qx_semi_anti_codes")
   private val Reps = 10
   private val IdStride = 10000000L
 
