@@ -93,7 +93,9 @@ object Explain {
       "qx_quantile_tdigest", "qx_tdigest_state_merge",
       // relational surface: LIMIT BY (one window), WITH FILL (grid
       // generate + left join, bucket-bound), semi/anti broadcast joins
-      "qx_limit_by", "qx_with_fill_turnover", "qx_semi_anti_codes")
+      "qx_limit_by", "qx_with_fill_turnover", "qx_semi_anti_codes",
+      // DPP: the fact scan must carry a dynamicpruningexpression
+      "layout_dpp_prune")
     names.foreach { n =>
       println(s"\n================ $n ================")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

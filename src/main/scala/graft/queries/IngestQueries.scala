@@ -792,6 +792,46 @@ object IngestQueries {
       tradesCte)
   ) { (spark, dir) => bucketedJoin(spark, dir).orderBy("trade_no") }
 
+  /** Dynamic partition pruning over the day-partitioned layout — the
+    * runtime HALF of partition pruning (static pruning needs the dates
+    * in the query text; a dashboard's "selected days" arrive as a DIM
+    * TABLE filter). The fact side is the materialized
+    * `trade_date`-partitioned layout; the dim side is a filtered date
+    * relation; joining on the partition column makes Catalyst inject a
+    * `dynamicpruningexpression` into the fact SCAN (LayoutSpec pins it),
+    * so at 100 TB the excluded days are never read — the broadcast is
+    * reused as the pruning subquery, zero extra jobs. The oracle is the
+    * equivalent static predicate, so pruning that drops or keeps a wrong
+    * partition is a row mismatch.
+    */
+  val layoutDppPrune = QueryDef.sql(
+    "layout_dpp_prune",
+    withCtes(
+      """SELECT d AS trade_date,
+        |  CAST(count(*) AS BIGINT) AS n_trades,
+        |  CAST(sum(quantity) AS BIGINT) AS qty
+        |FROM (SELECT CAST(time AS DATE) AS d, quantity FROM trades) t
+        |WHERE day(d) % 2 = 0
+        |GROUP BY d ORDER BY d""".stripMargin,
+      tradesCte)
+  ) { (spark, dir) => dppJoin(spark, dir) }
+
+  /** The DPP join body shared by the entry and LayoutSpec's plan pin. */
+  private[graft] def dppJoin(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val out = graft.sources.Scratch.dir(
+      s"dpp_layout|${spark.sparkContext.applicationId}|$dir")
+    graft.sources.Sinks.materializeTrades(trades(spark, dir), out)
+    val fact = spark.read.parquet(out)
+    val dim = trades(spark, dir)
+      .select(to_date(col("time")).as("trade_date")).distinct()
+      .filter(dayofmonth(col("trade_date")) % 2 === 0)
+    fact.join(broadcast(dim), "trade_date")
+      .groupBy("trade_date")
+      .agg(count(lit(1)).as("n_trades"), sum("quantity").as("qty"))
+      .orderBy("trade_date")
+  }
+
   /** ClickHouse `SAMPLE 1/10` semantics — DETERMINISTIC hash sampling on
     * the sampling key, not rand(): the same key always lands in the same
     * sample, so samples are reproducible across queries, consistent
@@ -833,6 +873,6 @@ object IngestQueries {
     a11Projection, a12TradeParse, a13QuotesEnvelope, a14SecinfoParse,
     a15HistoryParse, a17Positions, a01StreamCandles, a01CandlesReplay,
     layoutZorderKey, layoutTtlRetention, layoutBucketedJoin,
-    qxSampleTurnover, rollupSummingMerge,
+    layoutDppPrune, qxSampleTurnover, rollupSummingMerge,
     a22CsvRoundtrip, a23JsonRoundtrip, a24JdbcRoundtrip)
 }

@@ -3,7 +3,7 @@ package graft
 import java.nio.file.Files
 
 import org.apache.spark.sql.execution.FileSourceScanExec
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, count, dayofmonth, lit, sum, to_date}
 
 import graft.fixtures.Fixtures
 import graft.sources.Sinks
@@ -71,5 +71,22 @@ class LayoutSpec extends SparkSuite {
     assert(got == want)
     // and it actually compacted: fewer rows than the versioned input
     assert(got.size < versioned.count())
+  }
+
+  test("dim-filtered join over the partitioned layout engages dynamic pruning") {
+    val df = graft.queries.IngestQueries.dppJoin(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"fact scan carries no dynamic-pruning predicate:\n$plan")
+    // and the pruned result equals the static-predicate evaluation
+    val got = df.collect().map(_.toSeq).toSet
+    val want = Fixtures.trades(spark, "/root/testdata/sf0.001")
+      .withColumn("trade_date", to_date(col("time")))
+      .filter(dayofmonth(col("trade_date")) % 2 === 0)
+      .groupBy("trade_date")
+      .agg(count(lit(1)).as("n_trades"), sum("quantity").as("qty"))
+      .collect().map(_.toSeq).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
   }
 }

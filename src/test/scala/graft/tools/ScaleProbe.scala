@@ -165,7 +165,9 @@ object ScaleProbe {
     "qx_quantile_tdigest", "qx_tdigest_state_merge",
     // relational surface: LIMIT BY rides one window; WITH FILL is
     // bucket-cardinality-bound; semi/anti is a broadcast over distinct
-    "qx_limit_by", "qx_with_fill_turnover", "qx_semi_anti_codes")
+    "qx_limit_by", "qx_with_fill_turnover", "qx_semi_anti_codes",
+    // DPP pays the layout write; the pruned read is partition-bound
+    "layout_dpp_prune")
   private val Reps = 10
   private val IdStride = 10000000L
 
