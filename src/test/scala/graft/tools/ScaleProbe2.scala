@@ -62,8 +62,20 @@ object ScaleProbe2 {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    materialize(spark, base, sf1, 10)
-    materialize(spark, base, sf10, 100)
+    val entryNames = if (args.nonEmpty) args.toSeq else Entries
+    // llm_/mm_ pipelines read documents/embeddings; everything else is
+    // the trades side (lineitem/events/part) — materialize only what the
+    // requested entries actually scan (the sf10 trades leg is ~60M rows)
+    val needsDocs = entryNames.exists(n => n.startsWith("llm_") || n.startsWith("mm_"))
+    val needsTrades = entryNames.exists(n => !n.startsWith("llm_") && !n.startsWith("mm_"))
+    if (needsDocs) {
+      materialize(spark, base, sf1, 10)
+      materialize(spark, base, sf10, 100)
+    }
+    if (needsTrades) {
+      materializeTradesSide(spark, base, sf1, 10)
+      materializeTradesSide(spark, base, sf10, 100)
+    }
 
     def noop(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
@@ -79,7 +91,7 @@ object ScaleProbe2 {
       spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
       println("[scale2] AQE partition coalescing DISABLED for this run")
     }
-    val entries = if (args.nonEmpty) args.toSeq else Entries
+    val entries = entryNames
     val unknown = entries.filterNot(graft.SparkEntry.queries.contains)
     require(unknown.isEmpty, s"unknown entries: ${unknown.mkString(", ")}")
     val results = for (dir <- Seq(sf1, sf10); n <- entries) yield {
@@ -142,6 +154,36 @@ object ScaleProbe2 {
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
     println(s"[scale2] materialized $out (documents x$reps)")
+  }
+
+  /** Second-decade trades-side corpus — same offset scheme as
+    * [[ScaleProbe.materializeTrades]] (l_orderkey + r·10⁶ keeps trade_no
+    * unique and < 2⁶³ through r = 99; event_id/user_id offsets keep
+    * quote_seq unique and the secid mapping replica-invariant; the part
+    * dim never grows with volume), but on the probe's constant 32-file
+    * layout so both decades scan at the same parallelism.
+    */
+  private def materializeTradesSide(spark: SparkSession, base: String,
+      out: String, reps: Int): Unit = {
+    val repDf = spark.range(0, reps).select(col("id").as("r"))
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$out/lineitem.parquet"))) {
+      spark.read.parquet(s"$base/lineitem.parquet")
+        .crossJoin(broadcast(repDf))
+        .withColumn("l_orderkey", col("l_orderkey") + col("r") * 1000000L)
+        .drop("r")
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+      spark.read.parquet(s"$base/events.parquet")
+        .crossJoin(broadcast(repDf))
+        .withColumn("event_id", col("event_id") + col("r") * 1000000000L)
+        .withColumn("user_id", col("user_id") + col("r") * 6000000L)
+        .drop("r")
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$out/events.parquet")
+      spark.read.parquet(s"$base/part.parquet")
+        .write.mode("overwrite").parquet(s"$out/part.parquet")
+      println(s"[scale2] materialized $out (lineitem x$reps, events x$reps, part dim as-is)")
+    }
   }
 
   /** Embedding replicas by component rotation (ScaleProbe's construction:
