@@ -95,7 +95,9 @@ object Explain {
       // generate + left join, bucket-bound), semi/anti broadcast joins
       "qx_limit_by", "qx_with_fill_turnover", "qx_semi_anti_codes",
       // DPP: the fact scan must carry a dynamicpruningexpression
-      "layout_dpp_prune")
+      "layout_dpp_prune",
+      // LOCF fill: one extra window over the already bucket-sized grid
+      "qx_with_fill_locf")
     names.foreach { n =>
       println(s"\n================ $n ================")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

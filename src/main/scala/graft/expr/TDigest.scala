@@ -248,9 +248,11 @@ case class TDigestState(
 
 /** `graft_tdigest_merge(state, array(p…))` — the `quantileTDigestMerge`
   * combinator: folds persisted [[TDigestState]] blobs back into one
-  * digest and finishes it to the quantile array. The digest's δ travels
-  * in the wire format, so parts written at different compressions merge
-  * at the widest-seen resolution of the fold buffer.
+  * digest and finishes it to the quantile array. The fold buffer is
+  * δ = 200 — the same compression [[TDigestState]] writes — so the
+  * round-trip loses nothing beyond the re-compression every t-digest
+  * merge pays (a state written at a HIGHER δ would be re-compressed
+  * down to 200 here; the engine always writes 200).
   */
 case class TDigestMerge(
     child: Expression,

@@ -882,6 +882,18 @@ object TradeQueries {
          |        unnest(generate_series(mn, mx, INTERVAL ${IntervalSec} SECOND)) AS minute
          |      FROM s)""".stripMargin)
   ) { (spark, dir) =>
+    filledGrid(spark, dir)
+      .select(col("sec_code"), col("minute"),
+        coalesce(col("vol"), lit(0.0)).as("vol"),
+        col("vol").isNull.as("filled"))
+      .orderBy("sec_code", "minute")
+  }
+
+  /** The WITH FILL grid: per-security 5-minute buckets from first to
+    * last, left-joined to the turnover aggregate (vol NULL on gaps).
+    */
+  private def filledGrid(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
     val b = trades(spark, dir)
       .withColumn("minute", bucket(col("time"), IntervalSec))
       .groupBy("sec_code", "minute")
@@ -891,8 +903,43 @@ object TradeQueries {
       .select(col("sec_code"),
         explode(expr(s"sequence(mn, mx, interval $IntervalSec seconds)")).as("minute"))
     grid.join(b, Seq("sec_code", "minute"), "left")
+  }
+
+  /** `WITH FILL … INTERPOLATE` — the carry-forward variant: a gap bucket
+    * shows the last traded bucket's turnover instead of zero (the
+    * "last known price/volume" a ticker panel wants). One additional
+    * window over the ALREADY bucket-sized grid (never the raw rows);
+    * the first grid bucket per key always has data (the grid starts at
+    * each key's min), so LOCF is total. Identical IGNORE NULLS window
+    * in the oracle.
+    */
+  val qxWithFillLocf = QueryDef.sql(
+    "qx_with_fill_locf",
+    withCtes(
+      """SELECT g.sec_code AS sec_code, g.minute AS minute,
+        |  last_value(b.vol IGNORE NULLS) OVER (
+        |    PARTITION BY g.sec_code ORDER BY g.minute
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vol,
+        |  b.vol IS NULL AS filled
+        |FROM g LEFT JOIN b ON b.sec_code = g.sec_code AND b.minute = g.minute
+        |ORDER BY g.sec_code, g.minute""".stripMargin,
+      tradesCte,
+      s"""b AS (
+         |  SELECT sec_code, ${bucketSql("time", IntervalSec)} AS minute,
+         |    SUM(price * quantity) AS vol
+         |  FROM trades GROUP BY sec_code, minute),
+         |s AS (SELECT sec_code, min(minute) AS mn, max(minute) AS mx
+         |      FROM b GROUP BY sec_code),
+         |g AS (SELECT sec_code,
+         |        unnest(generate_series(mn, mx, INTERVAL ${IntervalSec} SECOND)) AS minute
+         |      FROM s)""".stripMargin)
+  ) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("sec_code").orderBy("minute")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    filledGrid(spark, dir)
       .select(col("sec_code"), col("minute"),
-        coalesce(col("vol"), lit(0.0)).as("vol"),
+        last(col("vol"), ignoreNulls = true).over(w).as("vol"),
         col("vol").isNull.as("filled"))
       .orderBy("sec_code", "minute")
   }
@@ -935,5 +982,5 @@ object TradeQueries {
     qxSaltedTurnover, qxAsofTradeQuote, qxAsofCustom, qxTopkStateMerge,
     qxPivotTurnover, qxRollupTurnover, qxMovingTurnover,
     qxRangeFrameTurnover, qxQuantileTdigest, qxTdigestStateMerge,
-    qxLimitBy, qxWithFillTurnover, qxSemiAntiCodes)
+    qxLimitBy, qxWithFillTurnover, qxWithFillLocf, qxSemiAntiCodes)
 }

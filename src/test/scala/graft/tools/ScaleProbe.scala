@@ -167,7 +167,9 @@ object ScaleProbe {
     // bucket-cardinality-bound; semi/anti is a broadcast over distinct
     "qx_limit_by", "qx_with_fill_turnover", "qx_semi_anti_codes",
     // DPP pays the layout write; the pruned read is partition-bound
-    "layout_dpp_prune")
+    "layout_dpp_prune",
+    // LOCF fill windows the bucket grid, not the raw rows
+    "qx_with_fill_locf")
   private val Reps = 10
   private val IdStride = 10000000L
 
