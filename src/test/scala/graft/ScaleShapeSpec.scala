@@ -233,4 +233,28 @@ class ScaleShapeSpec extends SparkSuite {
     assert(rows.sorted.toSeq == want.sorted, s"got ${rows.toSeq}")
     assert(rows.forall { case (a, b) => a < b })
   }
+
+  test("round-9 relational waves keep their scale shapes") {
+    // WITH FILL: the grid side must join the bucket aggregate via ONE
+    // broadcast outer join (bucket-bound), never shuffle the grid
+    val fill = plan("qx_with_fill_turnover")
+    assert(fill.contains("BroadcastHashJoin") && fill.contains("LeftOuter"),
+      "fill join must broadcast the bucket aggregate:\n" + fill.take(2000))
+    // semi/anti: both sides broadcast the dimension — the distributed-IN
+    val sa = plan("qx_semi_anti_codes")
+    assert(sa.contains("LeftSemi") && sa.contains("LeftAnti"),
+      "IN/NOT IN must plan as semi/anti joins:\n" + sa.take(2000))
+    assert(!sa.contains("SortMergeJoin"),
+      "the dimension side must broadcast, not shuffle:\n" + sa.take(2000))
+    // SAMPLE: the hash predicate must sit in a Filter under the scan
+    // side (map-side), with no join or window anywhere
+    val smp = plan("qx_sample_turnover")
+    assert(!smp.contains("Join") && !smp.contains("Window"),
+      "hash sampling is a filtered scan + aggregate only:\n" + smp.take(2000))
+    // collapsing no-FINAL: pure partial/final aggregate, no collapse op
+    val ct = plan("qx_collapsing_turnover")
+    assert(!ct.contains("Join") && !ct.contains("Window") &&
+      !ct.contains("SortAggregate"),
+      "sign-weighted aggregate must stay one hash aggregation:\n" + ct.take(2000))
+  }
 }
