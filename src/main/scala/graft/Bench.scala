@@ -333,6 +333,38 @@ object Bench {
           breakdown(q, after, math.round(rows / sec))
         } finally q.stop()
       }
+      // Collapsing position tracker (round 9): the sign-weighted
+      // no-FINAL aggregate as an UPDATE-mode stream — corrections net
+      // against states inside the running aggregation buffer (~60 keys),
+      // no keyed row store, no watermark. Shards sized to key
+      // cardinality like the _p8 candle lane; state is the smallest in
+      // the section, so this measures the per-micro-batch floor for a
+      // pure streaming aggregate.
+      val positions: String = {
+        val prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          val collapseRows = graft.fixtures.Fixtures.tradesCollapsing(spark, sfDir)
+            .selectExpr("secid", "price", "quantity", "sign")
+            .as[graft.streaming.CollapseRow].collect()
+          val cBatches = collapseRows.grouped(batchSize).toSeq
+          val ms = MemoryStream[graft.streaming.CollapseRow]
+          val ck = java.nio.file.Files.createTempDirectory(ckRoot, "ck").toString
+          val q = graft.streaming.PositionStream.positions(ms.toDS().toDF())
+            .writeStream.outputMode("update")
+            .format("noop").option("checkpointLocation", ck).start()
+          try {
+            ms.addData(cBatches.head.toSeq)
+            q.processAllAvailable()
+            val after = q.lastProgress.batchId
+            val t0 = System.nanoTime()
+            cBatches.tail.foreach { b => ms.addData(b.toSeq); q.processAllAvailable() }
+            val sec = (System.nanoTime() - t0) / 1e9
+            breakdown(q, after,
+              math.round((collapseRows.length - cBatches.head.length) / sec))
+          } finally q.stop()
+        } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+      }
       // JDBC streaming sink (round 8, r7 verdict item 8): the north star
       // names "final write via JDBC connector" — measure rows/s through
       // jdbcStreamAppend into embedded in-memory Derby (the jars Spark
@@ -370,7 +402,7 @@ object Bench {
         s""""doc_gate_rocksdb":$docGateRocks,"doc_gate_bigbatch":$docGateBig,""" +
         s""""doc_gate_p8":$docGateP8,"doc_gate_tuned":$docGateTuned,""" +
         s""""doc_gate_rocksdb_changelog":$docGateRocksCl,""" +
-        s""""stream_join":$streamJoin,""" +
+        s""""stream_join":$streamJoin,"positions":$positions,""" +
         s""""jdbc":$jdbc,"rows":${tickRows.length},"batch_size":$batchSize,""" +
         s""""batches":${batches.length}}"""
     } catch { case e: Throwable =>

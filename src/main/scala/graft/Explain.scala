@@ -97,7 +97,9 @@ object Explain {
       // DPP: the fact scan must carry a dynamicpruningexpression
       "layout_dpp_prune",
       // LOCF fill: one extra window over the already bucket-sized grid
-      "qx_with_fill_locf")
+      "qx_with_fill_locf",
+      // set ops: DISTINCT aggregate + anti/semi joins on bucket inputs
+      "qx_set_ops_minutes")
     names.foreach { n =>
       println(s"\n================ $n ================")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

@@ -982,5 +982,38 @@ object TradeQueries {
     qxSaltedTurnover, qxAsofTradeQuote, qxAsofCustom, qxTopkStateMerge,
     qxPivotTurnover, qxRollupTurnover, qxMovingTurnover,
     qxRangeFrameTurnover, qxQuantileTdigest, qxTdigestStateMerge,
-    qxLimitBy, qxWithFillTurnover, qxWithFillLocf, qxSemiAntiCodes)
+    qxLimitBy, qxWithFillTurnover, qxWithFillLocf, qxSemiAntiCodes,
+    qxSetOpsMinutes)
+
+  /** EXCEPT / INTERSECT — the remaining relational set operators
+    * (ClickHouse has both since 21.8; the dashboard's UNION ALL sibling
+    * is exercised by Q2/Q3): 5-minute buckets where SEC03 traded but
+    * SEC12 didn't, and where both did. Spark plans DISTINCT set ops as
+    * aggregate + left-anti/left-semi joins — the same scale shape as
+    * `qx_semi_anti_codes`, arrived at through the set-operator surface
+    * instead of IN; inputs are already bucket-sized before either op.
+    */
+  lazy val qxSetOpsMinutes = QueryDef.sql(
+    "qx_set_ops_minutes",
+    withCtes(
+      """SELECT 'both' AS tag, minute FROM
+        |  (SELECT minute FROM a INTERSECT SELECT minute FROM b) i
+        |UNION ALL
+        |SELECT 'only_sec03' AS tag, minute FROM
+        |  (SELECT minute FROM a EXCEPT SELECT minute FROM b) e
+        |ORDER BY tag, minute""".stripMargin,
+      tradesCte,
+      s"""a AS (SELECT DISTINCT ${bucketSql("time", IntervalSec)} AS minute
+         |      FROM trades WHERE sec_code = 'SEC03'),
+         |b AS (SELECT DISTINCT ${bucketSql("time", IntervalSec)} AS minute
+         |      FROM trades WHERE sec_code = 'SEC12')""".stripMargin)
+  ) { (spark, dir) =>
+    def minutes(code: String) = trades(spark, dir)
+      .filter(col("sec_code") === code)
+      .select(bucket(col("time"), IntervalSec).as("minute")).distinct()
+    val (a, b) = (minutes("SEC03"), minutes("SEC12"))
+    a.intersect(b).select(lit("both").as("tag"), col("minute"))
+      .unionByName(a.except(b).select(lit("only_sec03").as("tag"), col("minute")))
+      .orderBy("tag", "minute")
+  }
 }

@@ -67,6 +67,32 @@ class CollapseSpec extends SparkSuite {
     assert(got == Set((1L, 10.0, 1), (2L, 20.0, 1)))
   }
 
+  test("streaming position tracker equals the batch sign-weighted aggregate") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = fx.select(col("secid"), col("price"), col("quantity"), col("sign"))
+      .as[(Int, Double, Long, Int)].collect()
+      .map { case (s, p, q, g) => graft.streaming.CollapseRow(s, p, q, g) }
+    val ms = MemoryStream[graft.streaming.CollapseRow]
+    val q = graft.streaming.PositionStream.positions(ms.toDS().toDF())
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("pos_parity").start()
+    try {
+      // several micro-batches so corrections land in LATER batches than
+      // the states they cancel — the case the running fold exists for
+      rows.grouped(rows.length / 5 + 1).foreach(b => ms.addData(b.toSeq))
+      q.processAllAvailable()
+      val got = spark.table("pos_parity").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+      val want = graft.streaming.PositionStream.positions(
+        fx.select("secid", "price", "quantity", "sign")).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+      assert(got == want)
+      assert(got.size == 60)
+    } finally q.stop()
+  }
+
   test("both collapse plans stay on hash aggregation — no sort-agg, no window") {
     val p1 = Collapse.finalState(fx.drop("version"),
       Seq("trade_no"), "sign", "ingest_seq", pack)

@@ -169,7 +169,9 @@ object ScaleProbe {
     // DPP pays the layout write; the pruned read is partition-bound
     "layout_dpp_prune",
     // LOCF fill windows the bucket grid, not the raw rows
-    "qx_with_fill_locf")
+    "qx_with_fill_locf",
+    // set ops run on already bucket-sized inputs
+    "qx_set_ops_minutes")
   private val Reps = 10
   private val IdStride = 10000000L
 
