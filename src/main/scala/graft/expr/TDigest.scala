@@ -5,6 +5,7 @@ import java.io.{ByteArrayOutputStream, DataInputStream, DataOutputStream}
 import scala.collection.mutable
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -168,6 +169,20 @@ case class TDigestQuantiles(
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
 
+  /** A non-numeric column or a non-literal/non-double quantile list must
+    * fail analysis, not throw ClassCastException at execution.
+    */
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!child.dataType.isInstanceOf[NumericType])
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a numeric column, got ${child.dataType.catalogString}")
+    else if (!psExpr.foldable ||
+      psExpr.dataType != ArrayType(DoubleType, containsNull = false) &&
+      psExpr.dataType != ArrayType(DoubleType, containsNull = true))
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a literal array<double> of quantiles")
+    else TypeCheckResult.TypeCheckSuccess
+
   override def createAggregationBuffer(): TDigestBuffer =
     new TDigestBuffer(Compression)
 
@@ -217,6 +232,11 @@ case class TDigestState(
   override def nullable: Boolean = false
   override def dataType: DataType = BinaryType
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[NumericType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a numeric column, got ${child.dataType.catalogString}")
+
   override def createAggregationBuffer(): TDigestBuffer =
     new TDigestBuffer(200.0)
 
@@ -265,6 +285,18 @@ case class TDigestMerge(
     psExpr.eval().asInstanceOf[ArrayData].toDoubleArray()
 
   override def children: Seq[Expression] = Seq(child, psExpr)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != BinaryType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a binary state column, got ${child.dataType.catalogString}")
+    else if (!psExpr.foldable ||
+      psExpr.dataType != ArrayType(DoubleType, containsNull = false) &&
+      psExpr.dataType != ArrayType(DoubleType, containsNull = true))
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a literal array<double> of quantiles")
+    else TypeCheckResult.TypeCheckSuccess
+
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
 

@@ -162,4 +162,21 @@ class FunctionsSpec extends SparkSuite {
         s"cap=$capSql raised: ${e.getMessage}")
     }
   }
+
+  test("graft_tdigest_quantiles: analysis-time type checks, SQL round-trip") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    // a non-numeric column must fail ANALYSIS, not CCE at execution
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq("a").toDF("s")
+        .selectExpr("graft_tdigest_quantiles(s, array(0.5D)) AS q").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("numeric"), e.getMessage)
+    // and the happy path answers through plain SQL on integers (update
+    // path accepts any numeric runtime box)
+    val q = spark.range(1, 101)
+      .selectExpr("graft_tdigest_quantiles(id, array(0.5D)) AS q")
+      .collect().head.getSeq[Double](0)
+    assert(q.head > 40 && q.head < 61, s"median of 1..100 was ${q.head}")
+  }
 }
