@@ -174,6 +174,48 @@ class PropertySpec extends SparkSuite {
     assert(shared.nonEmpty)
     shared.foreach { sec => assert(q1(sec) == q2(sec), s"sec $sec") }
   }
+
+  // ---- collapse invariants ------------------------------------------------
+
+  /** Per key: how many versions were written, and whether the last one
+    * was finally cancelled outright.
+    */
+  private val chainGen: Gen[Map[Long, (Int, Boolean)]] =
+    Gen.mapOfN(8, for {
+      k <- Gen.choose(1L, 50L)
+      n <- Gen.choose(1, 4)
+      cancelled <- Gen.oneOf(true, false)
+    } yield k -> (n, cancelled))
+
+  test("collapse: random correction chains — FINALs agree and match the chain spec") {
+    assertProp(Prop.forAll(chainGen, Gen.choose(0L, 100L)) { (chains, shuffleSeed) =>
+      // the write discipline: state v at seq 2v-1, its cancel at seq 2v
+      val rows = chains.toSeq.flatMap { case (k, (n, cancelled)) =>
+        (1 to n).flatMap { v =>
+          val state = CollapseIn(k, 100.0 + v, 1, v, 2L * v - 1)
+          val cancel = CollapseIn(k, 100.0 + v, -1, v, 2L * v)
+          if (v < n || cancelled) Seq(state, cancel) else Seq(state)
+        }
+      }
+      // mapOfN collapses duplicate keys but never below one chain, and
+      // every chain emits at least its v1 state row
+      locally {
+        val df = rows.toDF()
+        val expect = chains.collect {
+          case (k, (n, false)) => k -> (100.0 + n)
+        }
+        val cmt = graft.ingest.Collapse
+          .finalState(df.drop("version"), Seq("k"), "sign", "seq")
+          .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        // versioned collapse must not care about arrival order
+        val shuffled = df.orderBy(org.apache.spark.sql.functions.rand(shuffleSeed))
+        val vc = graft.ingest.Collapse
+          .versionedFinal(shuffled.drop("seq"), Seq("k"), "sign", "version")
+          .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        cmt == expect && vc == expect
+      }
+    })
+  }
 }
 
 /** Top-level for Spark encoder derivation. */
@@ -181,3 +223,4 @@ case class PT(sec_code: String, tick_no: Long, last: Double,
     quantity: Long, ts: Timestamp)
 case class PV(k1: Int, k2: String, payload: Double, seq: Long)
 case class PG(g: Int, v: Long)
+case class CollapseIn(k: Long, price: Double, sign: Int, version: Int, seq: Long)
