@@ -99,7 +99,9 @@ object Explain {
       // LOCF fill: one extra window over the already bucket-sized grid
       "qx_with_fill_locf",
       // set ops: DISTINCT aggregate + anti/semi joins on bucket inputs
-      "qx_set_ops_minutes")
+      "qx_set_ops_minutes",
+      // mutation: staged selective rewrite, read side scans the result
+      "layout_mutation_delete")
     names.foreach { n =>
       println(s"\n================ $n ================")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

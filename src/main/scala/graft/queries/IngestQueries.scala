@@ -832,6 +832,41 @@ object IngestQueries {
       .orderBy("trade_date")
   }
 
+  /** ClickHouse `ALTER TABLE … DELETE` — the MUTATION write path
+    * ([[graft.sources.Sinks.deleteWhere]]): delete one security's rows
+    * from the EARLIEST day only; just that day's partition is rewritten
+    * (staged survivors swapped in), every other day's files stay
+    * byte-identical (LayoutSpec pins the listings). Completes the
+    * layout write-path family: whole-partition DROP (TTL), row-level
+    * rewrite (this), merge-time compaction, bucketing, DPP, z-order.
+    * The oracle is the equivalent read-time predicate, so a mutation
+    * that touches the wrong day, drops a survivor or leaks a deleted
+    * row is a row/hash mismatch.
+    */
+  val layoutMutationDelete = QueryDef.sql(
+    "layout_mutation_delete",
+    withCtes(
+      """SELECT time, secid, sec_code, trade_no, board, price, quantity,
+        |       buy_sell, open_interest, period
+        |FROM trades
+        |WHERE NOT (CAST(time AS DATE) =
+        |             (SELECT MIN(CAST(time AS DATE)) FROM trades)
+        |           AND sec_code = 'SEC03')
+        |ORDER BY trade_no""".stripMargin,
+      tradesCte)
+  ) { (spark, dir) =>
+    val cols = Seq("time", "secid", "sec_code", "trade_no", "board",
+      "price", "quantity", "buy_sell", "open_interest", "period")
+    val out = graft.sources.Scratch.dir(
+      s"mutation_layout|${spark.sparkContext.applicationId}|$dir")
+    graft.sources.Sinks.materializeTrades(trades(spark, dir), out)
+    val day = trades(spark, dir)
+      .agg(min(to_date(col("time")))).head().getDate(0)
+    graft.sources.Sinks.deleteWhere(spark, out, Seq(day),
+      col("sec_code") === "SEC03")
+    spark.read.parquet(out).select(cols.map(col): _*).orderBy("trade_no")
+  }
+
   /** ClickHouse `SAMPLE 1/10` semantics — DETERMINISTIC hash sampling on
     * the sampling key, not rand(): the same key always lands in the same
     * sample, so samples are reproducible across queries, consistent
@@ -873,6 +908,6 @@ object IngestQueries {
     a11Projection, a12TradeParse, a13QuotesEnvelope, a14SecinfoParse,
     a15HistoryParse, a17Positions, a01StreamCandles, a01CandlesReplay,
     layoutZorderKey, layoutTtlRetention, layoutBucketedJoin,
-    layoutDppPrune, qxSampleTurnover, rollupSummingMerge,
+    layoutDppPrune, layoutMutationDelete, qxSampleTurnover, rollupSummingMerge,
     a22CsvRoundtrip, a23JsonRoundtrip, a24JdbcRoundtrip)
 }

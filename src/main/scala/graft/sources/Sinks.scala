@@ -158,6 +158,53 @@ object Sinks {
       .saveAsTable(table)
   }
 
+  /** ClickHouse `ALTER TABLE … DELETE` analog — a MUTATION: rewrite ONLY
+    * the day partitions the predicate can touch, leave every other
+    * partition's files untouched (LayoutSpec pins byte-identical file
+    * listings for unaffected days). The affected days' survivors are
+    * staged to a sibling directory first — reading and overwriting the
+    * same parquet path in one job is undefined — then each staged day
+    * directory is swapped in. At 100 TB this is the difference between
+    * rewriting a few partitions and rewriting the table; the TTL entry
+    * covers the cheaper whole-partition DROP, this covers row-level
+    * deletes inside surviving partitions.
+    *
+    * `affectedDates` must be a SUPERSET of the days `rowPred` can match
+    * (the mutation's partition pruning — derived from the predicate in
+    * production; explicit here).
+    */
+  def deleteWhere(spark: org.apache.spark.sql.SparkSession, path: String,
+      affectedDates: Seq[java.sql.Date],
+      rowPred: org.apache.spark.sql.Column): Unit = {
+    import org.apache.spark.sql.functions.col
+    val dates = affectedDates.map(_.toString)
+    val stage = path + "_mutation_stage"
+    spark.read.parquet(path)
+      .filter(col("trade_date").isin(dates: _*))
+      .filter(!rowPred)
+      .write.mode(SaveMode.Overwrite).partitionBy("trade_date").parquet(stage)
+    val root = java.nio.file.Paths.get(path)
+    val staged = java.nio.file.Paths.get(stage)
+    dates.foreach { d =>
+      val target = root.resolve(s"trade_date=$d")
+      val src = staged.resolve(s"trade_date=$d")
+      if (java.nio.file.Files.exists(target)) {
+        val walk = java.nio.file.Files.walk(target)
+        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+        finally walk.close()
+      }
+      // a day whose every row matched the predicate has no staged dir:
+      // the delete above IS the mutation for it
+      if (java.nio.file.Files.exists(src))
+        java.nio.file.Files.move(src, target)
+    }
+    val walk = java.nio.file.Files.walk(staged)
+    try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    finally walk.close()
+  }
+
   /** A5 — streaming micro-batch append (at-least-once; pair with the
     * dedup read path downstream).
     */

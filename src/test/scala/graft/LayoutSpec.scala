@@ -73,6 +73,33 @@ class LayoutSpec extends SparkSuite {
     assert(got.size < versioned.count())
   }
 
+  test("mutation delete rewrites only the affected day partition") {
+    val dir = Files.createTempDirectory("trades_mutation").toString
+    val t = Fixtures.trades(spark, "/root/testdata/sf0.001")
+    Sinks.materializeTrades(t, dir)
+    def listing(day: String): Seq[(String, Long)] = {
+      val d = new java.io.File(s"$dir/trade_date=$day")
+      d.listFiles().toSeq.map(f => f.getName -> f.length()).sorted
+    }
+    val days = t.select(to_date(col("time")).as("d")).distinct()
+      .orderBy("d").collect().map(_.getDate(0).toString)
+    assert(days.length == 3)
+    val before = days.map(listing)
+    Sinks.deleteWhere(spark, dir, Seq(java.sql.Date.valueOf(days.head)),
+      col("sec_code") === "SEC03")
+    // unaffected days: identical file names AND sizes — nothing rewritten
+    assert(days.tail.toSeq.map(listing) == before.tail.toSeq)
+    // the affected day: SEC03 gone, everything else intact
+    val mutated = spark.read.parquet(dir)
+    assert(mutated.filter(col("trade_date") === days.head &&
+      col("sec_code") === "SEC03").count() == 0)
+    val want = t.filter(!(to_date(col("time")) === days.head &&
+      col("sec_code") === "SEC03")).count()
+    assert(mutated.count() == want)
+    // and the staging directory is gone
+    assert(!Files.exists(java.nio.file.Paths.get(dir + "_mutation_stage")))
+  }
+
   test("dim-filtered join over the partitioned layout engages dynamic pruning") {
     val df = graft.queries.IngestQueries.dppJoin(spark, "/root/testdata/sf0.001")
     val plan = df.queryExecution.executedPlan.toString

@@ -171,7 +171,9 @@ object ScaleProbe {
     // LOCF fill windows the bucket grid, not the raw rows
     "qx_with_fill_locf",
     // set ops run on already bucket-sized inputs
-    "qx_set_ops_minutes")
+    "qx_set_ops_minutes",
+    // mutation pays the layout write + ONE day's rewrite
+    "layout_mutation_delete")
   private val Reps = 10
   private val IdStride = 10000000L
 
