@@ -100,8 +100,8 @@ object Explain {
       "qx_with_fill_locf",
       // set ops: DISTINCT aggregate + anti/semi joins on bucket inputs
       "qx_set_ops_minutes",
-      // mutation: staged selective rewrite, read side scans the result
-      "layout_mutation_delete")
+      // mutations: staged selective rewrite, read side scans the result
+      "layout_mutation_delete", "layout_mutation_update")
     names.foreach { n =>
       println(s"\n================ $n ================")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

@@ -867,6 +867,39 @@ object IngestQueries {
     spark.read.parquet(out).select(cols.map(col): _*).orderBy("trade_no")
   }
 
+  /** `ALTER TABLE … UPDATE` — the transform mutation on the same staged
+    * partition-rewrite machinery ([[graft.sources.Sinks.updateWhere]]):
+    * a price correction for one security on the earliest day; only that
+    * day rewrites. The oracle applies the equivalent CASE expression at
+    * read time, so a correction hitting the wrong rows (or leaking into
+    * other days) is a hash mismatch.
+    */
+  val layoutMutationUpdate = QueryDef.sql(
+    "layout_mutation_update",
+    withCtes(
+      """SELECT time, secid, sec_code, trade_no, board,
+        |  CASE WHEN CAST(time AS DATE) =
+        |              (SELECT MIN(CAST(time AS DATE)) FROM trades)
+        |            AND sec_code = 'SEC03'
+        |       THEN price + 100 ELSE price END AS price,
+        |  quantity, buy_sell, open_interest, period
+        |FROM trades
+        |ORDER BY trade_no""".stripMargin,
+      tradesCte)
+  ) { (spark, dir) =>
+    val cols = Seq("time", "secid", "sec_code", "trade_no", "board",
+      "price", "quantity", "buy_sell", "open_interest", "period")
+    val out = graft.sources.Scratch.dir(
+      s"mutation_upd_layout|${spark.sparkContext.applicationId}|$dir")
+    graft.sources.Sinks.materializeTrades(trades(spark, dir), out)
+    val day = trades(spark, dir)
+      .agg(min(to_date(col("time")))).head().getDate(0)
+    graft.sources.Sinks.updateWhere(spark, out, Seq(day), df =>
+      df.withColumn("price", when(col("sec_code") === "SEC03",
+        col("price") + 100).otherwise(col("price"))))
+    spark.read.parquet(out).select(cols.map(col): _*).orderBy("trade_no")
+  }
+
   /** ClickHouse `SAMPLE 1/10` semantics — DETERMINISTIC hash sampling on
     * the sampling key, not rand(): the same key always lands in the same
     * sample, so samples are reproducible across queries, consistent
@@ -908,6 +941,7 @@ object IngestQueries {
     a11Projection, a12TradeParse, a13QuotesEnvelope, a14SecinfoParse,
     a15HistoryParse, a17Positions, a01StreamCandles, a01CandlesReplay,
     layoutZorderKey, layoutTtlRetention, layoutBucketedJoin,
-    layoutDppPrune, layoutMutationDelete, qxSampleTurnover, rollupSummingMerge,
+    layoutDppPrune, layoutMutationDelete, layoutMutationUpdate,
+    qxSampleTurnover, rollupSummingMerge,
     a22CsvRoundtrip, a23JsonRoundtrip, a24JdbcRoundtrip)
 }

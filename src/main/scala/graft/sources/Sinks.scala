@@ -175,13 +175,27 @@ object Sinks {
     */
   def deleteWhere(spark: org.apache.spark.sql.SparkSession, path: String,
       affectedDates: Seq[java.sql.Date],
-      rowPred: org.apache.spark.sql.Column): Unit = {
+      rowPred: org.apache.spark.sql.Column): Unit =
+    mutatePartitions(spark, path, affectedDates)(_.filter(!rowPred))
+
+  /** `ALTER TABLE … UPDATE` — the other mutation: rewrite the affected
+    * days with a row TRANSFORM instead of a filter (same staged-swap
+    * machinery, same only-touched-partitions guarantee). The transform
+    * must preserve the schema (partitionBy still needs `trade_date`).
+    */
+  def updateWhere(spark: org.apache.spark.sql.SparkSession, path: String,
+      affectedDates: Seq[java.sql.Date],
+      set: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Unit =
+    mutatePartitions(spark, path, affectedDates)(set)
+
+  private def mutatePartitions(spark: org.apache.spark.sql.SparkSession,
+      path: String, affectedDates: Seq[java.sql.Date])(
+      transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Unit = {
     import org.apache.spark.sql.functions.col
     val dates = affectedDates.map(_.toString)
     val stage = path + "_mutation_stage"
-    spark.read.parquet(path)
-      .filter(col("trade_date").isin(dates: _*))
-      .filter(!rowPred)
+    transform(spark.read.parquet(path)
+      .filter(col("trade_date").isin(dates: _*)))
       .write.mode(SaveMode.Overwrite).partitionBy("trade_date").parquet(stage)
     val root = java.nio.file.Paths.get(path)
     val staged = java.nio.file.Paths.get(stage)

@@ -172,8 +172,8 @@ object ScaleProbe {
     "qx_with_fill_locf",
     // set ops run on already bucket-sized inputs
     "qx_set_ops_minutes",
-    // mutation pays the layout write + ONE day's rewrite
-    "layout_mutation_delete")
+    // mutations pay the layout write + ONE day's rewrite
+    "layout_mutation_delete", "layout_mutation_update")
   private val Reps = 10
   private val IdStride = 10000000L
 
