@@ -101,7 +101,9 @@ object Explain {
       // set ops: DISTINCT aggregate + anti/semi joins on bucket inputs
       "qx_set_ops_minutes",
       // mutations: staged selective rewrite, read side scans the result
-      "layout_mutation_delete", "layout_mutation_update")
+      "layout_mutation_delete", "layout_mutation_update",
+      // OPTIMIZE: fragment + compact; the read scans the compacted files
+      "layout_optimize_compact")
     names.foreach { n =>
       println(s"\n================ $n ================")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

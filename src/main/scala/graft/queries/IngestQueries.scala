@@ -900,6 +900,40 @@ object IngestQueries {
     spark.read.parquet(out).select(cols.map(col): _*).orderBy("trade_no")
   }
 
+  /** `OPTIMIZE TABLE` — small-file compaction
+    * ([[graft.sources.Sinks.compactPartitions]]): the entry first
+    * FRAGMENTS the layout the way streaming appends do (48 files per
+    * day), then compacts every day to ≤ 2 clustered files through the
+    * mutation machinery. The oracle is the IDENTITY relation —
+    * compaction re-lays-out rows, it must never add, drop or alter one;
+    * LayoutSpec pins the file-count collapse itself.
+    */
+  val layoutOptimizeCompact = QueryDef.sql(
+    "layout_optimize_compact",
+    withCtes(
+      """SELECT time, secid, sec_code, trade_no, board, price, quantity,
+        |       buy_sell, open_interest, period
+        |FROM trades
+        |ORDER BY trade_no""".stripMargin,
+      tradesCte)
+  ) { (spark, dir) =>
+    val cols = Seq("time", "secid", "sec_code", "trade_no", "board",
+      "price", "quantity", "buy_sell", "open_interest", "period")
+    val out = graft.sources.Scratch.dir(
+      s"optimize_layout|${spark.sparkContext.applicationId}|$dir")
+    // fragment like a day of micro-batch appends would
+    trades(spark, dir)
+      .withColumn("trade_date", to_date(col("time")))
+      .repartition(48)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("trade_date").parquet(out)
+    val days = trades(spark, dir)
+      .select(to_date(col("time")).as("d")).distinct()
+      .collect().map(_.getDate(0)).toSeq
+    graft.sources.Sinks.compactPartitions(spark, out, days, maxFiles = 2)
+    spark.read.parquet(out).select(cols.map(col): _*).orderBy("trade_no")
+  }
+
   /** ClickHouse `SAMPLE 1/10` semantics — DETERMINISTIC hash sampling on
     * the sampling key, not rand(): the same key always lands in the same
     * sample, so samples are reproducible across queries, consistent
@@ -942,6 +976,6 @@ object IngestQueries {
     a15HistoryParse, a17Positions, a01StreamCandles, a01CandlesReplay,
     layoutZorderKey, layoutTtlRetention, layoutBucketedJoin,
     layoutDppPrune, layoutMutationDelete, layoutMutationUpdate,
-    qxSampleTurnover, rollupSummingMerge,
+    layoutOptimizeCompact, qxSampleTurnover, rollupSummingMerge,
     a22CsvRoundtrip, a23JsonRoundtrip, a24JdbcRoundtrip)
 }

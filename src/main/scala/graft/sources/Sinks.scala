@@ -219,6 +219,26 @@ object Sinks {
     finally walk.close()
   }
 
+  /** `OPTIMIZE TABLE` analog — small-file compaction: rewrite each named
+    * day partition's many small files (the residue of streaming
+    * micro-batch appends) into `filesPerDay` clustered files, through
+    * the same staged-swap path as the mutations. The operational issue
+    * this exists for is THE 100 TB file-count problem: a day that
+    * accumulated thousands of kilobyte appends scans thousands of tasks
+    * until compacted. Rows are only re-laid-out, never changed —
+    * the registered entry's oracle is the IDENTITY relation. `maxFiles`
+    * bounds the rewrite's shuffle partitions, so each compacted day
+    * lands in AT MOST that many (sec_code, time)-clustered files.
+    */
+  def compactPartitions(spark: org.apache.spark.sql.SparkSession, path: String,
+      dates: Seq[java.sql.Date], maxFiles: Int): Unit = {
+    import org.apache.spark.sql.functions.col
+    mutatePartitions(spark, path, dates) { df =>
+      df.repartition(maxFiles, col("trade_date"), col("sec_code"))
+        .sortWithinPartitions("trade_date", "sec_code", "time")
+    }
+  }
+
   /** A5 — streaming micro-batch append (at-least-once; pair with the
     * dedup read path downstream).
     */

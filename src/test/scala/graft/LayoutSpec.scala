@@ -100,6 +100,27 @@ class LayoutSpec extends SparkSuite {
     assert(!Files.exists(java.nio.file.Paths.get(dir + "_mutation_stage")))
   }
 
+  test("optimize compaction collapses a fragmented day to few files, rows intact") {
+    val dir = Files.createTempDirectory("trades_optimize").toString
+    val t = Fixtures.trades(spark, "/root/testdata/sf0.001")
+    t.withColumn("trade_date", to_date(col("time")))
+      .repartition(48)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("trade_date").parquet(dir)
+    def parquets(day: String): Int =
+      new java.io.File(s"$dir/trade_date=$day").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+    val days = t.select(to_date(col("time")).as("d")).distinct()
+      .collect().map(_.getDate(0))
+    days.foreach(d => assert(parquets(d.toString) > 10,
+      s"fixture day $d not fragmented enough to test"))
+    val before = t.count()
+    Sinks.compactPartitions(spark, dir, days.toSeq, maxFiles = 2)
+    days.foreach(d => assert(parquets(d.toString) <= 2,
+      s"day $d still has ${parquets(d.toString)} files"))
+    assert(spark.read.parquet(dir).count() == before)
+  }
+
   test("dim-filtered join over the partitioned layout engages dynamic pruning") {
     val df = graft.queries.IngestQueries.dppJoin(spark, "/root/testdata/sf0.001")
     val plan = df.queryExecution.executedPlan.toString

@@ -173,7 +173,9 @@ object ScaleProbe {
     // set ops run on already bucket-sized inputs
     "qx_set_ops_minutes",
     // mutations pay the layout write + ONE day's rewrite
-    "layout_mutation_delete", "layout_mutation_update")
+    "layout_mutation_delete", "layout_mutation_update",
+    // OPTIMIZE pays fragment-write + full compaction rewrite
+    "layout_optimize_compact")
   private val Reps = 10
   private val IdStride = 10000000L
 
