@@ -103,7 +103,9 @@ object Explain {
       // mutations: staged selective rewrite, read side scans the result
       "layout_mutation_delete", "layout_mutation_update",
       // OPTIMIZE: fragment + compact; the read scans the compacted files
-      "layout_optimize_compact")
+      "layout_optimize_compact",
+      // drift: two partial-agg counts, bucket-grid join, one final agg
+      "llm_corpus_drift")
     names.foreach { n =>
       println(s"\n================ $n ================")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

@@ -5019,7 +5019,74 @@ object LlmQueries {
       MrlDims.map(m => s"mrl$m" -> 4L * m), exact10)
   }
 
+  /** CORPUS DRIFT MONITORING — the distribution-shift gate every
+    * periodically-refreshed training corpus needs: per language, the
+    * total-variation distance between the length-bucket distributions of
+    * epoch A (the corpus as-is) and epoch B (the corpus after a
+    * simulated pipeline change truncates every 5th document to its first
+    * 30 words — the kind of silent filter regression drift detection
+    * exists to catch). TV distance is chosen over KL/JS deliberately:
+    * `TV = Σ|cntA·nB − cntB·nA| / (2·nA·nB)` is ONE integer sum
+    * (associative — no float-summation order dependence between
+    * engines) followed by a single exactly-rounded double division, so
+    * the oracle hash-matches bit-for-bit where a log-based divergence
+    * could not. Scale: two partial-aggregated counts (lang × 10 buckets
+    * output), a bucket-grid full outer join, one final aggregate —
+    * nothing row-sized crosses the shuffle after the first aggregation.
+    */
+  val corpusDrift = QueryDef.sql(
+    "llm_corpus_drift", {
+      val bucketA = "least(9, CAST(FLOOR(len(string_split(text, ' ')) / 50.0) AS INT))"
+      val textB = "CASE WHEN doc_id % 5 = 0 " +
+        "THEN array_to_string(list_slice(string_split(text, ' '), 1, 30), ' ') " +
+        "ELSE text END"
+      s"""WITH a AS (SELECT lang, $bucketA AS b, CAST(count(*) AS BIGINT) AS cnt
+         |           FROM documents GROUP BY 1, 2),
+         |bdocs AS (SELECT lang, $textB AS text FROM documents),
+         |bb AS (SELECT lang, $bucketA AS b, CAST(count(*) AS BIGINT) AS cnt
+         |       FROM bdocs GROUP BY 1, 2),
+         |joined AS (
+         |  SELECT coalesce(a.lang, bb.lang) AS lang,
+         |    coalesce(a.cnt, 0) AS cnt_a, coalesce(bb.cnt, 0) AS cnt_b
+         |  FROM a FULL OUTER JOIN bb ON a.lang = bb.lang AND a.b = bb.b),
+         |tot AS (SELECT lang, CAST(sum(cnt_a) AS BIGINT) AS n_a,
+         |          CAST(sum(cnt_b) AS BIGINT) AS n_b
+         |        FROM joined GROUP BY lang),
+         |x AS (SELECT j.lang AS lang,
+         |        CAST(sum(ABS(j.cnt_a * t.n_b - j.cnt_b * t.n_a)) AS BIGINT) AS sum_abs
+         |      FROM joined j JOIN tot t ON t.lang = j.lang GROUP BY j.lang)
+         |SELECT t.lang AS lang, t.n_a AS n_a, t.n_b AS n_b,
+         |  CAST(x.sum_abs AS DOUBLE) * 1000000 / (2.0 * t.n_a * t.n_b) AS tv_ppm
+         |FROM tot t JOIN x ON x.lang = t.lang ORDER BY t.lang""".stripMargin
+    }
+  ) { (spark, dir) =>
+    val bucketA = "least(9, CAST(FLOOR(size(split(text, ' ')) / 50.0) AS INT))"
+    val docs = documents(spark, dir)
+    val a = docs.selectExpr("lang", s"$bucketA AS b")
+      .groupBy("lang", "b").agg(count(lit(1)).as("cnt_a"))
+    val b = docs.selectExpr("lang",
+      ("CASE WHEN doc_id % 5 = 0 " +
+        "THEN array_join(slice(split(text, ' '), 1, 30), ' ') " +
+        "ELSE text END AS text"))
+      .selectExpr("lang", s"$bucketA AS b")
+      .groupBy("lang", "b").agg(count(lit(1)).as("cnt_b"))
+    val joined = a.join(b, Seq("lang", "b"), "full_outer")
+      .select(col("lang"),
+        coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
+        coalesce(col("cnt_b"), lit(0L)).as("cnt_b"))
+    val tot = joined.groupBy("lang")
+      .agg(sum("cnt_a").as("n_a"), sum("cnt_b").as("n_b"))
+    joined.join(broadcast(tot), "lang")
+      .groupBy("lang")
+      .agg(max("n_a").as("n_a"), max("n_b").as("n_b"),
+        sum(abs(col("cnt_a") * col("n_b") - col("cnt_b") * col("n_a"))).as("sum_abs"))
+      .selectExpr("lang", "n_a", "n_b",
+        "CAST(sum_abs AS DOUBLE) * 1000000 / (2.0 * n_a * n_b) AS tv_ppm")
+      .orderBy("lang")
+  }
+
   val all: Seq[QueryDef] = Seq(
+    corpusDrift,
     textStats, langId, exactDedup, minhashLsh, incrementalNearDup,
     dedupClusters, ngramJaccard, spanDedup, paragraphDedup, cdcChunk,
     simhash, simhashNearDup, fingerprint, embedTopk, annLsh, annIvf, annIvfTrained, annPq,

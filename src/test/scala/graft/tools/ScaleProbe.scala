@@ -175,7 +175,9 @@ object ScaleProbe {
     // mutations pay the layout write + ONE day's rewrite
     "layout_mutation_delete", "layout_mutation_update",
     // OPTIMIZE pays fragment-write + full compaction rewrite
-    "layout_optimize_compact")
+    "layout_optimize_compact",
+    // drift: counts collapse to lang x 10 buckets before any join
+    "llm_corpus_drift")
   private val Reps = 10
   private val IdStride = 10000000L
 
