@@ -147,6 +147,31 @@ object TDigestBuffer {
   }
 }
 
+/** Shared analysis-time validation of the literal quantile array: type,
+  * foldability, and — because the evaluators call
+  * `ArrayData.toDoubleArray()`, which NPEs on null slots — that the
+  * evaluated literal is non-NULL and element-null-free. `array(0.5D,
+  * NULL)` must fail ANALYSIS with a clear message, not crash a task.
+  */
+private[expr] object TDigestPs {
+  def check(prettyName: String, psExpr: Expression): TypeCheckResult =
+    if (!psExpr.foldable ||
+      psExpr.dataType != ArrayType(DoubleType, containsNull = false) &&
+      psExpr.dataType != ArrayType(DoubleType, containsNull = true))
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a literal array<double> of quantiles")
+    else {
+      val v = psExpr.eval()
+      val hasNull = v == null || {
+        val a = v.asInstanceOf[ArrayData]
+        (0 until a.numElements()).exists(a.isNullAt)
+      }
+      if (hasNull) TypeCheckResult.TypeCheckFailure(
+        s"$prettyName quantile array must not be NULL or contain NULL elements")
+      else TypeCheckResult.TypeCheckSuccess
+    }
+}
+
 /** `graft_tdigest_quantiles(x, array(p…))` → array&lt;double&gt; — the
   * Spark-native port of ClickHouse `quantilesTDigest(p…)(x)` (δ = 200,
   * ClickHouse's default compression). A [[TypedImperativeAggregate]]:
@@ -176,12 +201,7 @@ case class TDigestQuantiles(
     if (!child.dataType.isInstanceOf[NumericType])
       TypeCheckResult.TypeCheckFailure(
         s"$prettyName requires a numeric column, got ${child.dataType.catalogString}")
-    else if (!psExpr.foldable ||
-      psExpr.dataType != ArrayType(DoubleType, containsNull = false) &&
-      psExpr.dataType != ArrayType(DoubleType, containsNull = true))
-      TypeCheckResult.TypeCheckFailure(
-        s"$prettyName requires a literal array<double> of quantiles")
-    else TypeCheckResult.TypeCheckSuccess
+    else TDigestPs.check(prettyName, psExpr)
 
   override def createAggregationBuffer(): TDigestBuffer =
     new TDigestBuffer(Compression)
@@ -290,12 +310,7 @@ case class TDigestMerge(
     if (child.dataType != BinaryType)
       TypeCheckResult.TypeCheckFailure(
         s"$prettyName requires a binary state column, got ${child.dataType.catalogString}")
-    else if (!psExpr.foldable ||
-      psExpr.dataType != ArrayType(DoubleType, containsNull = false) &&
-      psExpr.dataType != ArrayType(DoubleType, containsNull = true))
-      TypeCheckResult.TypeCheckFailure(
-        s"$prettyName requires a literal array<double> of quantiles")
-    else TypeCheckResult.TypeCheckSuccess
+    else TDigestPs.check(prettyName, psExpr)
 
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)

@@ -160,7 +160,7 @@ object Dedup {
       val checked = s"CASE WHEN octet_length($o) > 8 " +
         s"OR octet_length($o) <> char_length($o) " +
         s"OR octet_length($o) = 0 OR ascii($o) < 16 " +
-        s"THEN raise_error(concat('lastWriteWinsColumnar: column $o value not " +
+        s"THEN raise_error(concat('packed max_by: column $o value not " +
         s"packable into BIGINT (need 1..8 ASCII bytes, first byte >= 0x10): ', $o)) " +
         s"ELSE $o END"
       expr(s"decode(unhex(hex(max_by(" +

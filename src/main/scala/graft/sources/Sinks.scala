@@ -175,8 +175,14 @@ object Sinks {
     */
   def deleteWhere(spark: org.apache.spark.sql.SparkSession, path: String,
       affectedDates: Seq[java.sql.Date],
-      rowPred: org.apache.spark.sql.Column): Unit =
-    mutatePartitions(spark, path, affectedDates)(_.filter(!rowPred))
+      rowPred: org.apache.spark.sql.Column): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
+    // DELETE WHERE keeps rows whose predicate is NULL or false (SQL
+    // three-valued logic); a bare filter(!pred) would silently delete
+    // NULL-predicate rows too.
+    mutatePartitions(spark, path, affectedDates)(
+      _.filter(not(coalesce(rowPred, lit(false)))))
+  }
 
   /** `ALTER TABLE … UPDATE` — the other mutation: rewrite the affected
     * days with a row TRANSFORM instead of a filter (same staged-swap
@@ -202,21 +208,31 @@ object Sinks {
     dates.foreach { d =>
       val target = root.resolve(s"trade_date=$d")
       val src = staged.resolve(s"trade_date=$d")
-      if (java.nio.file.Files.exists(target)) {
-        val walk = java.nio.file.Files.walk(target)
-        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(f => java.nio.file.Files.deleteIfExists(f))
-        finally walk.close()
-      }
+      // Crash-safe swap: move the old partition ASIDE (into the stage
+      // sibling — outside the table root, so partition discovery never
+      // sees it) instead of deleting it before the staged day lands. A
+      // crash between the two moves leaves the day recoverable from the
+      // backup rather than lost; the backup is dropped only once the
+      // staged directory is in place.
+      val bak = staged.resolve(s"bak_trade_date=$d")
+      if (java.nio.file.Files.exists(target))
+        java.nio.file.Files.move(target, bak)
       // a day whose every row matched the predicate has no staged dir:
-      // the delete above IS the mutation for it
+      // the move-aside above IS the mutation for it
       if (java.nio.file.Files.exists(src))
         java.nio.file.Files.move(src, target)
+      deleteTree(bak)
     }
-    val walk = java.nio.file.Files.walk(staged)
-    try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-      .forEach(f => java.nio.file.Files.deleteIfExists(f))
-    finally walk.close()
+    deleteTree(staged)
+  }
+
+  private def deleteTree(dir: java.nio.file.Path): Unit = {
+    if (java.nio.file.Files.exists(dir)) {
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      finally walk.close()
+    }
   }
 
   /** `OPTIMIZE TABLE` analog — small-file compaction: rewrite each named

@@ -179,4 +179,20 @@ class FunctionsSpec extends SparkSuite {
       .collect().head.getSeq[Double](0)
     assert(q.head > 40 && q.head < 61, s"median of 1..100 was ${q.head}")
   }
+
+  test("graft_tdigest_*: NULL quantile elements fail at analysis, not NPE at execution") {
+    GraftFunctions.register(spark)
+    val states = spark.range(1, 10)
+      .selectExpr("graft_tdigest_state(id) AS st")
+    for (ps <- Seq("array(0.5D, CAST(NULL AS DOUBLE))", "CAST(NULL AS ARRAY<DOUBLE>)")) {
+      val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.range(1, 10).selectExpr(s"graft_tdigest_quantiles(id, $ps) AS q").collect()
+      }
+      assert(e1.getMessage.contains("must not be NULL"), s"quantiles/$ps: ${e1.getMessage}")
+      val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+        states.selectExpr(s"graft_tdigest_merge(st, $ps) AS q").collect()
+      }
+      assert(e2.getMessage.contains("must not be NULL"), s"merge/$ps: ${e2.getMessage}")
+    }
+  }
 }

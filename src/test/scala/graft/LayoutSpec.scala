@@ -100,6 +100,27 @@ class LayoutSpec extends SparkSuite {
     assert(!Files.exists(java.nio.file.Paths.get(dir + "_mutation_stage")))
   }
 
+  test("mutation delete keeps NULL-predicate rows (DELETE WHERE three-valued logic)") {
+    val dir = Files.createTempDirectory("trades_null_pred").toString
+    val t = Fixtures.trades(spark, "/root/testdata/sf0.001")
+    Sinks.materializeTrades(t, dir)
+    val day = t.select(to_date(col("time")).as("d")).orderBy("d")
+      .limit(1).collect().head.getDate(0)
+    // a predicate that is NULL for every non-SEC03 row: DELETE WHERE must
+    // treat NULL as not-matched (keep), not as matched (delete)
+    val nullablePred = org.apache.spark.sql.functions
+      .when(col("sec_code") === "SEC03", lit(true))
+    val before = spark.read.parquet(dir).count()
+    val sec03OnDay = spark.read.parquet(dir)
+      .filter(col("trade_date") === day.toString && col("sec_code") === "SEC03").count()
+    Sinks.deleteWhere(spark, dir, Seq(day), nullablePred)
+    val after = spark.read.parquet(dir)
+    assert(after.count() == before - sec03OnDay,
+      "NULL-predicate rows were deleted; DELETE WHERE must keep them")
+    assert(after.filter(col("trade_date") === day.toString &&
+      col("sec_code") === "SEC03").count() == 0)
+  }
+
   test("optimize compaction collapses a fragmented day to few files, rows intact") {
     val dir = Files.createTempDirectory("trades_optimize").toString
     val t = Fixtures.trades(spark, "/root/testdata/sf0.001")
