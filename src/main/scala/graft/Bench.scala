@@ -172,6 +172,14 @@ object Bench {
         .collect().sortBy(t => (t.ts.getTime, t.tickNo))
       val batchSize = 50000
       val batches = tickRows.grouped(batchSize).toSeq
+      // MemoryStream ships each task's slice of the micro-batch inside
+      // the task closure; an unpartitioned 50 k-row batch traveled as ONE
+      // ~5 MB task (the TaskSetManager warnings that polluted every
+      // artifact tail through r9 — r9 verdict item 3). Splitting the
+      // source into fixed partitions caps the closure at batch/N rows;
+      // ordering is unaffected (the state machine re-sorts per group
+      // within the micro-batch, aggregations are order-free).
+      val SourceParts = 16
 
       // Per-micro-batch duration breakdown (round 8, r7 verdict item 4):
       // sum StreamingQueryProgress.durationMs over the TIMED batches only
@@ -194,7 +202,15 @@ object Bench {
           s""""state_update_ms":${ops.map(_.allUpdatesTimeMs).sum},""" +
           s""""state_eviction_ms":${ops.map(_.allRemovalsTimeMs).sum},""" +
           s""""state_rows":$stateRows,""" +
-          s""""state_mem_mb":${ops.lastOption.map(_.memoryUsedBytes / 1048576).getOrElse(0L)}}"""
+          s""""state_mem_mb":${ops.lastOption.map(_.memoryUsedBytes / 1048576).getOrElse(0L)},""" +
+          // state size ON DISK (r9 verdict item 8 — the byte number behind
+          // the bounded-state dedup claim): RocksDB lanes report the SST
+          // footprint via the provider's custom metric; heap lanes have no
+          // disk residence and report 0 (their byte number is state_mem_mb)
+          s""""state_disk_mb":${
+            ps.lastOption.flatMap(p => Option(p.stateOperators)).toSeq.flatten
+              .map(o => Option(o.customMetrics.get("rocksdbSstFileSize"))
+                .map(_.longValue).getOrElse(0L)).sum / 1048576}}"""
       }
 
       // shufflePartitions: a streaming query's STATE SHARD COUNT is fixed
@@ -211,7 +227,7 @@ object Bench {
         shufflePartitions.foreach(p =>
           spark.conf.set("spark.sql.shuffle.partitions", p.toString))
         try {
-          val ms = MemoryStream[Tick]
+          val ms = MemoryStream[Tick](SourceParts)
           val ck = java.nio.file.Files.createTempDirectory(ckRoot, "ck").toString
           val q = mk(ms.toDS()).writeStream.outputMode("append")
             .format("noop").option("checkpointLocation", ck).start()
@@ -261,10 +277,17 @@ object Bench {
           spark.conf.set("spark.sql.streaming.stateStore.providerClass", p))
         extraConf.foreach { case (k, v) => spark.conf.set(k, v) }
         try {
-          val ms = MemoryStream[(Long, java.sql.Timestamp, String, String)]
+          // docs are ~10× fatter than ticks: more source partitions to
+          // keep each task's closure slice under the 1 MB guideline
+          val ms = MemoryStream[(Long, java.sql.Timestamp, String, String)](SourceParts * 4)
           val ck = java.nio.file.Files.createTempDirectory(ckRoot, "ck").toString
+          // an explicit shard override (the comparison lanes) suppresses
+          // the builder's auto-sizing (expectedKeys = 0); the BASE lane
+          // runs the builder's default — key-sized shards (round 10)
           val q = graft.streaming.DocStream
-            .curationGate(ms.toDS().toDF("doc_id", "ts", "lang", "text"), "ts", "10 minutes")
+            .curationGate(ms.toDS().toDF("doc_id", "ts", "lang", "text"), "ts", "10 minutes",
+              expectedKeys = if (shufflePartitions.isDefined) 0L
+                             else graft.streaming.StreamTuning.KeysPerShard)
             .writeStream.outputMode("append")
             .format("noop").option("checkpointLocation", ck).start()
           try {
@@ -285,53 +308,62 @@ object Bench {
           spark.conf.set("spark.sql.shuffle.partitions", prevSp)
         }
       }
-      val docGate = docGateRun(None, 10000)
+      // Round 10 (r9 verdict item 1): the r8/r9 decomposition lanes
+      // proved the two levers — trigger-batch sizing and key-sized state
+      // shards — so the tuned configuration is now the DEFAULT: the gate
+      // builder auto-sizes shards ([[graft.streaming.StreamTuning]]) and
+      // the BASE lane feeds the production-shaped 40 k-row trigger batch.
+      // The former doc_gate/doc_gate_bigbatch/doc_gate_p8/doc_gate_tuned
+      // ladder collapses to base + two attribution lanes:
+      //   doc_gate_smallbatch — 4× smaller trigger at default shards
+      //     (what an over-eager trigger interval costs);
+      //   doc_gate_p32 — machine-parallelism shards, the pre-r10 default
+      //     (what shard auto-sizing saves).
+      val docGate = docGateRun(None, 40000)
+      val docGateSmall = docGateRun(None, 10000)
+      val docGateP32 = docGateRun(None, 40000, Some(32))
+      // RocksDB provider lanes at the default config: snapshot-per-commit
+      // vs changelog checkpointing (per-batch delta instead of full
+      // snapshot — the provider config for large state). These lanes also
+      // carry state_disk_mb (SST footprint), the byte number behind the
+      // bounded-dedup-state claim (r9 verdict item 8).
       val docGateRocks = docGateRun(Some(
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"), 10000)
-      // the decomposition shows rows/s is bounded by the per-micro-batch
-      // state-commit floor, not by processing — quantify by quadrupling
-      // the micro-batch (same rows, 1/4 the commits) and, independently,
-      // by quartering the state shard count (same rows, 1/4 the fsyncs).
-      // The deployment levers at 100x ingest are trigger interval /
-      // maxOffsetsPerTrigger and state-shard sizing; these numbers are
-      // the measured proof of both.
-      val docGateBig = docGateRun(None, 40000)
-      val docGateP8 = docGateRun(None, 10000, Some(8))
-      // round 9: the two levers COMBINED (4× batch + key-sized shards —
-      // the configuration a deployment would actually run) and RocksDB
-      // with changelog checkpointing (per-batch delta upload instead of
-      // full snapshot — the modern provider config for large state; the
-      // plain-RocksDB lane above pays snapshot cost every commit).
-      val docGateTuned = docGateRun(None, 40000, Some(8))
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"), 40000)
       val docGateRocksCl = docGateRun(Some(
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"),
-        10000, None, Map(
+        40000, None, Map(
           "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true"))
       // stream-stream interval join (round 9): the state-pair class —
       // both sides buffer rows for the watermark horizon; throughput is
       // bounded by state insert + eviction, not output volume (noop
       // sink). Ticks feed BOTH sides (self-join density), 30 s window.
       val streamJoin: String = {
-        val ms1 = MemoryStream[Tick]
-        val ms2 = MemoryStream[Tick]
-        val ck = java.nio.file.Files.createTempDirectory(ckRoot, "ck").toString
-        val q = graft.streaming.EnrichJoin
-          .tradeQuoteWindow(ms1.toDS().toDF(), ms2.toDS().toDF(), "30 SECONDS", "1 minute")
-          .writeStream.outputMode("append")
-          .format("noop").option("checkpointLocation", ck).start()
+        // the join builder auto-sizes its state shards (round 10) by
+        // setting the session's shuffle-partitions conf — save/restore so
+        // the batch lanes after this section keep theirs
+        val prev = spark.conf.get("spark.sql.shuffle.partitions")
         try {
-          val jb = batches.take(5)
-          ms1.addData(jb.head.toSeq); ms2.addData(jb.head.toSeq)
-          q.processAllAvailable()
-          val after = q.lastProgress.batchId
-          val t0 = System.nanoTime()
-          jb.tail.foreach { b =>
-            ms1.addData(b.toSeq); ms2.addData(b.toSeq); q.processAllAvailable()
-          }
-          val sec = (System.nanoTime() - t0) / 1e9
-          val rows = jb.tail.map(_.length * 2).sum
-          breakdown(q, after, math.round(rows / sec))
-        } finally q.stop()
+          val ms1 = MemoryStream[Tick](SourceParts)
+          val ms2 = MemoryStream[Tick](SourceParts)
+          val ck = java.nio.file.Files.createTempDirectory(ckRoot, "ck").toString
+          val q = graft.streaming.EnrichJoin
+            .tradeQuoteWindow(ms1.toDS().toDF(), ms2.toDS().toDF(), "30 SECONDS", "1 minute")
+            .writeStream.outputMode("append")
+            .format("noop").option("checkpointLocation", ck).start()
+          try {
+            val jb = batches.take(5)
+            ms1.addData(jb.head.toSeq); ms2.addData(jb.head.toSeq)
+            q.processAllAvailable()
+            val after = q.lastProgress.batchId
+            val t0 = System.nanoTime()
+            jb.tail.foreach { b =>
+              ms1.addData(b.toSeq); ms2.addData(b.toSeq); q.processAllAvailable()
+            }
+            val sec = (System.nanoTime() - t0) / 1e9
+            val rows = jb.tail.map(_.length * 2).sum
+            breakdown(q, after, math.round(rows / sec))
+          } finally q.stop()
+        } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
       }
       // Collapsing position tracker (round 9): the sign-weighted
       // no-FINAL aggregate as an UPDATE-mode stream — corrections net
@@ -348,7 +380,7 @@ object Bench {
             .selectExpr("secid", "price", "quantity", "sign")
             .as[graft.streaming.CollapseRow].collect()
           val cBatches = collapseRows.grouped(batchSize).toSeq
-          val ms = MemoryStream[graft.streaming.CollapseRow]
+          val ms = MemoryStream[graft.streaming.CollapseRow](SourceParts)
           val ck = java.nio.file.Files.createTempDirectory(ckRoot, "ck").toString
           val q = graft.streaming.PositionStream.positions(ms.toDS().toDF())
             .writeStream.outputMode("update")
@@ -376,7 +408,7 @@ object Bench {
         val props = new java.util.Properties()
         props.setProperty("driver", "org.apache.derby.iapi.jdbc.AutoloadedDriver")
         val jdbcBatches = batches.take(6)
-        val ms = MemoryStream[Tick]
+        val ms = MemoryStream[Tick](SourceParts)
         val ck = java.nio.file.Files.createTempDirectory(ckRoot, "ck").toString
         val q = graft.sources.Sinks.jdbcStreamAppend(
           ms.toDS().selectExpr("secId", "secCode", "CAST(ts AS TIMESTAMP) AS ts",
@@ -398,9 +430,8 @@ object Bench {
         }
       }
       s"""{"candles":$exact,"candles_windowed":$windowed,"candles_p8":$exactP8,""" +
-        s""""doc_gate":$docGate,""" +
-        s""""doc_gate_rocksdb":$docGateRocks,"doc_gate_bigbatch":$docGateBig,""" +
-        s""""doc_gate_p8":$docGateP8,"doc_gate_tuned":$docGateTuned,""" +
+        s""""doc_gate":$docGate,"doc_gate_smallbatch":$docGateSmall,""" +
+        s""""doc_gate_p32":$docGateP32,"doc_gate_rocksdb":$docGateRocks,""" +
         s""""doc_gate_rocksdb_changelog":$docGateRocksCl,""" +
         s""""stream_join":$streamJoin,"positions":$positions,""" +
         s""""jdbc":$jdbc,"rows":${tickRows.length},"batch_size":$batchSize,""" +

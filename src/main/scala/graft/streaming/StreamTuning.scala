@@ -1,0 +1,63 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+
+/** State-shard sizing for the streaming operators (round 10 — the r9
+  * verdict's top item: the tuned config must be the DEFAULT, not a
+  * bench-only override).
+  *
+  * Mechanics being tuned: a stateful streaming operator's state is
+  * split into SHARDS, one per shuffle partition, and the shard count is
+  * LATCHED at the query's first start from `spark.sql.shuffle.partitions`
+  * (it lives in the checkpoint from then on). Every micro-batch pays a
+  * per-shard commit — delta file + fsync per state store instance — so
+  * shards sized to machine parallelism (the batch default, 32 here) make
+  * small-state operators commit-bound: the r9 bench measured the doc
+  * gate at 5.0 k rows/s with 32 shards vs 22.5 k with shards sized to
+  * its key cardinality, and the stream-stream join (FOUR state stores,
+  * so 4× commits per shard) at 9.4 k.
+  *
+  * Sizing rule: one shard per [[KeysPerShard]] expected live state rows,
+  * floored at [[MinShards]] (keep some parallelism and headroom for skew)
+  * and capped at 4× core parallelism (beyond that, commit overhead buys
+  * nothing a repartition can't). The expected-keys hint is the operator's
+  * WATERMARK-HORIZON state bound — distinct dedup keys per horizon,
+  * buffered rows per horizon for a stream-stream join — which the
+  * operator's author knows and history can't change (state is evicted at
+  * the watermark, so the bound is a property of the horizon, not of
+  * stream length). At 100 TB/day the same rule turns the knob the other
+  * way: 10^9 live keys → ~15 k shards, far above core count, exactly
+  * what a large cluster wants.
+  *
+  * The builders call [[sizeStateShards]] BEFORE the plan is returned, so
+  * the conf is live when the caller starts the query. The setting is
+  * session-wide — the idiomatic deployment runs each streaming job in
+  * its own session/application, where that is precisely the intent;
+  * callers embedding a gate in a mixed batch session pass
+  * `expectedKeys = 0` to leave the session conf alone (or save/restore
+  * around `.start()`, as the bench harness does).
+  */
+object StreamTuning {
+
+  /** Live state rows one shard can update + commit cheaply per
+    * micro-batch (heap provider; RocksDB tolerates far more — this is
+    * the conservative floor).
+    */
+  val KeysPerShard: Long = 65536L
+
+  val MinShards: Int = 4
+
+  def shardsFor(expectedKeys: Long, maxShards: Int): Int =
+    math.max(MinShards,
+      math.min(maxShards,
+        ((expectedKeys + KeysPerShard - 1) / KeysPerShard).toInt))
+
+  /** Latch the state shard count for the NEXT streaming query started on
+    * this session. Returns the shard count chosen.
+    */
+  def sizeStateShards(spark: SparkSession, expectedKeys: Long): Int = {
+    val n = shardsFor(expectedKeys, spark.sparkContext.defaultParallelism * 4)
+    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+    n
+  }
+}
