@@ -422,24 +422,102 @@ object IngestQueries {
     Positions.merge(positionUpdates(spark, dir)).orderBy(col("account"))
   }
 
-  /** A1/A5/A16 (stateful path) — the semantics-exact candle state machine
-    * in its batch replay form ([[graft.streaming.CandleStream.candlesBatch]]:
-    * external sort + lazy per-partition replay, no per-key history
-    * buffering). Not SQL-expressible (emit points depend on per-security
-    * arrival order), so the driver records a rows-only check; the
-    * semantics are pinned by CandleCoreSpec + StreamingSpec instead
-    * (including batch ≡ streaming-operator equivalence).
+  /** The window-SQL derivation of the candle state machine — shared
+    * oracle of [[a01CandlesReplay]] (batch replay) and
+    * [[a01StreamCandles]] (the streaming port): same machine, same
+    * fixed per-security order, same rows. Derivation notes on
+    * [[a01CandlesReplay]]. NOTE: declared before both entries (object
+    * vals initialize in source order).
     */
-  val a01StreamCandles = QueryDef.noOracle("a01_stream_candles") { (spark, dir) =>
+  private val candlesReplayOracle: String = withCtes(
+    """SELECT CAST('2024-12-06 ' || e.time AS TIMESTAMP) AS "date",
+      |  e.secid AS "secId", e.sec_code AS "secCode", 1 AS period,
+      |  coalesce(b.open, 0) AS "open", e.last AS "close",
+      |  coalesce(b.high, 0) AS "high", coalesce(l.low, 0) AS "low",
+      |  coalesce(b.volume, 0) AS "volume"
+      |FROM sg e
+      |LEFT JOIN base b ON e.secid = b.secid AND e.seg_id = b.seg_id
+      |LEFT JOIN lows l ON e.secid = l.secid AND e.seg_id = l.seg_id
+      |WHERE e.is_emit = 1
+      |ORDER BY "secId", "date", "close"""".stripMargin,
+    ticksCte,
+    """ordd AS (
+      |  SELECT secid, sec_code, tick_no, last, open, quantity, time, ts,
+      |    row_number() OVER (PARTITION BY secid ORDER BY ts, tick_no) AS rn
+      |  FROM ticks)""".stripMargin,
+    """ev AS (
+      |  SELECT *, CASE WHEN rn > 1 AND last > 0 AND time LIKE '%:00'
+      |                 THEN 1 ELSE 0 END AS is_emit
+      |  FROM ordd)""".stripMargin,
+    """sg AS (
+      |  SELECT *, CAST(sum(is_emit) OVER (PARTITION BY secid ORDER BY rn
+      |      ROWS UNBOUNDED PRECEDING) - is_emit AS BIGINT) AS seg_id
+      |  FROM ev)""".stripMargin,
+    "mem AS (SELECT * FROM sg WHERE is_emit = 0)",
+    """base AS (
+      |  SELECT secid, seg_id,
+      |    max(CASE WHEN last = 0 THEN rn END) AS lz,
+      |    max(last) AS high,
+      |    CAST(sum(quantity) AS BIGINT) AS volume,
+      |    arg_min(CASE WHEN rn = 1 THEN last ELSE open END, rn)
+      |      FILTER (WHERE (CASE WHEN rn = 1 THEN last ELSE open END) <> 0) AS open
+      |  FROM mem GROUP BY secid, seg_id)""".stripMargin,
+    """lows AS (
+      |  SELECT m.secid, m.seg_id, min(m.last) AS low
+      |  FROM mem m JOIN base b ON m.secid = b.secid AND m.seg_id = b.seg_id
+      |  WHERE b.lz IS NULL OR m.rn > b.lz
+      |  GROUP BY m.secid, m.seg_id)""".stripMargin)
+
+  /** A1/A5/A16 (stateful path) — the ACTUAL STREAMING PORT, fully
+    * oracled (round 10, r9 verdict item 2: the surface's one remaining
+    * `no_oracle` row). The entry replays the tick fixture in wire order
+    * through the real Structured Streaming query — MemoryStream source →
+    * [[graft.streaming.CandleStream.candles]] (the keyed
+    * flatMapGroupsWithState state machine) → parquet APPEND sink
+    * ([[graft.streaming.CandleStream.sinkToParquet]], the A5 path) — and
+    * returns the sink's captured output. Valid to hash-oracle because
+    * the machine is deterministic for a fixed per-security (ts, tick_no)
+    * order: the feed is globally wire-ordered, the operator re-sorts
+    * each security's slice within every micro-batch, and emissions
+    * depend only on that order — so the sink's rows equal the batch
+    * replay's rows (StreamingSpec pins the equivalence), and the same
+    * window-SQL derivation [[a01CandlesReplay]] uses is the oracle here.
+    * Multi-batch on every SF above the smallest, so cross-micro-batch
+    * state carry is part of what the hash covers.
+    */
+  val a01StreamCandles = QueryDef.sql(
+    "a01_stream_candles", candlesReplayOracle
+  ) { (spark, dir) =>
     import spark.implicits._
-    val tickDs = ticks(spark, dir).selectExpr(
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val tickRows = ticks(spark, dir).selectExpr(
       "secid AS secId", "sec_code AS secCode", "ts", "time",
       "last", "open", "quantity", "tick_no AS tickNo")
       .as[graft.schema.Tick]
-    graft.streaming.CandleStream
-      .candlesBatch(tickDs, java.time.LocalDate.of(2024, 12, 6))
-      .toDF()
-      .orderBy("secId", "date", "close")
+      .collect().sortBy(t => (t.ts.getTime, t.tickNo))
+    val root = graft.sources.Scratch.dir(s"a01_stream_${System.nanoTime}")
+    val out = s"$root/out"
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    // ~60 securities of fixed-size state: key-sized shards (StreamTuning),
+    // same sizing discipline as the doc gate / enrich join defaults
+    graft.streaming.StreamTuning.sizeStateShards(spark, tickRows.length / 10000 + 1)
+    try {
+      // 16-way partitioned source (micro-batches must not ship as one
+      // driver-sized task closure); ≥2 micro-batches at sf0.01+ so the
+      // oracle also covers cross-batch state
+      val ms = MemoryStream[graft.schema.Tick](16)
+      val q = graft.streaming.CandleStream.sinkToParquet(
+        graft.streaming.CandleStream.candles(
+          ms.toDS(), java.time.LocalDate.of(2024, 12, 6)),
+        out, s"$root/ck")
+      try {
+        tickRows.grouped(math.max(50000, tickRows.length / 4 + 1)).foreach { b =>
+          ms.addData(b.toSeq); q.processAllAvailable()
+        }
+      } finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    spark.read.parquet(out).orderBy("secId", "date", "close")
   }
 
   /** A1/A16 exact-machine REPLAY, driver-oracled (round 6 — a01's one
@@ -467,45 +545,7 @@ object IngestQueries {
     * shape as candlesBatch's repartition+sort replay.
     */
   val a01CandlesReplay = QueryDef.sql(
-    "a01_candles_replay",
-    withCtes(
-      """SELECT CAST('2024-12-06 ' || e.time AS TIMESTAMP) AS "date",
-        |  e.secid AS "secId", e.sec_code AS "secCode", 1 AS period,
-        |  coalesce(b.open, 0) AS "open", e.last AS "close",
-        |  coalesce(b.high, 0) AS "high", coalesce(l.low, 0) AS "low",
-        |  coalesce(b.volume, 0) AS "volume"
-        |FROM sg e
-        |LEFT JOIN base b ON e.secid = b.secid AND e.seg_id = b.seg_id
-        |LEFT JOIN lows l ON e.secid = l.secid AND e.seg_id = l.seg_id
-        |WHERE e.is_emit = 1
-        |ORDER BY "secId", "date", "close"""".stripMargin,
-      ticksCte,
-      """ordd AS (
-        |  SELECT secid, sec_code, tick_no, last, open, quantity, time, ts,
-        |    row_number() OVER (PARTITION BY secid ORDER BY ts, tick_no) AS rn
-        |  FROM ticks)""".stripMargin,
-      """ev AS (
-        |  SELECT *, CASE WHEN rn > 1 AND last > 0 AND time LIKE '%:00'
-        |                 THEN 1 ELSE 0 END AS is_emit
-        |  FROM ordd)""".stripMargin,
-      """sg AS (
-        |  SELECT *, CAST(sum(is_emit) OVER (PARTITION BY secid ORDER BY rn
-        |      ROWS UNBOUNDED PRECEDING) - is_emit AS BIGINT) AS seg_id
-        |  FROM ev)""".stripMargin,
-      "mem AS (SELECT * FROM sg WHERE is_emit = 0)",
-      """base AS (
-        |  SELECT secid, seg_id,
-        |    max(CASE WHEN last = 0 THEN rn END) AS lz,
-        |    max(last) AS high,
-        |    CAST(sum(quantity) AS BIGINT) AS volume,
-        |    arg_min(CASE WHEN rn = 1 THEN last ELSE open END, rn)
-        |      FILTER (WHERE (CASE WHEN rn = 1 THEN last ELSE open END) <> 0) AS open
-        |  FROM mem GROUP BY secid, seg_id)""".stripMargin,
-      """lows AS (
-        |  SELECT m.secid, m.seg_id, min(m.last) AS low
-        |  FROM mem m JOIN base b ON m.secid = b.secid AND m.seg_id = b.seg_id
-        |  WHERE b.lz IS NULL OR m.rn > b.lz
-        |  GROUP BY m.secid, m.seg_id)""".stripMargin)
+    "a01_candles_replay", candlesReplayOracle
   ) { (spark, dir) =>
     import spark.implicits._
     val tickDs = ticks(spark, dir).selectExpr(
