@@ -40,13 +40,17 @@ object ChQueries {
     "__fromTime" -> s"TIMESTAMP '$TimeFrom'",
     "__toTime" -> s"TIMESTAMP '$TimeTo'")
 
-  /** Register the reference-named views and translate `raw` against them. */
-  def translateSql(spark: SparkSession, dir: String, raw: String): String = {
+  /** Register the reference-named views and translate `raw` against them.
+    * `overrides` substitutes alternative template-variable values (the
+    * GrainSweepSpec drives `interval` across all 14 dashboard options).
+    */
+  def translateSql(spark: SparkSession, dir: String, raw: String,
+      overrides: Map[String, String] = Map.empty): String = {
     val t = trades(spark, dir)
     val s = securities(spark, dir)
     t.createOrReplaceTempView("transaq_trades")
     s.createOrReplaceTempView("transaq_securities")
-    ChDialect.translate(raw, params,
+    ChDialect.translate(raw, params ++ overrides,
       Map("transaq_trades" -> t.columns.toSet, "transaq_securities" -> s.columns.toSet))
   }
 

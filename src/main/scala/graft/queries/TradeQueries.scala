@@ -256,11 +256,16 @@ object TradeQueries {
     * for the selected codes: join on (secid, board), `board='TQBR'`,
     * minute-range on the bucket (alias-in-WHERE), signed for the sell leg.
     */
-  private def turnoverInterval(spark: SparkSession, dir: String, side: String, s: Int): DataFrame =
+  /** `grainSec` defaults to the dashboard's selected 5-minute grain; the
+    * GrainSweepSpec drives it across all 14 user-selectable `$interval`
+    * options (GD:3784-3860), hence `private[graft]`.
+    */
+  private[graft] def turnoverInterval(spark: SparkSession, dir: String, side: String,
+      s: Int, grainSec: Int = IntervalSec): DataFrame =
     joinedOnId(spark, dir)
       .filter(col("t.sec_code").isin(SelCodes: _*) &&
         col("t.board") === "TQBR" && col("t.buy_sell") === side)
-      .withColumn("minute", bucket(col("t.time"), IntervalSec))
+      .withColumn("minute", bucket(col("t.time"), grainSec))
       .filter(timeRange(col("minute")))
       .groupBy(col("minute"))
       .agg((sum(notional) * s).as("turnover"))

@@ -88,6 +88,47 @@ class EnrichJoinSpec extends SparkSuite {
     } finally query.stop()
   }
 
+  test("checkpoint restart: four-store join state survives a stop/start — no lost, no duplicated pairs") {
+    // the riskiest restart on the streaming surface (r9 verdict item 7):
+    // the interval join maintains FOUR state stores (keys + values per
+    // side); a row buffered before the stop must still pair after the
+    // reboot, an already-emitted pair must not re-emit, and nothing may
+    // vanish. Parquet sink so output accumulates exactly-once across the
+    // restart (its metadata log dedups replayed batches).
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val tms = MemoryStream[Tick]
+    val qms = MemoryStream[Tick]
+    val outDir = java.nio.file.Files.createTempDirectory("enrich_rs_out").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("enrich_rs_ck").toString
+    def start() = graft.streaming.EnrichJoin
+      .tradeQuoteWindow(tms.toDF(), qms.toDF(), "2 MINUTES", "1 minute")
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckDir).start()
+
+    val q1 = start()
+    // batch 1: pair (1,201) completes NOW; quote 202 stays BUFFERED in the
+    // right-side state (its trade arrives only after the restart)
+    qms.addData(Seq(tick(1, ts(0), 99.0, 201), tick(1, ts(2), 99.5, 202)))
+    tms.addData(Seq(tick(1, ts(1), 100.0, 1)))
+    q1.processAllAvailable()
+    q1.stop() // hard stop mid-stream
+
+    val q2 = start() // new query object, same checkpoint — recovery path
+    // batch 2: trade 2 must find the PRE-RESTART buffered quote 202;
+    // quote 203 arrives after trade 2's timestamp so it must not pair
+    tms.addData(Seq(tick(1, ts(3), 101.0, 2)))
+    qms.addData(Seq(tick(1, ts(3, 30), 101.5, 203)))
+    q2.processAllAvailable()
+    q2.stop()
+
+    // MULTISET compare (a Set would mask duplicates from a replayed batch)
+    val pairs = spark.read.parquet(outDir)
+      .select("t_no", "q_no").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(pairs == Seq((1L, 201L), (2L, 202L)),
+      s"expected exactly [(1,201),(2,202)], got $pairs")
+  }
+
   test("batch frames are rejected loudly") {
     val batch = Seq(tick(1, ts(0), 1.0, 1)).toDF()
     val ex = intercept[IllegalArgumentException] {
