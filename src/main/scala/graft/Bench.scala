@@ -243,10 +243,13 @@ object Bench {
         } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
       }
       val day = java.time.LocalDate.of(2024, 12, 6)
+      // base = the builder's default (key-sized shards, round 10 — the
+      // former _p8 tuned lane); _p32 keeps the pre-r10 machine-parallelism
+      // sizing as the what-auto-sizing-saves comparison
       val exact = runStream(ds => graft.streaming.CandleStream.candles(ds, day).toDF())
       val windowed = runStream(ds => graft.streaming.CandleStream.candlesWindowed(ds, "2 minutes"))
-      val exactP8 = runStream(
-        ds => graft.streaming.CandleStream.candles(ds, day).toDF(), Some(8))
+      val exactP32 = runStream(
+        ds => graft.streaming.CandleStream.candles(ds, day, expectedKeys = 0).toDF(), Some(32))
       // document-ingest gate (round 7): the LLM-side streaming number —
       // quality projection + watermark-bounded content dedup. The corpus
       // is replayed 20× with fresh ids, so ~95% of rows hit the
@@ -429,7 +432,7 @@ object Bench {
           catch { case _: java.sql.SQLException => () } // expected on drop
         }
       }
-      s"""{"candles":$exact,"candles_windowed":$windowed,"candles_p8":$exactP8,""" +
+      s"""{"candles":$exact,"candles_windowed":$windowed,"candles_p32":$exactP32,""" +
         s""""doc_gate":$docGate,"doc_gate_smallbatch":$docGateSmall,""" +
         s""""doc_gate_p32":$docGateP32,"doc_gate_rocksdb":$docGateRocks,""" +
         s""""doc_gate_rocksdb_changelog":$docGateRocksCl,""" +

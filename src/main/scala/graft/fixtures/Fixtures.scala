@@ -147,6 +147,15 @@ object Fixtures {
     */
   def clearDerivedCache(spark: SparkSession): Unit = {
     tableCache.clear()
+    // dimCache too (round 10): catalog.clearCache() UNPERSISTS the dim
+    // frames, so a surviving dimCache entry would be a half-state — the
+    // same DataFrame object, silently no longer cache-marked. Queries
+    // built on it then inline the raw derivation (filters push through
+    // the dim's distinct, join sides change shape — RuntimeFilterSpec
+    // caught the drift), and the `.cache()` is never re-applied for the
+    // lifetime of the app. Clearing the memo makes the next access
+    // rebuild AND re-mark, restoring the documented warm-lane state.
+    dimCache.clear()
     spark.catalog.clearCache()
   }
 

@@ -498,10 +498,10 @@ object IngestQueries {
       .collect().sortBy(t => (t.ts.getTime, t.tickNo))
     val root = graft.sources.Scratch.dir(s"a01_stream_${System.nanoTime}")
     val out = s"$root/out"
+    // the candles builder key-sizes its state shards (StreamTuning) by
+    // setting the session conf; save/restore so batch entries after this
+    // one keep theirs
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    // ~60 securities of fixed-size state: key-sized shards (StreamTuning),
-    // same sizing discipline as the doc gate / enrich join defaults
-    graft.streaming.StreamTuning.sizeStateShards(spark, tickRows.length / 10000 + 1)
     try {
       // 16-way partitioned source (micro-batches must not ship as one
       // driver-sized task closure); ≥2 micro-batches at sf0.01+ so the

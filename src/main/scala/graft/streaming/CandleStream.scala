@@ -26,14 +26,26 @@ object CandleStream {
     * both a streaming and a batch `Dataset[Tick]` (Spark runs
     * flatMapGroupsWithState on batch with empty initial state).
     *
+    * `expectedKeys` — expected live SECURITIES (one fixed-size state row
+    * each) — sizes the state shard count via
+    * [[StreamTuning.sizeStateShards]] for STREAMING frames, so the
+    * default config is the fast one (the r9 bench measured 48 k rows/s
+    * at machine-parallelism shards vs 105 k key-sized; the former
+    * `_p8` lane is now simply the default). The reference subscribes
+    * ~60 securities (SURVEY §2.A), hence the default hint. Batch frames
+    * never touch the session conf; pass 0 to opt a stream out too.
+    *
     * MEMORY BOUND: the `it.toSeq.sortBy` below buffers ONE security's slice
     * of ONE micro-batch on the heap to restore (ts, tickNo) order — fine at
     * micro-batch scale (the reference buffers the same way per gRPC batch),
     * but do NOT route a full-history batch replay through this operator:
     * that is what [[candlesBatch]]'s external-sort + lazy replay is for.
     */
-  def candles(ticks: Dataset[Tick], today: java.time.LocalDate): Dataset[Candle] = {
+  def candles(ticks: Dataset[Tick], today: java.time.LocalDate,
+      expectedKeys: Long = 64): Dataset[Candle] = {
     import ticks.sparkSession.implicits._
+    if (expectedKeys > 0 && ticks.isStreaming)
+      StreamTuning.sizeStateShards(ticks.sparkSession, expectedKeys)
     ticks.groupByKey(_.secId)
       .flatMapGroupsWithState[CandleCore.CandleState, Candle](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {

@@ -245,6 +245,12 @@ class Round9OpsSpec extends SparkSuite {
     }
     // concurrency genuinely exceeds own-session counts somewhere
     assert(got.exists { case (_, _, _, ne, nc) => nc > ne })
+    // and the retained pair-producing form (the general interval JOIN)
+    // answers the same counts as the registered rank-difference path
+    val pairForm = graft.queries.EventQueries.sessionConcurrencyPairJoin(spark, small)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+        r.getTimestamp(2).getTime, r.getLong(3), r.getLong(4))).sorted.toSeq
+    assert(pairForm == got.sorted.toSeq)
   }
 
   // ---- embedding outliers ----

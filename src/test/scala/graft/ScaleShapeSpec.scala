@@ -131,16 +131,29 @@ class ScaleShapeSpec extends SparkSuite {
       "centroids and cell stats must broadcast:\n" + p.take(2000))
   }
 
-  test("round-9 shapes: interval join is a bucketed equi-join, never a nested loop") {
-    // evt_session_concurrency: the naive BETWEEN join plans as
-    // BroadcastNestedLoopJoin (O(points × intervals)); the engine's
-    // bucket-expansion rewrite must keep it an equi-join on the bucket
-    // key with the residual range filter post-join.
+  test("round-10 shapes: session concurrency counts by rank difference; the pair join stays equi") {
+    // evt_session_concurrency (round 10): the COUNT entry must never
+    // materialize (session, event) pairs — its only join is the
+    // broadcast of the timeline-bound bucket-prefix table; ranks come
+    // from per-bucket windows (the two-level prefix sum). The r10 probe
+    // measured the previous pair-join form at ratio 11.4 per ×10 data.
     val p = plan("evt_session_concurrency")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
-      "the range join must not fall to a nested loop:\n" + p.take(2000))
+      "the range count must not fall to a nested loop:\n" + p.take(2000))
     assert(p.contains("bkt"),
-      "the bucket key must carry the join:\n" + p.take(2000))
+      "the bucket key must carry the prefix sum:\n" + p.take(2000))
+    assert(p.contains("BroadcastHashJoin"),
+      "the bucket-prefix table must broadcast:\n" + p.take(2000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "no events-sized join side may appear — pairs must not materialize:\n" + p.take(2000))
+    // the pair-PRODUCING form (kept for consumers that need the pairs)
+    // must remain a bucketed equi-join, never a nested loop
+    val pj = graft.queries.EventQueries.sessionConcurrencyPairJoin(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!pj.contains("BroadcastNestedLoopJoin") && !pj.contains("CartesianProduct"),
+      "the pair join must not fall to a nested loop:\n" + pj.take(2000))
+    assert(pj.contains("bkt"),
+      "the bucket key must carry the pair join:\n" + pj.take(2000))
   }
 
   test("analytics shapes: funnel is one partial-aggregated collect, no pair joins") {

@@ -109,6 +109,42 @@ object ScaleProbe2 {
       println(f"[scale2] $n%-22s $t0%8.3f $r0%9d $t1%9.3f $r1%10d ${t1 / t0}%8.2f")
     }
 
+    // Trades-side THIRD decade (round 10, r9 verdict item 4): lineitem
+    // ×1000 / events ×1000 over sf0.1 (600M trades, 100M events; ~13 GB
+    // parquet in /tmp). Single timed rep per entry — at 30–300 s per
+    // execution the min-of-2 discipline buys nothing (it exists for
+    // sub-second scheduler noise) and a warmup count() would triple the
+    // write-bound entries' cost; row proportionality is already proven
+    // by the first two decades. `SCALE2_THIRD_DECADE_TRADES=1`; size
+    // SCALE2_SHUFFLE_PARTITIONS up (256+) — 32 partitions at 600M rows
+    // is a 19M-row-per-task sort, the under-sizing the knob exists for.
+    if (sys.env.get("SCALE2_THIRD_DECADE_TRADES").contains("1")) {
+      materializeTradesSide(spark, base, sf100, 1000)
+      for (n <- entries) {
+        graft.fixtures.Fixtures.clearDerivedCache(spark)
+        val t = timed(noop(graft.SparkEntry.queries(n)(spark, sf100)))
+        val sf10t = results.find(r => r._1 == sf10 && r._2 == n).map(_._3)
+        println(f"[scale2] THIRD DECADE (trades) $n sf100: $t%8.3f s" +
+          sf10t.map(p => f"  t-ratio vs sf10 ${t / p}%.2f (data x10)").getOrElse(""))
+      }
+    }
+
+    // ×3 trades leg for entries whose sf100 MATERIALIZED footprint
+    // exceeds the sandbox disk (a23's JSON round-trip writes the corpus
+    // as ~10×-parquet-sized JSONL; 600M rows of it does not fit).
+    // Ratio reported against a ×3 data step.
+    if (sys.env.get("SCALE2_TRADES_X3").contains("1")) {
+      val sf30 = "/tmp/graft_sf30"
+      materializeTradesSide(spark, base, sf30, 300)
+      for (n <- entries) {
+        graft.fixtures.Fixtures.clearDerivedCache(spark)
+        val t = timed(noop(graft.SparkEntry.queries(n)(spark, sf30)))
+        val sf10t = results.find(r => r._1 == sf10 && r._2 == n).map(_._3)
+        println(f"[scale2] X3 DECADE (trades) $n sf30: $t%8.3f s" +
+          sf10t.map(p => f"  t-ratio vs sf10 ${t / p}%.2f (data x3)").getOrElse(""))
+      }
+    }
+
     // Third decade (5M docs, documents table only — pass docs-only
     // entries when using this). The sf100 leg is where the r8 probe
     // caught span_dedup's corpus-sized hash build crashing outright.
