@@ -216,11 +216,11 @@ object Bench {
       // shufflePartitions: a streaming query's STATE SHARD COUNT is fixed
       // at first start from spark.sql.shuffle.partitions — and each shard
       // pays a per-micro-batch checkpoint commit (delta file + fsync).
-      // The tick state machine keys on ~60 secids, so the default 32
-      // shards are pure commit overhead; the _p8 variants measure the
-      // floor cut from sizing shards to key cardinality instead of
-      // machine parallelism (the same knob a 100× deployment turns, in
-      // the opposite direction, when key cardinality outgrows shards).
+      // Round 10: key-sized shards are the BUILDERS' default
+      // (StreamTuning), so the base lanes run the tuned config; the
+      // explicit-override lanes (_p32) keep the machine-parallelism
+      // sizing as the what-auto-sizing-saves comparison (the same knob a
+      // 100× deployment turns the other way when keys outgrow shards).
       def runStream(mk: Dataset[Tick] => DataFrame,
           shufflePartitions: Option[Int] = None): String = {
         val prev = spark.conf.get("spark.sql.shuffle.partitions")
@@ -372,7 +372,7 @@ object Bench {
       // no-FINAL aggregate as an UPDATE-mode stream — corrections net
       // against states inside the running aggregation buffer (~60 keys),
       // no keyed row store, no watermark. Shards sized to key
-      // cardinality like the _p8 candle lane; state is the smallest in
+      // cardinality like the other lanes; state is the smallest in
       // the section, so this measures the per-micro-batch floor for a
       // pure streaming aggregate.
       val positions: String = {
