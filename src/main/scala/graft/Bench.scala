@@ -215,6 +215,28 @@ object Bench {
                 .map(_.longValue).getOrElse(0L)).sum}}"""
       }
 
+      // Min-of-2 for the headline streaming lanes (round 11, r10 verdict
+      // item 4): the warm/cold query lanes take adjacent min-of-2, but
+      // every streaming lane was a single replay — so the r10 positions
+      // move (107.3k -> 90.2k rows/s on an unchanged config) could not be
+      // told apart from machine variance. Each headline lane now runs
+      // twice; the better rep's full breakdown is reported plus the other
+      // rep's rows/s as an explicit variance bound (`rps_other_rep`).
+      // Attribution lanes (_p32, _smallbatch, the RocksDB pair) stay
+      // single-rep: they exist as comparisons against their base lane,
+      // not as tracked numbers, and doubling them would add minutes of
+      // replay for no tracked signal.
+      def best2(mk: => String): String = {
+        val a = mk; val b = mk
+        def rps(s: String): Long =
+          "\"rows_per_sec\":(\\d+)".r.findFirstMatchIn(s)
+            .map(_.group(1).toLong).getOrElse(0L)
+        val (best, other) = if (rps(a) >= rps(b)) (a, b) else (b, a)
+        if (best.endsWith("}"))
+          best.dropRight(1) + s""","rps_other_rep":${rps(other)}}"""
+        else best
+      }
+
       // shufflePartitions: a streaming query's STATE SHARD COUNT is fixed
       // at first start from spark.sql.shuffle.partitions — and each shard
       // pays a per-micro-batch checkpoint commit (delta file + fsync).
@@ -248,8 +270,8 @@ object Bench {
       // base = the builder's default (key-sized shards, round 10 — the
       // former _p8 tuned lane); _p32 keeps the pre-r10 machine-parallelism
       // sizing as the what-auto-sizing-saves comparison
-      val exact = runStream(ds => graft.streaming.CandleStream.candles(ds, day).toDF())
-      val windowed = runStream(ds => graft.streaming.CandleStream.candlesWindowed(ds, "2 minutes"))
+      val exact = best2(runStream(ds => graft.streaming.CandleStream.candles(ds, day).toDF()))
+      val windowed = best2(runStream(ds => graft.streaming.CandleStream.candlesWindowed(ds, "2 minutes")))
       val exactP32 = runStream(
         ds => graft.streaming.CandleStream.candles(ds, day, expectedKeys = 0).toDF(), Some(32))
       // document-ingest gate (round 7): the LLM-side streaming number —
@@ -324,13 +346,13 @@ object Bench {
       //     (what an over-eager trigger interval costs);
       //   doc_gate_p32 — machine-parallelism shards, the pre-r10 default
       //     (what shard auto-sizing saves).
-      val docGate = docGateRun(None, 40000)
+      val docGate = best2(docGateRun(None, 40000))
       val docGateSmall = docGateRun(None, 10000)
       val docGateP32 = docGateRun(None, 40000, Some(32))
       // RocksDB provider lanes at the default config: snapshot-per-commit
       // vs changelog checkpointing (per-batch delta instead of full
       // snapshot — the provider config for large state). These lanes also
-      // carry state_disk_mb (SST footprint), the byte number behind the
+      // carry state_disk_bytes (SST footprint), the byte number behind the
       // bounded-dedup-state claim (r9 verdict item 8).
       val docGateRocks = docGateRun(Some(
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"), 40000)
@@ -342,7 +364,7 @@ object Bench {
       // both sides buffer rows for the watermark horizon; throughput is
       // bounded by state insert + eviction, not output volume (noop
       // sink). Ticks feed BOTH sides (self-join density), 30 s window.
-      val streamJoin: String = {
+      def streamJoinRun(): String = {
         // the join builder auto-sizes its state shards (round 10) by
         // setting the session's shuffle-partitions conf — save/restore so
         // the batch lanes after this section keep theirs
@@ -377,7 +399,8 @@ object Bench {
       // cardinality like the other lanes; state is the smallest in
       // the section, so this measures the per-micro-batch floor for a
       // pure streaming aggregate.
-      val positions: String = {
+      val streamJoin = best2(streamJoinRun())
+      def positionsRun(): String = {
         val prev = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", "8")
         try {
@@ -408,7 +431,8 @@ object Bench {
       // ships), micro-batch foreachBatch appends with batched prepared
       // statements. A 6-batch subset keeps the lane bounded; first batch
       // (table create + sink setup) untimed as everywhere else.
-      val jdbc: String = {
+      val positions = best2(positionsRun())
+      def jdbcRun(): String = {
         val url = "jdbc:derby:memory:benchjdbc;create=true"
         val props = new java.util.Properties()
         props.setProperty("driver", "org.apache.derby.iapi.jdbc.AutoloadedDriver")
@@ -440,6 +464,7 @@ object Bench {
           catch { case _: java.sql.SQLException => () } // expected on drop
         }
       }
+      val jdbc = best2(jdbcRun())
       s"""{"candles":$exact,"candles_windowed":$windowed,"candles_p32":$exactP32,""" +
         s""""doc_gate":$docGate,"doc_gate_smallbatch":$docGateSmall,""" +
         s""""doc_gate_p32":$docGateP32,"doc_gate_rocksdb":$docGateRocks,""" +

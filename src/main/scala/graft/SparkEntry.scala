@@ -2,14 +2,15 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{ChQueries, EventQueries, IngestQueries, LlmQueries, QueryDef, TradeQueries}
+import graft.queries.{ChQueries, E2eQueries, EventQueries, IngestQueries, LlmQueries, QueryDef, TradeQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
   /** Every implemented operator, assembled from the query modules. */
   def allDefs: Seq[QueryDef] =
-    TradeQueries.all ++ IngestQueries.all ++ LlmQueries.all ++ EventQueries.all ++ ChQueries.all
+    TradeQueries.all ++ IngestQueries.all ++ LlmQueries.all ++ EventQueries.all ++
+      ChQueries.all ++ E2eQueries.all
 
   /** Flagship query (Q7, SURVEY §7.4) on /root/testdata/sf0.001;
     * driver smoke-checks rows>0.

@@ -45,13 +45,23 @@ object ChQueries {
     * GrainSweepSpec drives `interval` across all 14 dashboard options).
     */
   def translateSql(spark: SparkSession, dir: String, raw: String,
+      overrides: Map[String, String] = Map.empty): String =
+    translateSqlOver(spark, raw,
+      Map("transaq_trades" -> trades(spark, dir),
+        "transaq_securities" -> securities(spark, dir)), overrides)
+
+  /** [[translateSql]] over CALLER-SUPPLIED frames: registers each frame
+    * under its reference table name and translates against those views.
+    * The end-to-end entries ([[E2eQueries]]) use this to point the same
+    * verbatim dashboard SQL at JDBC-read tables instead of the parquet
+    * fixtures.
+    */
+  def translateSqlOver(spark: SparkSession, raw: String,
+      tables: Map[String, DataFrame],
       overrides: Map[String, String] = Map.empty): String = {
-    val t = trades(spark, dir)
-    val s = securities(spark, dir)
-    t.createOrReplaceTempView("transaq_trades")
-    s.createOrReplaceTempView("transaq_securities")
+    tables.foreach { case (n, df) => df.createOrReplaceTempView(n) }
     ChDialect.translate(raw, params ++ overrides,
-      Map("transaq_trades" -> t.columns.toSet, "transaq_securities" -> s.columns.toSet))
+      tables.map { case (n, df) => n -> df.columns.toSet })
   }
 
   def translatePanel(spark: SparkSession, dir: String, idx: Int): String =

@@ -147,3 +147,20 @@ case class Candle(
     high: Double,
     low: Double,
     volume: Long)
+
+/** Storage-shaped trade row (db.go:56-63 column set) — the encoder the
+  * end-to-end streaming-ingest entries replay through MemoryStream; field
+  * names match the engine's trades table so `as[TradeRow]`/`toDF()` are
+  * column-exact round trips.
+  */
+case class TradeRow(
+    time: java.sql.Timestamp,
+    secid: Int,
+    sec_code: String,
+    trade_no: Long,
+    board: String,
+    price: Double,
+    quantity: Long,
+    buy_sell: String,
+    open_interest: Int,
+    period: String)

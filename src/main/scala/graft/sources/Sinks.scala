@@ -200,21 +200,31 @@ object Sinks {
     import org.apache.spark.sql.functions.col
     val dates = affectedDates.map(_.toString)
     val stage = path + "_mutation_stage"
+    val backupRoot = java.nio.file.Paths.get(path + "_mutation_backup")
+    // Recovery pass FIRST (round 11, r10 advice): a leftover backup means
+    // a prior run crashed mid-swap. It must be handled before the stage
+    // read — re-running the mutation over a table with a day missing
+    // would bake the loss into the new stage, and the backup lives in its
+    // OWN sibling (not inside the stage dir) precisely so the stage
+    // Overwrite below cannot clobber the only surviving copy of that day.
+    restoreLeftoverBackups(path, backupRoot)
     transform(spark.read.parquet(path)
       .filter(col("trade_date").isin(dates: _*)))
       .write.mode(SaveMode.Overwrite).partitionBy("trade_date").parquet(stage)
     val root = java.nio.file.Paths.get(path)
     val staged = java.nio.file.Paths.get(stage)
+    java.nio.file.Files.createDirectories(backupRoot)
     dates.foreach { d =>
       val target = root.resolve(s"trade_date=$d")
       val src = staged.resolve(s"trade_date=$d")
-      // Crash-safe swap: move the old partition ASIDE (into the stage
+      // Crash-safe swap: move the old partition ASIDE (into the backup
       // sibling — outside the table root, so partition discovery never
       // sees it) instead of deleting it before the staged day lands. A
       // crash between the two moves leaves the day recoverable from the
-      // backup rather than lost; the backup is dropped only once the
-      // staged directory is in place.
-      val bak = staged.resolve(s"bak_trade_date=$d")
+      // backup — and the NEXT mutatePartitions call restores it before
+      // doing anything else; the backup is dropped only once the staged
+      // directory is in place.
+      val bak = backupRoot.resolve(s"bak_trade_date=$d")
       if (java.nio.file.Files.exists(target))
         java.nio.file.Files.move(target, bak)
       // a day whose every row matched the predicate has no staged dir:
@@ -224,6 +234,36 @@ object Sinks {
       deleteTree(bak)
     }
     deleteTree(staged)
+    deleteTree(backupRoot)
+  }
+
+  /** Crash recovery for [[mutatePartitions]]: restore any backed-up day
+    * whose directory is MISSING from the table root (the prior run died
+    * between move-aside and move-in — the day's only copy is the backup);
+    * a backup whose day IS present in the root is post-swap residue (the
+    * prior run died after the staged day landed but before cleanup) and
+    * is dropped. Loud on restore: silent recovery would hide that a
+    * mutation run previously crashed.
+    */
+  private def restoreLeftoverBackups(path: String,
+      backupRoot: java.nio.file.Path): Unit = {
+    if (java.nio.file.Files.exists(backupRoot)) {
+      val root = java.nio.file.Paths.get(path)
+      val ls = java.nio.file.Files.list(backupRoot)
+      try ls.forEach { bak =>
+        val name = bak.getFileName.toString
+        if (name.startsWith("bak_")) {
+          val target = root.resolve(name.stripPrefix("bak_"))
+          if (!java.nio.file.Files.exists(target)) {
+            System.err.println(
+              s"[graft] mutatePartitions: restoring $name from an interrupted " +
+                s"mutation's backup into $path")
+            java.nio.file.Files.move(bak, target)
+          }
+        }
+      } finally ls.close()
+      deleteTree(backupRoot)
+    }
   }
 
   private def deleteTree(dir: java.nio.file.Path): Unit = {

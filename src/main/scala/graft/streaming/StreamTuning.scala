@@ -54,9 +54,31 @@ object StreamTuning {
 
   /** Latch the state shard count for the NEXT streaming query started on
     * this session. Returns the shard count chosen.
+    *
+    * LOUD when it changes an existing session value (round 11, r10
+    * advice): the setting is session-wide, so in a mixed batch+stream
+    * session merely BUILDING a streaming plan would otherwise silently
+    * shrink every subsequent batch shuffle. The warning names the old
+    * value and both escape hatches (expectedKeys = 0, or save/restore
+    * around `.start()` as the bench harness does).
     */
+  private val warned = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   def sizeStateShards(spark: SparkSession, expectedKeys: Long): Int = {
     val n = shardsFor(expectedKeys, spark.sparkContext.defaultParallelism * 4)
+    val prev = spark.conf.getOption("spark.sql.shuffle.partitions")
+    // warn ONCE per (session, transition): the first override is the one
+    // a mixed-session caller needs to hear about; repeating it for every
+    // plan build (the bench replays builders hundreds of times) would
+    // bury the rest of the tail
+    if (!prev.contains(n.toString) && warned.add(
+        s"${spark.sparkContext.applicationId}|${prev.getOrElse("")}|$n"))
+      System.err.println(
+        s"[graft] StreamTuning: overriding session spark.sql.shuffle.partitions " +
+          s"${prev.getOrElse("(unset)")} -> $n to size streaming state shards " +
+          s"(expectedKeys=$expectedKeys). This affects SUBSEQUENT BATCH shuffles " +
+          s"too — pass expectedKeys = 0 to leave the session conf alone, or " +
+          s"save/restore the conf around query start.")
     spark.conf.set("spark.sql.shuffle.partitions", n.toString)
     n
   }

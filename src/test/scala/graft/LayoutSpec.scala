@@ -158,4 +158,72 @@ class LayoutSpec extends SparkSuite {
     assert(got == want)
     assert(got.nonEmpty)
   }
+
+  test("mutation recovery restores a day lost in a prior interrupted swap") {
+    val dir = Files.createTempDirectory("trades_mut_recover").toString
+    val t = Fixtures.trades(spark, "/root/testdata/sf0.001")
+    Sinks.materializeTrades(t, dir)
+    val days = t.select(to_date(col("time")).as("d")).distinct()
+      .orderBy("d").collect().map(_.getDate(0).toString)
+    val total = spark.read.parquet(dir).count()
+    val lostDayCount = spark.read.parquet(dir)
+      .filter(col("trade_date") === days.head).count()
+    // Simulate the r10-advice crash window: the prior run died BETWEEN
+    // move(target, bak) and move(src, target) — the day's only copy sits
+    // in the backup sibling, and a stale stage directory was left behind
+    // (the next run's Overwrite rewrites the stage; the backup must live
+    // where that Overwrite cannot reach it).
+    val backupRoot = java.nio.file.Paths.get(dir + "_mutation_backup")
+    Files.createDirectories(backupRoot)
+    Files.move(
+      java.nio.file.Paths.get(s"$dir/trade_date=${days.head}"),
+      backupRoot.resolve(s"bak_trade_date=${days.head}"))
+    val staleStage = java.nio.file.Paths.get(dir + "_mutation_stage")
+    Files.createDirectories(staleStage)
+    Files.writeString(staleStage.resolve("stale_marker"), "from interrupted run")
+    assert(spark.read.parquet(dir).count() == total - lostDayCount,
+      "precondition: the day must actually be missing from the table root")
+    // The natural recovery action — re-running a mutation — must FIRST
+    // restore the lost day (before the stage read bakes its absence in),
+    // then apply this run's mutation over the complete table.
+    val sec03OnTarget = t.filter(to_date(col("time")) === days(1) &&
+      col("sec_code") === "SEC03").count()
+    Sinks.deleteWhere(spark, dir, Seq(java.sql.Date.valueOf(days(1))),
+      col("sec_code") === "SEC03")
+    val after = spark.read.parquet(dir)
+    assert(after.filter(col("trade_date") === days.head).count() == lostDayCount,
+      "the interrupted swap's day was not restored from its backup")
+    assert(after.count() == total - sec03OnTarget)
+    assert(!Files.exists(backupRoot), "backup root must be cleaned up")
+    assert(!Files.exists(staleStage), "stale stage must be cleaned up")
+  }
+
+  test("mutation recovery drops post-swap backup residue without clobbering") {
+    val dir = Files.createTempDirectory("trades_mut_residue").toString
+    val t = Fixtures.trades(spark, "/root/testdata/sf0.001")
+    Sinks.materializeTrades(t, dir)
+    val days = t.select(to_date(col("time")).as("d")).distinct()
+      .orderBy("d").collect().map(_.getDate(0))
+    // Simulate the OTHER crash window: the prior run died after the staged
+    // day landed but before backup cleanup — the root's day is the (newer)
+    // mutated one; the leftover backup is stale and must be dropped, not
+    // restored over it.
+    val backupRoot = java.nio.file.Paths.get(dir + "_mutation_backup")
+    val staleBak = backupRoot.resolve(s"bak_trade_date=${days.head}")
+    Files.createDirectories(staleBak)
+    Files.writeString(staleBak.resolve("old_part.parquet"), "stale pre-swap copy")
+    val before = spark.read.parquet(dir)
+      .filter(col("trade_date") === days.head.toString)
+      .orderBy("trade_no").collect().toSeq
+    val sec03OnTarget = t.filter(to_date(col("time")) === days(1) &&
+      col("sec_code") === "SEC03").count()
+    Sinks.deleteWhere(spark, dir, Seq(days(1)), col("sec_code") === "SEC03")
+    val afterDay = spark.read.parquet(dir)
+      .filter(col("trade_date") === days.head.toString)
+      .orderBy("trade_no").collect().toSeq
+    assert(afterDay == before,
+      "stale backup residue must not be restored over a completed swap")
+    assert(!Files.exists(backupRoot))
+    assert(spark.read.parquet(dir).count() == t.count() - sec03OnTarget)
+  }
 }
