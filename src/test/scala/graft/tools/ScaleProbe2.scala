@@ -140,15 +140,21 @@ object ScaleProbe2 {
     // ×3 trades leg for entries whose sf100 MATERIALIZED footprint
     // exceeds the sandbox disk (a23's JSON round-trip writes the corpus
     // as ~10×-parquet-sized JSONL; 600M rows of it does not fit).
-    // Ratio reported against a ×3 data step.
+    // Ratio reported against a ×3 data step. Honors SCALE2_SF100_REPS
+    // (the fair-rep knob): a single rep folds the 180M-row fixture
+    // derivation + its disk-spilled cache materialization into the
+    // reading — min-of-2 measures the operator, the way the sf1/sf10
+    // legs already do.
     if (sys.env.get("SCALE2_TRADES_X3").contains("1")) {
       val sf30 = "/tmp/graft_sf30"
+      val x3Reps = sys.env.get("SCALE2_SF100_REPS").map(_.toInt).getOrElse(1)
       materializeTradesSide(spark, base, sf30, 300)
       for (n <- entries) {
         graft.fixtures.Fixtures.clearDerivedCache(spark)
-        val t = timed(noop(graft.SparkEntry.queries(n)(spark, sf30)))
+        val t = (1 to x3Reps).map(_ =>
+          timed(noop(graft.SparkEntry.queries(n)(spark, sf30)))).min
         val sf10t = results.find(r => r._1 == sf10 && r._2 == n).map(_._3)
-        println(f"[scale2] X3 DECADE (trades) $n sf30: $t%8.3f s" +
+        println(f"[scale2] X3 DECADE (trades) $n sf30: $t%8.3f s ($x3Reps reps)" +
           sf10t.map(p => f"  t-ratio vs sf10 ${t / p}%.2f (data x3)").getOrElse(""))
       }
     }
