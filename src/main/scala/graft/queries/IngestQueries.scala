@@ -536,6 +536,79 @@ object IngestQueries {
     spark.read.parquet(out).orderBy("secId", "date", "close")
   }
 
+  /** A19 — retry/reconnect control, END-TO-END (round 11: the last §2.A
+    * row, previously a declared non-goal). Same lineage as
+    * [[a01StreamCandles]] — wire-ordered tick replay through the real
+    * Structured Streaming query into the parquet append sink — but the
+    * FIRST attempt is killed mid-micro-batch by an armed
+    * [[graft.streaming.TransientFault]] (the deterministic stand-in for
+    * the reference's dropped gRPC wire, main.go:46-60), and
+    * [[graft.streaming.Supervisor.run]] restarts the query from its
+    * checkpoint. The entry asserts the fault actually fired (≥1 restart),
+    * then returns the sink's committed output, held to the SAME DuckDB
+    * hash oracle as the uninterrupted replay — recovery must be
+    * row-exact, not just row-countish.
+    *
+    * Why the hash survives a mid-batch kill: the injected fault throws in
+    * the map stage before any state-store or sink commit; the failed
+    * micro-batch's offsets are in the WAL, so the restarted query
+    * re-executes it from the last committed state version, and any
+    * orphan parquet part-files from the dead attempt are invisible to the
+    * read because FileStreamSink's `_spark_metadata` commit log governs
+    * batch reads of the output directory. Zero backoff keeps the gate
+    * fast (the reference's 3 s sleep is [[graft.streaming.Supervisor]]'s
+    * default, pinned by SupervisorSpec instead). One replay per
+    * (application, dir), like a01: later calls read the committed sink.
+    */
+  private val a19ReplayDone =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  val a19ReconnectReplay = QueryDef.sql(
+    "a19_reconnect_replay", candlesReplayOracle
+  ) { (spark, dir) =>
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = graft.sources.Scratch.dir(
+      s"a19_reconnect|${spark.sparkContext.applicationId}|$dir")
+    val out = s"$root/out"
+    a19ReplayDone.computeIfAbsent(root, _ => {
+      val tickRows = ticks(spark, dir).selectExpr(
+        "secid AS secId", "sec_code AS secCode", "ts", "time",
+        "last", "open", "quantity", "tick_no AS tickNo")
+        .as[graft.schema.Tick]
+        .collect().sortBy(t => (t.ts.getTime, t.tickNo))
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      try {
+        val ms = MemoryStream[graft.schema.Tick](16)
+        val faultKey = s"a19|$root"
+        graft.streaming.TransientFault.arm(faultKey, 1)
+        val batches =
+          tickRows.grouped(math.max(50000, tickRows.length / 4 + 1)).toSeq
+        var fed = 0
+        val outcome = graft.streaming.Supervisor.run(
+          () => graft.streaming.CandleStream.sinkToParquet(
+            graft.streaming.CandleStream.candles(
+              ms.toDS().map { t =>
+                graft.streaming.TransientFault.tripwire(faultKey); t
+              },
+              java.time.LocalDate.of(2024, 12, 6)),
+            out, s"$root/ck"),
+          maxRestarts = 10, backoff = java.time.Duration.ZERO) { q =>
+          while (fed < batches.length) {
+            ms.addData(batches(fed)); fed += 1; q.processAllAvailable()
+          }
+          // a kill during the LAST feed leaves pending offsets: flush them
+          q.processAllAvailable()
+        }
+        require(outcome.restarts >= 1,
+          s"a19 fault injection did not fire (attempts=${outcome.attempts})")
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+      java.lang.Boolean.TRUE
+    })
+    spark.read.parquet(out).orderBy("secId", "date", "close")
+  }
+
   /** A1/A16 exact-machine REPLAY, driver-oracled (round 6 — a01's one
     * remaining rows-only gap): the same [[graft.streaming.CandleStream
     * .candlesBatch]] output as `a01_stream_candles`, but held to a full
@@ -1041,7 +1114,8 @@ object IngestQueries {
     dedupTradesCollapsing, dedupTradesVCollapsing, qxCollapsingTurnover,
     a06Cascade, a07Valid, a09Bond, a10Periods,
     a11Projection, a12TradeParse, a13QuotesEnvelope, a14SecinfoParse,
-    a15HistoryParse, a17Positions, a01StreamCandles, a01CandlesReplay,
+    a15HistoryParse, a17Positions, a01StreamCandles, a19ReconnectReplay,
+    a01CandlesReplay,
     layoutZorderKey, layoutTtlRetention, layoutBucketedJoin,
     layoutDppPrune, layoutMutationDelete, layoutMutationUpdate,
     layoutOptimizeCompact, qxSampleTurnover, rollupSummingMerge,
