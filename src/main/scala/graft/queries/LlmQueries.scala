@@ -1183,6 +1183,100 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Maximal duplicated-range merge — the artifact a substring deduper
+    * actually MATERIALIZES (the "remove these token ranges before
+    * training" list; cf. the suffix-array substring-dedup literature),
+    * where [[spanDedup]] stops at the per-doc count ledger: every
+    * dropped 8-gram occurrence covers tokens [pos, pos+7], and
+    * overlapping or touching covers within a document coalesce into one
+    * maximal removal interval via the islands-and-gaps idiom (a new
+    * island starts when a span begins past `running_max(end) + 1`).
+    * Output is one row per merged interval: 1-based [island_s, island_e]
+    * bounds, the interval length, and how many dropped spans it merged —
+    * sorted (doc_id, island_s) so the trainer can stream it.
+    *
+    * Scale shape: the global span index reuses [[spanDedupLedger]]'s
+    * post-crash design verbatim — occurrence count + keeper via ONE
+    * window over the span hash (a single spillable-sorted shuffle, no
+    * corpus-sized hash build). The surviving DROPPED stream (duplicated
+    * occurrences only — a small fraction of the corpus) then flows
+    * through two per-document windows (running max-end, island counter);
+    * per-group buffering is bounded by a document's span count, never by
+    * the corpus (doc_id·2²⁰ pack contract = ≤1M tokens/doc). Everything
+    * downstream of the filter is sub-corpus-sized; the whole chain is
+    * integer-only, so both engines agree bit-for-bit.
+    */
+  val dupSpanMerge = QueryDef.sql(
+    "llm_dup_span_merge",
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |spans AS (SELECT doc_id,
+       |    unnest(range(1, len(tk) - 6)) AS pos,
+       |    unnest(list_transform(${Text.wordNgramsSql(8, distinct = false)},
+       |                          g -> ${Text.hexPrefixInt60Sql("md5(g)")})) AS h
+       |  FROM toks),
+       |packed AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos, h,
+       |    doc_id * 1048576 + pos AS pack FROM spans),
+       |stats AS (SELECT h, count(*) AS cnt, min(pack) AS keeper
+       |          FROM packed GROUP BY h),
+       |dropped AS (SELECT p.doc_id, p.pos
+       |  FROM packed p JOIN stats s USING (h)
+       |  WHERE s.cnt > 1 AND p.pack != s.keeper),
+       |ord AS (SELECT doc_id, pos, pos + 7 AS e,
+       |    max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_e
+       |  FROM dropped),
+       |isl AS (SELECT doc_id, pos, e,
+       |    sum(CASE WHEN prev_e IS NULL OR pos > prev_e + 1 THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY pos
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+       |  FROM ord)
+       |SELECT doc_id,
+       |  CAST(min(pos) AS BIGINT) AS island_s,
+       |  CAST(max(e) AS BIGINT) AS island_e,
+       |  CAST(max(e) - min(pos) + 1 AS BIGINT) AS island_len,
+       |  CAST(count(*) AS BIGINT) AS n_spans
+       |FROM isl GROUP BY doc_id, island
+       |ORDER BY doc_id, island_s""".stripMargin
+  ) { (spark, dir) => dupSpanMergeRanges(documents(spark, dir)) }
+
+  /** [[dupSpanMerge]]'s core over any (doc_id, text) table — also driven
+    * by DupSpanMergeSpec on a planted corpus (overlap merge, touching
+    * merge, gap split, keeper exclusion).
+    */
+  def dupSpanMergeRanges(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val spans = docs
+      .withColumn("tk", split(col("text"), " "))
+      .select(col("doc_id"),
+        posexplode(expr("word_ngrams(tk, 8, false)")).as(Seq("pos0", "g")))
+      .select(col("doc_id"),
+        expr("CAST(conv(substr(md5(g), 1, 15), 16, 10) AS BIGINT)").as("h"),
+        expr("CAST(pos0 + 1 AS BIGINT)").as("pos"),
+        expr("doc_id * CAST(1048576 AS BIGINT) + pos0 + 1").as("pack"))
+    // occurrence count + keeper in ONE spillable-sorted shuffle over h —
+    // the spanDedupLedger post-crash shape (see that scaladoc's r8 story)
+    val wh = Window.partitionBy("h")
+    val dropped = spans
+      .withColumn("cnt", count(lit(1)).over(wh))
+      .withColumn("keeper", min("pack").over(wh))
+      .filter(col("cnt") > 1 && col("pack") =!= col("keeper"))
+      .select(col("doc_id"), col("pos"))
+    val wd = Window.partitionBy("doc_id").orderBy("pos")
+    val isl = dropped
+      .withColumn("e", col("pos") + 7)
+      .withColumn("prev_e",
+        max(col("e")).over(wd.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("island",
+        sum(when(col("prev_e").isNull || col("pos") > col("prev_e") + 1, 1L)
+          .otherwise(0L))
+          .over(wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    isl.groupBy("doc_id", "island")
+      .agg(min("pos").as("island_s"), max("e").as("island_e"),
+        (max("e") - min("pos") + 1).as("island_len"),
+        count(lit(1)).as("n_spans"))
+      .select("doc_id", "island_s", "island_e", "island_len", "n_spans")
+      .orderBy("doc_id", "island_s")
+  }
+
   /** Paragraph width in tokens for [[paragraphDedup]]. The corpus ships
     * single-paragraph plain text (no newlines), so "paragraph" is pinned
     * to disjoint 20-token blocks — the same explicit-seam convention as
@@ -5088,7 +5182,7 @@ object LlmQueries {
   val all: Seq[QueryDef] = Seq(
     corpusDrift,
     textStats, langId, exactDedup, minhashLsh, incrementalNearDup,
-    dedupClusters, ngramJaccard, spanDedup, paragraphDedup, cdcChunk,
+    dedupClusters, ngramJaccard, spanDedup, dupSpanMerge, paragraphDedup, cdcChunk,
     simhash, simhashNearDup, fingerprint, embedTopk, annLsh, annIvf, annIvfTrained, annPq,
     embedNearDup, knnGraph, tokenCount, imageMeta, audioMeta, imageResize,
     frameSample, imageMetaReal, audioMetaReal, htmlExtract, qualityScore, piiScrub, repetition,

@@ -131,6 +131,20 @@ class ScaleShapeSpec extends SparkSuite {
       "centroids and cell stats must broadcast:\n" + p.take(2000))
   }
 
+  test("round-11 shapes: dup-span merge keeps the windowed span stats, no hash build, no blowups") {
+    // llm_dup_span_merge inherits span_dedup's post-r8-crash shape: span
+    // stats via count/min OVER (PARTITION BY h) — one spillable-sorted
+    // shuffle, never a corpus-sized ShuffledHashJoin build — and the
+    // island merge runs on the sub-corpus dropped stream only.
+    val p = plan("llm_dup_span_merge")
+    assert(p.contains("Window"),
+      "span stats must come from a window over h, not a join:\n" + p.take(2000))
+    assert(!p.contains("ShuffledHashJoin"),
+      "no span-index hash build may appear (sf100 OOM shape):\n" + p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the merge must stay window/aggregate shaped:\n" + p.take(2000))
+  }
+
   test("round-10 shapes: session concurrency counts by rank difference; the pair join stays equi") {
     // evt_session_concurrency (round 10): the COUNT entry must never
     // materialize (session, event) pairs — its only join is the

@@ -177,7 +177,10 @@ object ScaleProbe {
     // OPTIMIZE pays fragment-write + full compaction rewrite
     "layout_optimize_compact",
     // drift: counts collapse to lang x 10 buckets before any join
-    "llm_corpus_drift")
+    "llm_corpus_drift",
+    // round-11: removal-range merge — span_dedup's h-window plus two
+    // per-doc windows over the (sub-corpus) dropped stream
+    "llm_dup_span_merge")
   private val Reps = 10
   private val IdStride = 10000000L
 
