@@ -57,4 +57,32 @@ class DupSpanMergeSpec extends SparkSuite {
   test("output is sorted by (doc_id, island_s)") {
     assert(islands == islands.sortBy(i => (i._1, i._2)))
   }
+
+  test("consistency law vs span_dedup on the real fixture: islands partition the dropped spans") {
+    // Per doc, the sum of merged-island n_spans must equal span_dedup's
+    // n_dropped (both entries derive from the same global span index),
+    // islands must be disjoint and non-touching (maximality), and each
+    // island's span count can't exceed what its token width can hold.
+    graft.expr.GraftFunctions.register(spark)
+    val docs = graft.fixtures.Fixtures.documents(spark, "/root/testdata/sf0.001")
+    val merged = LlmQueries.dupSpanMergeRanges(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val droppedPerDoc = LlmQueries.spanDedupLedger(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val mergedPerDoc = merged.groupBy(_._1).view.mapValues(_.map(_._5).sum).toMap
+    assert(mergedPerDoc == droppedPerDoc.filter(_._2 > 0),
+      "per-doc island span sums must equal span_dedup's n_dropped")
+    for ((doc, isl) <- merged.groupBy(_._1)) {
+      val sorted = isl.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._2 > a._3 + 1, s"doc $doc: islands $a and $b touch or overlap — not maximal")
+        case _ => ()
+      }
+      sorted.foreach { i =>
+        assert(i._4 == i._3 - i._2 + 1 && i._4 >= 8, s"doc $doc: bad island geometry $i")
+        assert(i._5 <= i._4 - 7, s"doc $doc: island $i holds more spans than its width allows")
+      }
+    }
+  }
 }
