@@ -1,0 +1,102 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.{SessionEvent, SessionStream}
+
+/** Streaming sessionization parity ([[SessionStream]]): the watermarked
+  * `session_window` aggregation over micro-batches must reach the batch
+  * sessionize answer row-exactly — including a session that SPANS a
+  * micro-batch boundary and the final still-open sessions, which only the
+  * two-sentinel watermark flush closes. The restart case pins that open
+  * session state survives a full query stop/start over one checkpoint.
+  */
+class SessionStreamSpec extends SparkSuite {
+
+  private def ev(user: Long, t: String): SessionEvent =
+    SessionEvent(user, Timestamp.valueOf(s"2024-01-05 $t"))
+
+  // batch 1 ends mid-session for user 1: events at 10:00 and 10:10; batch 2
+  // extends it at 10:25 (gap 15 < 30 min -> same session) and opens the
+  // late sessions that only the sentinel flush can close
+  private val batch1 = Seq(
+    ev(1, "10:00:00"), ev(1, "10:10:00"),
+    ev(2, "10:05:00"))
+  private val batch2 = Seq(
+    ev(1, "10:25:00"), // extends user 1's open session across the boundary
+    ev(2, "11:30:00"), // > 30 min after 10:05 -> user 2's SECOND session
+    ev(3, "11:45:00"))
+
+  private def batchSessions(events: Seq[SessionEvent]) = {
+    import spark.implicits._
+    events.toDF()
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2.getTime)).toSeq
+  }
+
+  private def flush(ms: MemoryStream[SessionEvent],
+      q: org.apache.spark.sql.streaming.StreamingQuery, maxTs: Long): Unit =
+    for (m <- Seq(31L, 32L)) {
+      ms.addData(Seq(SessionEvent(SessionStream.SentinelUser,
+        new Timestamp(maxTs + m * 60000L))))
+      q.processAllAvailable()
+    }
+
+  private def readSink(outDir: String) =
+    spark.read.parquet(outDir)
+      .collect().map(r => (r.getLong(r.fieldIndex("user_id")),
+        r.getTimestamp(r.fieldIndex("session_start")),
+        r.getTimestamp(r.fieldIndex("session_end")),
+        r.getLong(r.fieldIndex("n_events"))))
+      .sortBy(t => (t._1, t._2.getTime)).toSeq
+
+  test("streamed sessions ≡ batch sessionize, incl. cross-batch merge and sentinel flush") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[SessionEvent]
+    val outDir = Files.createTempDirectory("sess_out").toString
+    val q = SessionStream.sinkToParquet(
+      SessionStream.sessions(ms.toDS()), outDir,
+      Files.createTempDirectory("sess_ck").toString)
+    try {
+      Seq(batch1, batch2).foreach { b => ms.addData(b); q.processAllAvailable() }
+      flush(ms, q, batch2.map(_.ts.getTime).max)
+    } finally q.stop()
+    val got = readSink(outDir)
+    assert(got == batchSessions(batch1 ++ batch2), got.toString)
+    // the row that PROVES the cross-batch merge: user 1's single session
+    // spans 10:00 -> 10:25+30min with all three events
+    assert(got.contains((1L, Timestamp.valueOf("2024-01-05 10:00:00"),
+      Timestamp.valueOf("2024-01-05 10:55:00"), 3L)))
+    assert(!got.exists(_._1 < 0), "sentinel sessions must never flush")
+  }
+
+  test("checkpoint restart: open session state survives a full query stop/start") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[SessionEvent]
+    val outDir = Files.createTempDirectory("sess_rs_out").toString
+    val ckDir = Files.createTempDirectory("sess_rs_ck").toString
+    val q1 = SessionStream.sinkToParquet(
+      SessionStream.sessions(ms.toDS()), outDir, ckDir)
+    ms.addData(batch1)
+    q1.processAllAvailable()
+    q1.stop() // hard stop: every batch-1 session is still OPEN state
+    val q2 = SessionStream.sinkToParquet(
+      SessionStream.sessions(ms.toDS()), outDir, ckDir)
+    try {
+      ms.addData(batch2)
+      q2.processAllAvailable()
+      flush(ms, q2, batch2.map(_.ts.getTime).max)
+    } finally q2.stop()
+    assert(readSink(outDir) == batchSessions(batch1 ++ batch2))
+  }
+}
