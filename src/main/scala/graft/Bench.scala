@@ -432,6 +432,42 @@ object Bench {
       // statements. A 6-batch subset keeps the lane bounded; first batch
       // (table create + sink setup) untimed as everywhere else.
       val positions = best2(positionsRun())
+      // Watermarked session_window sessionization (round 11): the
+      // dynamic-gap stateful class — state is CONCURRENTLY OPEN sessions;
+      // feeding in event-time order advances the watermark every batch,
+      // so emission + eviction run in steady state (the always-on shape),
+      // not as one terminal flush. Events are ~6× fewer than ticks at
+      // equal SF; a smaller trigger batch keeps the lane multi-batch.
+      def sessionsRun(): String = {
+        val prev = spark.conf.get("spark.sql.shuffle.partitions")
+        try {
+          val evRows = graft.fixtures.Fixtures.events(spark, sfDir)
+            .selectExpr("user_id", "ts")
+            .as[graft.streaming.SessionEvent]
+            .collect().sortBy(_.ts.getTime)
+          // size the trigger batch from the corpus so the lane stays
+          // ~10 micro-batches at every SF (a fixed divisor of the tick
+          // batch size left sf0.01 with ONE batch — all of it untimed)
+          val eBatches = evRows.grouped(
+            math.max(1000, evRows.length / 10)).toSeq
+          val ms = MemoryStream[graft.streaming.SessionEvent](SourceParts)
+          val ck = java.nio.file.Files.createTempDirectory(ckRoot, "ck").toString
+          val q = graft.streaming.SessionStream.sessions(ms.toDS())
+            .writeStream.outputMode("append")
+            .format("noop").option("checkpointLocation", ck).start()
+          try {
+            ms.addData(eBatches.head.toSeq)
+            q.processAllAvailable()
+            val after = q.lastProgress.batchId
+            val t0 = System.nanoTime()
+            eBatches.tail.foreach { b => ms.addData(b.toSeq); q.processAllAvailable() }
+            val sec = (System.nanoTime() - t0) / 1e9
+            breakdown(q, after,
+              math.round((evRows.length - eBatches.head.length) / sec))
+          } finally q.stop()
+        } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+      }
+      val sessionsLane = best2(sessionsRun())
       def jdbcRun(): String = {
         val url = "jdbc:derby:memory:benchjdbc;create=true"
         val props = new java.util.Properties()
@@ -470,6 +506,7 @@ object Bench {
         s""""doc_gate_p32":$docGateP32,"doc_gate_rocksdb":$docGateRocks,""" +
         s""""doc_gate_rocksdb_changelog":$docGateRocksCl,""" +
         s""""stream_join":$streamJoin,"positions":$positions,""" +
+        s""""sessions":$sessionsLane,""" +
         s""""jdbc":$jdbc,"rows":${tickRows.length},"batch_size":$batchSize,""" +
         s""""batches":${batches.length}}"""
     } catch { case e: Throwable =>
