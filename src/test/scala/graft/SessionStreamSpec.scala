@@ -79,6 +79,38 @@ class SessionStreamSpec extends SparkSuite {
     assert(!got.exists(_._1 < 0), "sentinel sessions must never flush")
   }
 
+  test("parity is split-invariant: random micro-batch boundaries never change the answer") {
+    // The dimension that could break streaming/batch parity is WHERE the
+    // micro-batch boundaries fall (state merge + watermark advance happen
+    // there). Replay one event set under seeded random splits; every
+    // split must reach the same batch answer.
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rnd = new scala.util.Random(11)
+    val events = (0 until 60).map { i =>
+      ev(rnd.nextInt(4).toLong, f"${9 + rnd.nextInt(4)}%02d:${rnd.nextInt(60)}%02d:00")
+    }.sortBy(_.ts.getTime)
+    val want = batchSessions(events)
+    for (seed <- Seq(1, 2, 3)) {
+      val r = new scala.util.Random(seed)
+      // random cut points -> 1..60-sized batches, order preserved
+      val splits = events.foldLeft(List(Vector.empty[SessionEvent])) { (acc, e) =>
+        if (r.nextInt(10) == 0) Vector(e) :: acc
+        else (acc.head :+ e) :: acc.tail
+      }.reverse.filter(_.nonEmpty)
+      val ms = MemoryStream[SessionEvent]
+      val outDir = Files.createTempDirectory(s"sess_split_$seed").toString
+      val q = SessionStream.sinkToParquet(
+        SessionStream.sessions(ms.toDS()), outDir,
+        Files.createTempDirectory(s"sess_split_ck_$seed").toString)
+      try {
+        splits.foreach { b => ms.addData(b); q.processAllAvailable() }
+        flush(ms, q, events.map(_.ts.getTime).max)
+      } finally q.stop()
+      assert(readSink(outDir) == want, s"split seed $seed diverged from batch")
+    }
+  }
+
   test("checkpoint restart: open session state survives a full query stop/start") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
