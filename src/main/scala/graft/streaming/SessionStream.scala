@@ -41,6 +41,13 @@ object SessionStream {
   /** Watermarked session aggregation. `gap` must match the batch entry's
     * (30 minutes); `delay` is the out-of-orderness bound the wire needs —
     * the replay harness feeds in event-time order, so zero.
+    *
+    * Late-row line (SessionStreamSpec pins it): the engine drops a
+    * straggler only once its would-be session WINDOW END (`ts + gap`)
+    * falls behind the watermark — not when its timestamp does — because
+    * until then the row could still change un-emitted output. So the
+    * effective acceptance horizon is `gap + delay` behind max event time,
+    * and a flush harness's sentinels must clear that full horizon.
     */
   def sessions(events: Dataset[SessionEvent], gap: String = "30 minutes",
       delay: String = "0 seconds", expectedKeys: Long = 256): DataFrame = {

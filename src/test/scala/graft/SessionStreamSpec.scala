@@ -42,9 +42,14 @@ class SessionStreamSpec extends SparkSuite {
       .sortBy(t => (t._1, t._2.getTime)).toSeq
   }
 
+  /** Sentinel flush; with a nonzero watermark `delay`, the sentinels must
+    * clear gap + delay past the max event time (the watermark lags max
+    * event time by the delay).
+    */
   private def flush(ms: MemoryStream[SessionEvent],
-      q: org.apache.spark.sql.streaming.StreamingQuery, maxTs: Long): Unit =
-    for (m <- Seq(31L, 32L)) {
+      q: org.apache.spark.sql.streaming.StreamingQuery, maxTs: Long,
+      delayMin: Long = 0L): Unit =
+    for (m <- Seq(31L + delayMin, 32L + delayMin)) {
       ms.addData(Seq(SessionEvent(SessionStream.SentinelUser,
         new Timestamp(maxTs + m * 60000L))))
       q.processAllAvailable()
@@ -109,6 +114,39 @@ class SessionStreamSpec extends SparkSuite {
       } finally q.stop()
       assert(readSink(outDir) == want, s"split seed $seed diverged from batch")
     }
+  }
+
+  test("watermark delay: a late event drops only once its session END is behind the watermark") {
+    // The replay entry feeds in order with zero delay; an actual wire
+    // reorders. The engine's late-row line for session windows is the
+    // WINDOW END, not the timestamp: a straggler whose would-be session
+    // [ts, ts+gap) could still change emitted output (end > watermark) is
+    // accepted and merged; one whose window end ≤ watermark can no longer
+    // affect anything and is dropped. Pin both sides, plus that the
+    // already-closed session it would have extended stays closed.
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[SessionEvent]
+    val outDir = Files.createTempDirectory("sess_late_out").toString
+    val q = SessionStream.sinkToParquet(
+      SessionStream.sessions(ms.toDS(), delay = "10 minutes"), outDir,
+      Files.createTempDirectory("sess_late_ck").toString)
+    // batch 1 max = 11:00 -> watermark for batch 2 = 10:50
+    val onTime = Seq(ev(1, "10:00:00"), ev(2, "11:00:00"))
+    val dropped = ev(1, "10:15:00")  // window [10:15, 10:45) ends ≤ 10:50
+    val accepted = ev(1, "10:55:00") // window [10:55, 11:25) ends > 10:50
+    try {
+      ms.addData(onTime)
+      q.processAllAvailable()
+      ms.addData(Seq(dropped, accepted))
+      q.processAllAvailable()
+      flush(ms, q, Timestamp.valueOf("2024-01-05 11:00:00").getTime, delayMin = 10L)
+    } finally q.stop()
+    // the dropped straggler WOULD have merged 10:00's and 10:15's covers
+    // into one [10:00, 10:45) session in a batch recompute — the streamed
+    // answer must instead equal the batch answer over the ACCEPTED set:
+    // u1 [10:00,10:30) already emitted, u1 [10:55,11:25) new, u2 [11:00,11:30)
+    assert(readSink(outDir) == batchSessions(onTime :+ accepted))
   }
 
   test("checkpoint restart: open session state survives a full query stop/start") {
