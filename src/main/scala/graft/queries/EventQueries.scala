@@ -90,17 +90,20 @@ object EventQueries {
         val q = graft.streaming.SessionStream.sinkToParquet(
           graft.streaming.SessionStream.sessions(ms.toDS()), out, s"$root/ck")
         try {
-          rows.grouped(math.max(50000, rows.length / 4 + 1)).foreach { b =>
+          // ≥4 micro-batches at EVERY corpus size — sized from the event
+          // count, not a fixed floor: the tick-sized a01 floor (50k) put
+          // the whole sf0.01/sf0.001 feed in ONE batch, so the hash
+          // oracle never exercised cross-batch session-state merge at
+          // the gate SFs (the property that makes this incremental)
+          rows.grouped(math.max(250, rows.length / 4 + 1)).foreach { b =>
             ms.addData(b.toSeq); q.processAllAvailable()
           }
           // watermark flush: sentinel 1 raises max event time past every
-          // real session end (gap 30 min + 1); the batch carrying
-          // sentinel 2 runs WITH that watermark and emits them all
-          for (m <- Seq(31L, 32L)) {
-            ms.addData(Seq(graft.streaming.SessionEvent(
-              graft.streaming.SessionStream.SentinelUser,
-              new java.sql.Timestamp(maxTs + m * 60000L))))
-            q.processAllAvailable()
+          // real session end; the batch carrying sentinel 2 runs WITH
+          // that watermark and emits them all (arithmetic owned by
+          // SessionStream.flushSentinels)
+          graft.streaming.SessionStream.flushSentinels(maxTs).foreach { s =>
+            ms.addData(Seq(s)); q.processAllAvailable()
           }
         } finally q.stop()
       } finally spark.conf.set("spark.sql.shuffle.partitions", prev)

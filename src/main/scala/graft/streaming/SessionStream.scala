@@ -38,6 +38,17 @@ object SessionStream {
   /** The reserved wire id for flush sentinels (real user_ids are ≥ 0). */
   val SentinelUser: Long = -1L
 
+  /** The two flush sentinels for a replay whose max real event time is
+    * `maxTsMillis` — ONE owner for the sentinel arithmetic (the entry and
+    * the spec both feed these, one per micro-batch): each must clear the
+    * full acceptance horizon `gap + delay` past max event time, plus a
+    * margin so "past" is strict.
+    */
+  def flushSentinels(maxTsMillis: Long, gapMin: Long = 30L,
+      delayMin: Long = 0L): Seq[SessionEvent] =
+    Seq(1L, 2L).map(k => SessionEvent(SentinelUser,
+      new java.sql.Timestamp(maxTsMillis + (gapMin + delayMin + k) * 60000L)))
+
   /** Watermarked session aggregation. `gap` must match the batch entry's
     * (30 minutes); `delay` is the out-of-orderness bound the wire needs —
     * the replay harness feeds in event-time order, so zero.

@@ -58,14 +58,24 @@ object Supervisor {
       (work: StreamingQuery => Unit): Outcome = {
     var restarts = 0
     while (true) {
-      val q = start()
+      // start() is INSIDE the budget: a failure while re-establishing the
+      // query (e.g. the checkpoint still held by a half-stopped previous
+      // attempt) is exactly the connection-establishment failure the
+      // reference's ping loop retries (main.go:46-60) — it must consume a
+      // retry, not escape with the budget unused
       try {
-        work(q)
-        q.stop()
-        return Outcome(restarts + 1, restarts)
+        val q = start()
+        try {
+          work(q)
+          q.stop()
+          return Outcome(restarts + 1, restarts)
+        } catch {
+          case NonFatal(e) =>
+            try q.stop() catch { case NonFatal(_) => () }
+            throw e
+        }
       } catch {
         case NonFatal(e) =>
-          try q.stop() catch { case NonFatal(_) => () }
           if (restarts >= maxRestarts) throw e
           restarts += 1
           sleep(backoff)
@@ -95,14 +105,21 @@ object Supervisor {
     var restarts = 0
     var i = 0
     while (i < epochs) {
-      val q = start()
+      // same budget placement as [[run]]: a failing start() consumes a
+      // retry instead of escaping with the budget unused
       try {
-        epoch(q, i)
-        q.stop()
-        i += 1
+        val q = start()
+        try {
+          epoch(q, i)
+          q.stop()
+          i += 1
+        } catch {
+          case NonFatal(e) =>
+            try q.stop() catch { case NonFatal(_) => () }
+            throw e
+        }
       } catch {
         case NonFatal(e) =>
-          try q.stop() catch { case NonFatal(_) => () }
           if (restarts >= maxRestarts) throw e
           restarts += 1
           sleep(backoff)

@@ -42,17 +42,15 @@ class SessionStreamSpec extends SparkSuite {
       .sortBy(t => (t._1, t._2.getTime)).toSeq
   }
 
-  /** Sentinel flush; with a nonzero watermark `delay`, the sentinels must
-    * clear gap + delay past the max event time (the watermark lags max
-    * event time by the delay).
+  /** Sentinel flush — arithmetic owned by [[SessionStream.flushSentinels]]
+    * (with a nonzero watermark delay the sentinels must clear gap + delay
+    * past the max event time).
     */
   private def flush(ms: MemoryStream[SessionEvent],
       q: org.apache.spark.sql.streaming.StreamingQuery, maxTs: Long,
       delayMin: Long = 0L): Unit =
-    for (m <- Seq(31L + delayMin, 32L + delayMin)) {
-      ms.addData(Seq(SessionEvent(SessionStream.SentinelUser,
-        new Timestamp(maxTs + m * 60000L))))
-      q.processAllAvailable()
+    SessionStream.flushSentinels(maxTs, delayMin = delayMin).foreach { s =>
+      ms.addData(Seq(s)); q.processAllAvailable()
     }
 
   private def readSink(outDir: String) =
@@ -133,20 +131,26 @@ class SessionStreamSpec extends SparkSuite {
       Files.createTempDirectory("sess_late_ck").toString)
     // batch 1 max = 11:00 -> watermark for batch 2 = 10:50
     val onTime = Seq(ev(1, "10:00:00"), ev(2, "11:00:00"))
-    val dropped = ev(1, "10:15:00")  // window [10:15, 10:45) ends ≤ 10:50
-    val accepted = ev(1, "10:55:00") // window [10:55, 11:25) ends > 10:50
+    val dropped = ev(1, "10:15:00") // window [10:15, 10:45) ends ≤ 10:50
+    // THE DISCRIMINATOR: ts 10:30 is behind the 10:50 watermark (a plain
+    // timestamp rule would drop it) but its window [10:30, 11:00) ends
+    // past the watermark — only the window-end rule accepts it
+    val discriminator = ev(3, "10:30:00")
+    val accepted = ev(1, "10:55:00") // not late under either rule
     try {
       ms.addData(onTime)
       q.processAllAvailable()
-      ms.addData(Seq(dropped, accepted))
+      ms.addData(Seq(dropped, discriminator, accepted))
       q.processAllAvailable()
       flush(ms, q, Timestamp.valueOf("2024-01-05 11:00:00").getTime, delayMin = 10L)
     } finally q.stop()
     // the dropped straggler WOULD have merged 10:00's and 10:15's covers
     // into one [10:00, 10:45) session in a batch recompute — the streamed
     // answer must instead equal the batch answer over the ACCEPTED set:
-    // u1 [10:00,10:30) already emitted, u1 [10:55,11:25) new, u2 [11:00,11:30)
-    assert(readSink(outDir) == batchSessions(onTime :+ accepted))
+    // u1 [10:00,10:30) already emitted, u3 [10:30,11:00) (the
+    // discriminator — present iff the engine drops by window end),
+    // u1 [10:55,11:25) new, u2 [11:00,11:30)
+    assert(readSink(outDir) == batchSessions(onTime ++ Seq(discriminator, accepted)))
   }
 
   test("checkpoint restart: open session state survives a full query stop/start") {

@@ -60,6 +60,28 @@ class SupervisorSpec extends SparkSuite {
     assert(starts == 1 && sleeps.isEmpty)
   }
 
+  test("policy: a failure while RE-ESTABLISHING the query consumes the budget too") {
+    // The reference's ping loop retries connection ESTABLISHMENT, not
+    // just an established connection dropping — so a start() that throws
+    // (e.g. the checkpoint still held by a half-stopped attempt) must
+    // burn a retry and be retried, never escape with the budget unused.
+    val sleeps = ArrayBuffer.empty[java.time.Duration]
+    var startFailuresLeft = 2
+    var starts = 0
+    val out = Supervisor.run(
+      () => {
+        starts += 1
+        if (startFailuresLeft > 0) {
+          startFailuresLeft -= 1
+          throw new IllegalStateException("checkpoint still in use")
+        }
+        healthyQuery("sup_startfail")
+      },
+      maxRestarts = 10, sleep = sleeps += _)(_ => ())
+    assert(out == Supervisor.Outcome(attempts = 3, restarts = 2))
+    assert(starts == 3 && sleeps.length == 2)
+  }
+
   test("policy: transient failures burn budget with the fixed backoff, then recover") {
     val sleeps = ArrayBuffer.empty[java.time.Duration]
     var failuresLeft = 2
