@@ -2984,23 +2984,94 @@ object LlmQueries {
     * Pure map-side projection; content-keyed variants just swap the
     * hashed column.
     */
+  /** ONE owner for the split rule (shared by [[splitAssign]] and
+    * [[splitLeakage]]): bucket = first md5 nibble of doc_id; 13/2/1
+    * bucket ranges → train/val/test. `strTy` is the dialect's string
+    * type (VARCHAR in DuckDB, STRING in Spark).
+    */
+  private def splitBucketSql(strTy: String): String =
+    s"instr('0123456789abcdef', substr(md5(CAST(doc_id AS $strTy)), 1, 1)) - 1"
+  private val SplitCaseSql =
+    "CASE WHEN bucket < 13 THEN 'train' WHEN bucket < 15 THEN 'val' ELSE 'test' END"
+
   val splitAssign = QueryDef.sql(
     "llm_split_assign",
-    s"""SELECT doc_id, bucket,
-       |  CASE WHEN bucket < 13 THEN 'train'
-       |       WHEN bucket < 15 THEN 'val' ELSE 'test' END AS split
-       |FROM (SELECT doc_id,
-       |    instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
-       |      AS bucket
+    s"""SELECT doc_id, bucket, $SplitCaseSql AS split
+       |FROM (SELECT doc_id, ${splitBucketSql("VARCHAR")} AS bucket
        |  FROM documents) b
        |ORDER BY doc_id""".stripMargin
   ) { (spark, dir) =>
     documents(spark, dir)
-      .selectExpr("doc_id",
-        "instr('0123456789abcdef', substr(md5(CAST(doc_id AS STRING)), 1, 1)) - 1 AS bucket")
+      .selectExpr("doc_id", s"${splitBucketSql("STRING")} AS bucket")
       .selectExpr("doc_id", "CAST(bucket AS BIGINT) AS bucket",
-        "CASE WHEN bucket < 13 THEN 'train' WHEN bucket < 15 THEN 'val' ELSE 'test' END AS split")
+        s"$SplitCaseSql AS split")
       .orderBy("doc_id")
+  }
+
+  /** Split-LEAKAGE audit — the governance check the other dedup/split
+    * entries make possible but none performs: a near-dup CLUSTER whose
+    * members land in different train/val/test splits means the eval set
+    * contains (near-)copies of training documents, the classic silent
+    * benchmark-inflation bug. One row per multi-doc cluster: its size,
+    * per-split member counts, and the `leaky` verdict (spans >1 split).
+    * Composes the two audited cores verbatim — the verified MinHash-LSH
+    * pair stream → min-label connected components ([[dedupClusters]]'s
+    * machinery), and [[splitAssign]]'s hash-bucket rule (one owner,
+    * [[SplitCaseSql]]) — so a leak here is a REAL cross-split near-dup
+    * under the pipeline's own definitions, not a re-derivation's.
+    *
+    * 100 TB shape: everything upstream is the already-probed cluster
+    * pipeline (banded candidates, capped buckets, O(log diameter) label
+    * propagation); this entry adds one map-side split projection and one
+    * hash aggregate by cluster_id. Nothing new is quadratic in anything.
+    */
+  val splitLeakage = QueryDef.sql(
+    "llm_split_leakage",
+    s"""WITH RECURSIVE $minhashPairsCtes,
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(node, label) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node),
+       |lab AS (SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node),
+       |sp AS (SELECT doc_id, $SplitCaseSql AS split
+       |       FROM (SELECT doc_id, ${splitBucketSql("VARCHAR")} AS bucket
+       |         FROM documents) b),
+       |agg AS (SELECT cluster_id,
+       |    CAST(count(*) AS BIGINT) AS cluster_size,
+       |    CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+       |    CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+       |    CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+       |    CAST(count(DISTINCT split) AS BIGINT) AS n_splits
+       |  FROM lab JOIN sp USING (doc_id) GROUP BY cluster_id)
+       |SELECT cluster_id, cluster_size, n_train, n_val, n_test,
+       |       n_splits > 1 AS leaky
+       |FROM agg WHERE cluster_size > 1
+       |ORDER BY cluster_id""".stripMargin
+  ) { (spark, dir) =>
+    // cache the verified pair stream — label propagation JOINS it every
+    // round, and an uncached edge set re-derives the whole MinHash
+    // pipeline per round (the 10x probe read 5.55 uncached vs ~1.9
+    // cached — the dedupClusters discipline)
+    val pairs = minhashPairs(spark, dir).select(col("doc_a"), col("doc_b")).cache()
+    val nodes = documents(spark, dir).select(col("doc_id").as("node"))
+    val labels = minLabelComponents(nodes, pairs.toDF("src", "dst"))
+      .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+    val sp = documents(spark, dir)
+      .selectExpr("doc_id", s"${splitBucketSql("STRING")} AS bucket")
+      .selectExpr("doc_id", s"$SplitCaseSql AS split")
+    labels.join(sp, "doc_id")
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"),
+        sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val"),
+        sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"),
+        countDistinct("split").as("n_splits"))
+      .filter(col("cluster_size") > 1)
+      .selectExpr("cluster_id", "cluster_size", "n_train", "n_val", "n_test",
+        "n_splits > 1 AS leaky")
+      .orderBy("cluster_id")
   }
 
   // ---- semantic dedup: IVF-clustered embedding near-dup drop ----
@@ -5193,7 +5264,7 @@ object LlmQueries {
     semDedup, semDedupGuarded,
     semDedupCapped,
     topNgrams, distinctSketch, uniqStateMerge, jsonMetadata, cmsSketch,
-    seqPack, packSpans, splitAssign, curation, mixSample, lengthQuantiles, lmScore,
+    seqPack, packSpans, splitAssign, splitLeakage, curation, mixSample, lengthQuantiles, lmScore,
     lmScoreHoldout, dsirWeight, doremiWeight, chunkSplit,
     shuffleShard, clusterBest, ccnetBucket, sqRecall, annLedger, mrlRecall, bpeTrain,
     bpeApply, bpeFertility,

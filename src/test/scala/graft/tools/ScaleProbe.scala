@@ -180,7 +180,10 @@ object ScaleProbe {
     "llm_corpus_drift",
     // round-11: removal-range merge — span_dedup's h-window plus two
     // per-doc windows over the (sub-corpus) dropped stream
-    "llm_dup_span_merge")
+    "llm_dup_span_merge",
+    // round-11: leakage audit = the dedup_clusters pipeline + a map-side
+    // split projection + one cluster-keyed hash aggregate
+    "llm_split_leakage")
   private val Reps = 10
   private val IdStride = 10000000L
 
