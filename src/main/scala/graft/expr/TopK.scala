@@ -268,6 +268,16 @@ object GraftFunctions {
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
+    // Idempotent-quiet (round 12, r11 verdict item 3): every QueryDef run
+    // calls register, and createOrReplaceTempFunction logs a
+    // "replaced a previously registered function" WARN on each replacement
+    // — hundreds of identical lines polluting the bench tail. The surface
+    // is byte-identical on every call, so skip when already installed.
+    // Guard on the LAST name registered below: a hypothetical failure
+    // mid-registration leaves it absent and the next call re-runs the
+    // whole block (one round of replace-WARNs, then quiet again).
+    if (registry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("cdc_chunks"))) return
     registry.createOrReplaceTempFunction(
       "graft_topk", exprs => TopK(exprs.head, exprs(1)), "built-in")
     registry.createOrReplaceTempFunction(

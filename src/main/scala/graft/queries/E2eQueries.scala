@@ -46,10 +46,56 @@ object E2eQueries {
   private val ingested =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
-  private def connProps(): java.util.Properties = {
+  private[graft] def connProps(): java.util.Properties = {
     val props = new java.util.Properties()
     props.setProperty("driver", "org.apache.derby.iapi.jdbc.AutoloadedDriver")
     props
+  }
+
+  /** The reference DDL (db.go:56-101) — quoted lowercase identifiers so
+    * the JDBC metadata round-trips the DataFrame column names (the a24
+    * idiom); trades carries the PK the partitioned read path needs.
+    */
+  private[graft] val TradesDdl =
+    """CREATE TABLE transaq_trades (
+      |  "time" TIMESTAMP, "secid" INT, "sec_code" VARCHAR(16),
+      |  "trade_no" BIGINT PRIMARY KEY, "board" VARCHAR(8),
+      |  "price" DOUBLE, "quantity" BIGINT, "buy_sell" VARCHAR(1),
+      |  "open_interest" INT, "period" VARCHAR(1))""".stripMargin
+
+  private[graft] val SecuritiesDdl =
+    """CREATE TABLE transaq_securities (
+      |  "secid" INT PRIMARY KEY, "seccode" VARCHAR(16),
+      |  "instrclass" VARCHAR(2), "board" VARCHAR(8), "market" INT,
+      |  "shortname" VARCHAR(32), "decimals" INT, "minstep" DOUBLE,
+      |  "lotsize" INT, "point_cost" DOUBLE, "sectype" VARCHAR(8),
+      |  "quotestype" INT, "active" VARCHAR(5))""".stripMargin
+
+  /** Run the store DDL, optionally dropping first ([[ingest]] retries
+    * clean; [[ingestRestart]] must NOT drop — idempotence there is the
+    * sink's job, which is the point of the entry).
+    */
+  private def createTables(url: String, dropFirst: Boolean): Unit = {
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      if (dropFirst)
+        for (t <- Seq("transaq_trades", "transaq_securities"))
+          try st.executeUpdate(s"DROP TABLE $t")
+          catch { case _: java.sql.SQLException => () } // first run: no table
+      for (ddl <- Seq(TradesDdl, SecuritiesDdl))
+        try st.executeUpdate(ddl)
+        catch {
+          case e: java.sql.SQLException if e.getSQLState == "X0Y32" => () // exists
+        }
+      st.close()
+    } finally conn.close()
+  }
+
+  private def wireOrderedTrades(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    trades(spark, dir).as[graft.schema.TradeRow]
+      .collect().sortBy(r => (r.time.getTime, r.time.getNanos, r.trade_no))
   }
 
   /** Stream-ingest the fixture into Derby once per (application, dir);
@@ -62,31 +108,11 @@ object E2eQueries {
       s"e2e_jdbc|${spark.sparkContext.applicationId}|$dir")
     val url = s"jdbc:derby:$db/e2estore;create=true"
     ingested.computeIfAbsent(db, _ => {
-      val props = connProps()
-      val conn = java.sql.DriverManager.getConnection(url)
-      try {
-        val st = conn.createStatement()
-        for (t <- Seq("transaq_trades", "transaq_securities"))
-          try st.executeUpdate(s"DROP TABLE $t")
-          catch { case _: java.sql.SQLException => () } // first run: no table
-        // quoted lowercase identifiers so the JDBC metadata round-trips
-        // the DataFrame column names (the a24 idiom); trades carries the
-        // keyed DDL the partitioned read path needs
-        st.executeUpdate(
-          """CREATE TABLE transaq_trades (
-            |  "time" TIMESTAMP, "secid" INT, "sec_code" VARCHAR(16),
-            |  "trade_no" BIGINT PRIMARY KEY, "board" VARCHAR(8),
-            |  "price" DOUBLE, "quantity" BIGINT, "buy_sell" VARCHAR(1),
-            |  "open_interest" INT, "period" VARCHAR(1))""".stripMargin)
-        st.executeUpdate(
-          """CREATE TABLE transaq_securities (
-            |  "secid" INT PRIMARY KEY, "seccode" VARCHAR(16),
-            |  "instrclass" VARCHAR(2), "board" VARCHAR(8), "market" INT,
-            |  "shortname" VARCHAR(32), "decimals" INT, "minstep" DOUBLE,
-            |  "lotsize" INT, "point_cost" DOUBLE, "sectype" VARCHAR(8),
-            |  "quotestype" INT, "active" VARCHAR(5))""".stripMargin)
-        st.close()
-      } finally conn.close()
+      // drop-and-recreate inside the memo: a failed partial ingest of THIS
+      // plain-append store retries clean (the PK would otherwise reject the
+      // replayed rows); the restart store below never drops — its sink is
+      // idempotent, which is the property under test there
+      createTables(url, dropFirst = true)
       // securities: BATCH insert — the reference's PrepareBatch path (A2/A4)
       graft.sources.Sinks.jdbcAppend(
         securities(spark, dir), url, "transaq_securities", connProps())
@@ -98,8 +124,7 @@ object E2eQueries {
       import spark.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      val rows = trades(spark, dir).as[graft.schema.TradeRow]
-        .collect().sortBy(r => (r.time.getTime, r.trade_no))
+      val rows = wireOrderedTrades(spark, dir)
       val ms = MemoryStream[graft.schema.TradeRow](16)
       val q = graft.sources.Sinks.jdbcStreamAppend(
         ms.toDS().repartition(1), url, "transaq_trades", connProps(), s"$db/ck")
@@ -113,12 +138,82 @@ object E2eQueries {
     url
   }
 
+  private val restartIngested =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** The RESTART lineage (round 12, r11 verdict item 1): same
+    * stream-ingest shape as [[ingest]], but through the EXACTLY-ONCE sink
+    * ([[graft.sources.Sinks.jdbcStreamAppendIdempotent]]) with a
+    * deterministic kill landing in the exact window plain append
+    * double-inserts on: the armed [[graft.streaming.TransientFault]]
+    * trips INSIDE `foreachBatch`, AFTER the Derby transaction commits and
+    * BEFORE the micro-batch's checkpoint commit. The supervised restart
+    * ([[graft.streaming.Supervisor.run]]) replays that micro-batch from
+    * the offset WAL; the epoch ledger makes the replay a no-op — NO
+    * drop-and-recreate anywhere (the tables are created once and only
+    * appended), so a green oracle means the sink itself is exactly-once
+    * under failure, not that the harness cleaned up after it.
+    */
+  private def ingestRestart(spark: SparkSession, dir: String): String = {
+    val db = graft.sources.Scratch.dir(
+      s"e2e_jdbc_restart|${spark.sparkContext.applicationId}|$dir")
+    val url = s"jdbc:derby:$db/e2erestart;create=true"
+    restartIngested.computeIfAbsent(db, _ => {
+      createTables(url, dropFirst = false)
+      graft.sources.Sinks.ensureEpochLedger(url, connProps())
+      graft.sources.Sinks.jdbcAppend(
+        securities(spark, dir), url, "transaq_securities", connProps())
+      import spark.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val rows = wireOrderedTrades(spark, dir)
+      val ms = MemoryStream[graft.schema.TradeRow](16)
+      val faultKey = s"e2e_restart|$db"
+      graft.streaming.TransientFault.arm(faultKey, 1)
+      val batches = rows.grouped(math.max(50000, rows.length / 4 + 1)).toSeq
+      var fed = 0
+      val outcome = graft.streaming.Supervisor.run(
+        () => ms.toDS().repartition(1).writeStream
+          .outputMode("append")
+          .option("checkpointLocation", s"$db/ck")
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[graft.schema.TradeRow],
+              batchId: Long) =>
+            graft.sources.Sinks.jdbcBatchIdempotent(
+              b.toDF(), url, "transaq_trades", connProps(),
+              "e2e_trades", batchId)
+            // the kill lands AFTER the store commit, BEFORE the checkpoint
+            // commit — the double-insert window under test
+            graft.streaming.TransientFault.tripwire(faultKey)
+          }
+          .start(),
+        maxRestarts = 10, backoff = java.time.Duration.ZERO) { q =>
+        while (fed < batches.length) {
+          ms.addData(batches(fed)); fed += 1; q.processAllAvailable()
+        }
+        // a kill during the last feed leaves pending offsets: flush them
+        q.processAllAvailable()
+      }
+      require(outcome.restarts >= 1,
+        s"e2e restart fault did not fire (attempts=${outcome.attempts})")
+      java.lang.Boolean.TRUE
+    })
+    url
+  }
+
   /** Read the store back the way a cluster would: trades as an 8-way
     * keyed-range partitioned scan (bounds via two scalar JDBC lookups —
     * metadata-scale, no Spark job), securities through one cursor.
     */
-  private def readStore(spark: SparkSession, dir: String): Map[String, DataFrame] = {
-    val url = ingest(spark, dir)
+  private[graft] def readStore(spark: SparkSession, dir: String): Map[String, DataFrame] =
+    readStoreFrom(spark, ingest(spark, dir))
+
+  /** The restart store (exactly-once sink + supervised mid-ingest kill),
+    * read back the same way.
+    */
+  private[graft] def readRestartStore(spark: SparkSession, dir: String): Map[String, DataFrame] =
+    readStoreFrom(spark, ingestRestart(spark, dir))
+
+  private def readStoreFrom(spark: SparkSession, url: String): Map[String, DataFrame] = {
     val props = connProps()
     val conn = java.sql.DriverManager.getConnection(url)
     val (lo, hi) =
@@ -139,11 +234,15 @@ object E2eQueries {
   }
 
   private def runPanelJdbc(spark: SparkSession, dir: String, idx: Int,
-      markers: String*): DataFrame = {
+      markers: String*): DataFrame =
+    runPanelOver(spark, readStore(spark, dir), idx, markers: _*)
+
+  private def runPanelOver(spark: SparkSession, tables: Map[String, DataFrame],
+      idx: Int, markers: String*): DataFrame = {
     val raw = ChDashboard.rawSqls()(idx)
     for (m <- markers)
       require(raw.contains(m), s"dashboard panel $idx lost its marker '$m'")
-    spark.sql(ChQueries.translateSqlOver(spark, raw, readStore(spark, dir)))
+    spark.sql(ChQueries.translateSqlOver(spark, raw, tables))
   }
 
   private def runTemplatingJdbc(spark: SparkSession, dir: String,
@@ -175,10 +274,21 @@ object E2eQueries {
     ChQueries.chQ21.oracle.get
   )((s, d) => runTemplatingJdbc(s, d, "sec_code"))
 
+  /** GD:643 (net volume per interval) over the RESTART store: mid-ingest
+    * kill in the sink-committed/checkpoint-uncommitted window, supervised
+    * restart, NO drop-and-recreate — held to the same DuckDB twin as
+    * ch_q05, so a single double-inserted (or lost) trade breaks the hash.
+    */
+  val e2eJdbcRestart = QueryDef.sql("e2e_jdbc_restart",
+    ChQueries.chQ05.oracle.get
+  )((s, d) => runPanelOver(s, readRestartStore(s, d), 4,
+    "toStartOfInterval(time"))
+
   /** Same dashboard-JSON guard as [[ChQueries.all]] — the entries read
     * the panels' rawSql from the reference checkout at runtime.
     */
   def all: Seq[QueryDef] =
     if (!new java.io.File(ChDashboard.path).isFile) Seq.empty
-    else Seq(e2eDashboardJdbc, e2eDashboardJdbcNetto, e2eDashboardJdbcCodes)
+    else Seq(e2eDashboardJdbc, e2eDashboardJdbcNetto, e2eDashboardJdbcCodes,
+      e2eJdbcRestart)
 }

@@ -80,9 +80,26 @@ object EventQueries {
       s"evt_sessions_stream|${spark.sparkContext.applicationId}|$dir")
     val out = s"$root/out"
     sessionsStreamDone.computeIfAbsent(root, _ => {
+      // a prior attempt that threw mid-replay recorded nothing in the memo
+      // but may have left partial sink output and a progressed checkpoint
+      // here — a fresh MemoryStream cannot resume those offsets, so the
+      // retry must start from empty directories (r11 advice)
+      for (stale <- Seq(out, s"$root/ck")) {
+        val p = java.nio.file.Paths.get(stale)
+        if (java.nio.file.Files.exists(p)) {
+          val walk = java.nio.file.Files.walk(p)
+          try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(f => java.nio.file.Files.deleteIfExists(f))
+          finally walk.close()
+        }
+      }
+      // in-order wire (no late drops): sort by the FULL timestamp — the
+      // fixture carries microseconds, so a millis-only key could reorder
+      // sub-ms neighbors (r11 advice; harmless today only because the
+      // acceptance horizon tolerates it, but the claim should be true)
       val rows = events(spark, dir).select(col("user_id"), col("ts"))
         .as[graft.streaming.SessionEvent]
-        .collect().sortBy(_.ts.getTime) // in-order wire: no late drops
+        .collect().sortBy(e => (e.ts.getTime, e.ts.getNanos))
       val maxTs = rows.last.ts.getTime
       val prev = spark.conf.get("spark.sql.shuffle.partitions")
       try {
@@ -90,12 +107,11 @@ object EventQueries {
         val q = graft.streaming.SessionStream.sinkToParquet(
           graft.streaming.SessionStream.sessions(ms.toDS()), out, s"$root/ck")
         try {
-          // ≥4 micro-batches at EVERY corpus size — sized from the event
-          // count, not a fixed floor: the tick-sized a01 floor (50k) put
-          // the whole sf0.01/sf0.001 feed in ONE batch, so the hash
-          // oracle never exercised cross-batch session-state merge at
-          // the gate SFs (the property that makes this incremental)
-          rows.grouped(math.max(250, rows.length / 4 + 1)).foreach { b =>
+          // ~4 micro-batches at EVERY corpus size — no fixed floor (r11
+          // advice: a 250-row floor silently shrank a sub-1000-event
+          // corpus to fewer batches, under-exercising the cross-batch
+          // session-state merge the hash oracle exists to cover)
+          rows.grouped(math.max(1, rows.length / 4 + 1)).foreach { b =>
             ms.addData(b.toSeq); q.processAllAvailable()
           }
           // watermark flush: sentinel 1 raises max event time past every

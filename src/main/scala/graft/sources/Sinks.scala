@@ -325,4 +325,153 @@ object Sinks {
         jdbcAppend(batch.toDF(), url, table, props)
       }
       .start()
+
+  // ---- exactly-once JDBC streaming sink (round 12, r11 verdict item 1) ----
+
+  /** The epoch ledger behind [[jdbcStreamAppendIdempotent]]. One row per
+    * committed (sink, micro-batch, partition); its PRIMARY KEY is what
+    * turns a replayed micro-batch into a no-op.
+    */
+  val EpochLedgerTable = "graft_stream_epochs"
+
+  /** Create the epoch ledger if it doesn't exist (idempotent DDL — the
+    * "already exists" SQLState is the expected second-call path).
+    */
+  def ensureEpochLedger(url: String, props: java.util.Properties): Unit = {
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val st = conn.createStatement()
+      try st.executeUpdate(
+        s"""CREATE TABLE $EpochLedgerTable (
+           |  "sink_id" VARCHAR(200) NOT NULL,
+           |  "batch_id" BIGINT NOT NULL,
+           |  "part_id" INT NOT NULL,
+           |  PRIMARY KEY ("sink_id", "batch_id", "part_id"))""".stripMargin)
+      catch {
+        case e: java.sql.SQLException if e.getSQLState == "X0Y32" => () // exists
+      }
+      st.close()
+    } finally conn.close()
+  }
+
+  private def jdbcSqlType(dt: org.apache.spark.sql.types.DataType): Int = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case IntegerType => java.sql.Types.INTEGER
+      case LongType => java.sql.Types.BIGINT
+      case DoubleType => java.sql.Types.DOUBLE
+      case FloatType => java.sql.Types.FLOAT
+      case StringType => java.sql.Types.VARCHAR
+      case TimestampType => java.sql.Types.TIMESTAMP
+      case DateType => java.sql.Types.DATE
+      case BooleanType => java.sql.Types.BOOLEAN
+      case ShortType => java.sql.Types.SMALLINT
+      case _: DecimalType => java.sql.Types.DECIMAL
+      case other => throw new IllegalArgumentException(
+        s"jdbcBatchIdempotent: unsupported column type $other")
+    }
+  }
+
+  /** IDEMPOTENT micro-batch insert: data rows and the epoch-ledger claim
+    * for (sinkId, batchId, partition) commit in ONE transaction per
+    * partition, and a partition whose claim already exists is skipped —
+    * so replaying the same micro-batch (the crash-between-sink-commit-and-
+    * checkpoint-commit window that makes plain [[jdbcStreamAppend]]
+    * at-least-once) inserts nothing twice. This is the transactional-store
+    * analog of what the parquet sink gets from `_spark_metadata`, and of
+    * the reference's async-insert + ReplacingMergeTree duplicate
+    * absorption (db.go:12,31) — absorption moved from merge time to
+    * transaction time, which a keyed store (PRIMARY KEY DDL, a24) requires
+    * anyway since a PK rejects rather than absorbs a replayed row.
+    *
+    * Atomicity is PER PARTITION (each executor task owns one transaction),
+    * so across a multi-partition batch the guarantee relies on Spark's
+    * replay re-executing the SAME deterministic partitioning — true for a
+    * replayed micro-batch (same source offsets, same plan). The claim row
+    * is inserted FIRST inside the transaction: two racing attempts at the
+    * same partition serialize on the ledger PK, the loser rolls back its
+    * (uncommitted) data rows and skips.
+    */
+  def jdbcBatchIdempotent(df: DataFrame, url: String, table: String,
+      props: java.util.Properties, sinkId: String, batchId: Long,
+      batchSize: Int = 10000): Unit = {
+    val cols = df.schema.fields.map(_.name)
+    val types = df.schema.fields.map(f => jdbcSqlType(f.dataType))
+    val insertSql = cols.map(c => s""""$c"""")
+      .mkString(s"""INSERT INTO $table (""", ", ", ")") +
+      cols.map(_ => "?").mkString(" VALUES (", ", ", ")")
+    val propsMap = {
+      import scala.jdk.CollectionConverters._
+      props.stringPropertyNames().asScala.map(k => k -> props.getProperty(k)).toMap
+    }
+    df.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      val partId = org.apache.spark.TaskContext.getPartitionId()
+      val p = new java.util.Properties()
+      propsMap.foreach { case (k, v) => p.setProperty(k, v) }
+      val conn = java.sql.DriverManager.getConnection(url, p)
+      try {
+        conn.setAutoCommit(false)
+        val claim = conn.prepareStatement(
+          s"""INSERT INTO $EpochLedgerTable ("sink_id", "batch_id", "part_id")
+             |VALUES (?, ?, ?)""".stripMargin)
+        val claimed =
+          try {
+            claim.setString(1, sinkId)
+            claim.setLong(2, batchId)
+            claim.setInt(3, partId)
+            claim.executeUpdate()
+            true
+          } catch {
+            // 23505 = duplicate key: this (batch, partition) already
+            // committed on a previous attempt — the replay skip path
+            case e: java.sql.SQLException if e.getSQLState == "23505" =>
+              conn.rollback()
+              false
+          } finally claim.close()
+        if (claimed) {
+          val ps = conn.prepareStatement(insertSql)
+          try {
+            var pending = 0
+            rows.foreach { row =>
+              var i = 0
+              while (i < cols.length) {
+                val v = row.get(i)
+                if (v == null) ps.setNull(i + 1, types(i))
+                else ps.setObject(i + 1, v)
+                i += 1
+              }
+              ps.addBatch()
+              pending += 1
+              if (pending >= batchSize) { ps.executeBatch(); pending = 0 }
+            }
+            if (pending > 0) ps.executeBatch()
+          } finally ps.close()
+          conn.commit()
+        }
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          try conn.rollback() catch { case scala.util.control.NonFatal(_) => () }
+          throw e
+      } finally conn.close()
+    }
+  }
+
+  /** A5, EXACTLY-ONCE variant: [[jdbcStreamAppend]] with every micro-batch
+    * routed through [[jdbcBatchIdempotent]] under `sinkId`. A crash
+    * anywhere — before the store commit, between the store commit and the
+    * checkpoint commit, during restart — replays the in-flight micro-batch
+    * from the offset WAL, and the ledger makes the replay a no-op, so the
+    * restarted stream's table is row-identical to an uninterrupted run's
+    * (`e2e_jdbc_restart` holds this to the dashboard oracle end to end).
+    * Call [[ensureEpochLedger]] once against the target database first.
+    */
+  def jdbcStreamAppendIdempotent[T](ds: Dataset[T], url: String, table: String,
+      props: java.util.Properties, checkpoint: String,
+      sinkId: String): StreamingQuery =
+    ds.writeStream.outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[T], batchId: Long) =>
+        jdbcBatchIdempotent(batch.toDF(), url, table, props, sinkId, batchId)
+      }
+      .start()
 }

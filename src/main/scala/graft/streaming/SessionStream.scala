@@ -38,13 +38,21 @@ object SessionStream {
   /** The reserved wire id for flush sentinels (real user_ids are ≥ 0). */
   val SentinelUser: Long = -1L
 
+  /** The session gap, in minutes — ONE owner for both renderings (r11
+    * advice): [[sessions]]' default gap string and [[flushSentinels]]'
+    * horizon arithmetic derive from this constant, so they cannot drift
+    * apart (a gap change with stale sentinel math would silently stop
+    * closing sessions).
+    */
+  val GapMinutes: Long = 30L
+
   /** The two flush sentinels for a replay whose max real event time is
     * `maxTsMillis` — ONE owner for the sentinel arithmetic (the entry and
     * the spec both feed these, one per micro-batch): each must clear the
     * full acceptance horizon `gap + delay` past max event time, plus a
     * margin so "past" is strict.
     */
-  def flushSentinels(maxTsMillis: Long, gapMin: Long = 30L,
+  def flushSentinels(maxTsMillis: Long, gapMin: Long = GapMinutes,
       delayMin: Long = 0L): Seq[SessionEvent] =
     Seq(1L, 2L).map(k => SessionEvent(SentinelUser,
       new java.sql.Timestamp(maxTsMillis + (gapMin + delayMin + k) * 60000L)))
@@ -60,7 +68,7 @@ object SessionStream {
     * effective acceptance horizon is `gap + delay` behind max event time,
     * and a flush harness's sentinels must clear that full horizon.
     */
-  def sessions(events: Dataset[SessionEvent], gap: String = "30 minutes",
+  def sessions(events: Dataset[SessionEvent], gap: String = s"$GapMinutes minutes",
       delay: String = "0 seconds", expectedKeys: Long = 256): DataFrame = {
     if (expectedKeys > 0 && events.isStreaming)
       StreamTuning.sizeStateShards(events.sparkSession, expectedKeys)

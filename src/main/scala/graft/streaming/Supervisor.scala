@@ -32,10 +32,12 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * injectable so tests assert the schedule without wall-clock waits.
   *
   * At cluster scale this is the driver-side restart loop a production
-  * job wraps around `query.awaitTermination()`; nothing here is
+  * job wraps around `query.awaitTermination()`; nothing in THIS object is
   * local-mode-specific — `start()` just has to reuse the same
   * checkpoint location, which is the contract checkpointing already
-  * imposes.
+  * imposes. (The companion [[TransientFault]] test seam, by contrast, IS
+  * JVM-local by design — it models a driver-scoped connection; see its
+  * own scaladoc before generalizing from the harness entries.)
   */
 object Supervisor {
 

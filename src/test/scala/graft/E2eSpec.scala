@@ -32,6 +32,113 @@ class E2eSpec extends SparkSuite {
       rows(ChQueries.chQ21.fn(spark, dir)))
   }
 
+  /** Doubles normalized to 9 significant digits before comparing: the
+    * JDBC-store and parquet paths can legitimately sum a panel's doubles
+    * in different partial-aggregation orders; 9 digits is far inside any
+    * real divergence and far outside float-association noise.
+    */
+  private def norm(v: Any): Any = v match {
+    case d: Double => BigDecimal(d).round(new java.math.MathContext(9)).toDouble
+    case s: Seq[_] => s.map(norm)
+    case r: org.apache.spark.sql.Row => r.toSeq.map(norm)
+    case x => x
+  }
+
+  private def rowBag(df: org.apache.spark.sql.DataFrame): Map[Seq[Any], Int] =
+    df.collect().toSeq.map(_.toSeq.map(norm))
+      .groupBy(identity).view.mapValues(_.size).toMap
+
+  test("full sweep: every dashboard panel + both templating vars over the " +
+      "JDBC store match their parquet twins") {
+    assume(new java.io.File(graft.ch.ChDashboard.path).isFile)
+    // "any panel, any store": the three registered e2e entries prove the
+    // lineage; this sweep closes the remaining 19 panels + templating vars
+    // without 22 more driver entries (r11 verdict item 2)
+    graft.expr.GraftFunctions.register(spark)
+    val store = E2eQueries.readStore(spark, dir)
+    val raws = graft.ch.ChDashboard.rawSqls()
+    assert(raws.length >= 20)
+    for ((raw, idx) <- raws.zipWithIndex) {
+      // collect the JDBC-side result BEFORE translateSql re-points the
+      // reference-named temp views at the parquet fixtures
+      val viaJdbc = rowBag(spark.sql(ChQueries.translateSqlOver(spark, raw, store)))
+      val viaParquet = rowBag(spark.sql(ChQueries.translateSql(spark, dir, raw)))
+      assert(viaParquet.nonEmpty, s"panel $idx returned no rows")
+      assert(viaJdbc == viaParquet, s"panel $idx diverged over the JDBC store")
+    }
+    for ((name, raw) <- graft.ch.ChDashboard.templatingSqls()) {
+      val viaJdbc = rowBag(spark.sql(ChQueries.translateSqlOver(spark, raw, store)))
+      val viaParquet = rowBag(spark.sql(ChQueries.translateSql(spark, dir, raw)))
+      assert(viaParquet.nonEmpty && viaJdbc == viaParquet,
+        s"templating '$name' diverged over the JDBC store")
+    }
+  }
+
+  test("restart lineage: the exactly-once sink under a mid-ingest kill " +
+      "reproduces the panel AND loses/duplicates nothing") {
+    assume(new java.io.File(graft.ch.ChDashboard.path).isFile)
+    val viaRestart = rows(E2eQueries.e2eJdbcRestart.fn(spark, dir))
+    val viaParquet = rows(ChQueries.chQ05.fn(spark, dir))
+    assert(viaRestart.nonEmpty)
+    assert(viaRestart == viaParquet)
+    // the store itself: exactly the fixture's trades, no replay residue
+    // (the PK would have thrown on a double insert; equality pins no loss)
+    val t = E2eQueries.readRestartStore(spark, dir)("transaq_trades")
+    val expected = graft.fixtures.Fixtures.trades(spark, dir).count()
+    assert(t.count() == expected)
+    assert(t.select("trade_no").distinct().count() == expected)
+  }
+
+  test("rebounce: scheduled multi-epoch stop/start ingest with a mid-epoch " +
+      "kill lands the exact row set (r11 verdict item 8)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dbDir = java.nio.file.Files.createTempDirectory("rebounce_jdbc").toString
+    val url = s"jdbc:derby:$dbDir/store;create=true"
+    val props = E2eQueries.connProps()
+    val conn = java.sql.DriverManager.getConnection(url)
+    try conn.createStatement().executeUpdate(E2eQueries.TradesDdl)
+    finally conn.close()
+    graft.sources.Sinks.ensureEpochLedger(url, props)
+    val all = graft.fixtures.Fixtures.trades(spark, dir)
+      .as[graft.schema.TradeRow].collect()
+      .sortBy(r => (r.time.getTime, r.time.getNanos, r.trade_no))
+    val epochs = 3
+    val perEpoch = 2
+    val batches = all.grouped(all.length / (epochs * perEpoch) + 1).toSeq
+    assert(batches.length == epochs * perEpoch)
+    val ms = MemoryStream[graft.schema.TradeRow](4)
+    val faultKey = s"rebounce|$dbDir"
+    graft.streaming.TransientFault.arm(faultKey, 1)
+    var fed = 0
+    val outcome = graft.streaming.Supervisor.rebounce(
+      () => ms.toDS().repartition(1).writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"$dbDir/ck")
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[graft.schema.TradeRow],
+            batchId: Long) =>
+          graft.sources.Sinks.jdbcBatchIdempotent(
+            b.toDF(), url, "transaq_trades", props, "rebounce_trades", batchId)
+          // kill AFTER the store commit, BEFORE the checkpoint commit —
+          // the same window the e2e restart entry exercises, here landing
+          // mid-epoch so the retry re-enters the epoch that died
+          graft.streaming.TransientFault.tripwire(faultKey)
+        }
+        .start(),
+      epochs = epochs, backoff = java.time.Duration.ZERO) { (q, i) =>
+      while (fed < (i + 1) * perEpoch) {
+        ms.addData(batches(fed).toSeq); fed += 1; q.processAllAvailable()
+      }
+      q.processAllAvailable()
+    }
+    assert(outcome.restarts >= 1, "the mid-epoch fault never fired")
+    assert(outcome.attempts == epochs + outcome.restarts)
+    val back = spark.read.jdbc(url, "transaq_trades", props)
+    assert(back.count() == all.length)
+    assert(back.select("trade_no").distinct().count() == all.length)
+  }
+
   test("the JDBC store read is a partitioned scan, not one cursor") {
     assume(new java.io.File(graft.ch.ChDashboard.path).isFile)
     // the panel's trades side must arrive through the 8-way keyed-range

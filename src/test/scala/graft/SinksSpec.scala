@@ -75,4 +75,65 @@ class SinksSpec extends SparkSuite {
       .as[(Int, String, Double)].collect().sortBy(_._1).toSeq
     assert(back == Seq((1, "SEC01", 10.0), (2, "SEC02", 20.0), (3, "SEC03", 30.0)))
   }
+
+  // ---- exactly-once JDBC sink (round 12): epoch-ledger idempotence ----
+
+  private def freshIdemDb(): String = {
+    val url = s"jdbc:derby:${Files.createTempDirectory("derby_i").toString}/idem;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      conn.createStatement().executeUpdate(
+        """CREATE TABLE t ("id" INT, "code" VARCHAR(8), "px" DOUBLE)""")
+    } finally conn.close()
+    Sinks.ensureEpochLedger(url, derbyProps)
+    Sinks.ensureEpochLedger(url, derbyProps) // idempotent DDL: second call is a no-op
+    url
+  }
+
+  test("jdbcBatchIdempotent: a replayed micro-batch inserts nothing twice") {
+    import spark.implicits._
+    val url = freshIdemDb()
+    val df = Seq((1, "SEC01", 10.0), (2, "SEC02", 20.0), (3, "SEC03", 30.0))
+      .toDF("id", "code", "px")
+    Sinks.jdbcBatchIdempotent(df, url, "t", derbyProps, "sinkA", 7L)
+    // the replay: same sink, same batch id — the crash-after-store-commit
+    // window replays exactly this call
+    Sinks.jdbcBatchIdempotent(df, url, "t", derbyProps, "sinkA", 7L)
+    // a NEW batch id still appends
+    Sinks.jdbcBatchIdempotent(
+      Seq((4, "SEC04", 40.0)).toDF("id", "code", "px"),
+      url, "t", derbyProps, "sinkA", 8L)
+    val back = spark.read.jdbc(url, "t", derbyProps)
+      .as[(Int, String, Double)].collect().sortBy(_._1).toSeq
+    assert(back == Seq((1, "SEC01", 10.0), (2, "SEC02", 20.0),
+      (3, "SEC03", 30.0), (4, "SEC04", 40.0)))
+  }
+
+  test("jdbcBatchIdempotent: ledger claims are scoped per sink and per partition") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val url = freshIdemDb()
+    val df = Seq((1, "SEC01", 10.0), (2, "SEC02", 20.0), (3, "SEC03", 30.0),
+      (4, "SEC04", 40.0)).toDF("id", "code", "px").repartition(2, col("id"))
+    // which rows land in partition 0 under this hash partitioning
+    val p0 = df.rdd.mapPartitionsWithIndex { (i, it) =>
+      if (i == 0) it.map(_.getInt(0)) else Iterator.empty
+    }.collect().toSet
+    assert(p0.nonEmpty && p0.size < 4) // both partitions populated
+    // pre-claim partition 0 of batch 9 (as if a prior attempt committed it)
+    val conn = java.sql.DriverManager.getConnection(url)
+    try conn.createStatement().executeUpdate(
+      s"""INSERT INTO ${Sinks.EpochLedgerTable} ("sink_id", "batch_id", "part_id")
+         |VALUES ('sinkA', 9, 0)""".stripMargin)
+    finally conn.close()
+    Sinks.jdbcBatchIdempotent(df, url, "t", derbyProps, "sinkA", 9L)
+    val landed = spark.read.jdbc(url, "t", derbyProps)
+      .as[(Int, String, Double)].collect().map(_._1).toSet
+    // only the unclaimed partition's rows landed — the claimed one skipped
+    assert(landed == (1 to 4).toSet -- p0)
+    // a DIFFERENT sink id over the same batch id is unaffected by sinkA's claims
+    Sinks.jdbcBatchIdempotent(df, url, "t", derbyProps, "sinkB", 9L)
+    val after = spark.read.jdbc(url, "t", derbyProps).count()
+    assert(after == (4 - p0.size) + 4)
+  }
 }
