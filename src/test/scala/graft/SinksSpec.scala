@@ -109,6 +109,50 @@ class SinksSpec extends SparkSuite {
       (3, "SEC03", 30.0), (4, "SEC04", 40.0)))
   }
 
+  test("negative control: the PLAIN append sink double-inserts in the exact " +
+      "kill window the epoch ledger closes") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = Files.createTempDirectory("derby_nc").toString
+    val url = s"jdbc:derby:$root/nc;create=true"
+    // PK-less table: with a PK Derby would REJECT the replayed rows and the
+    // at-least-once bug would surface as an ingest error; without one it
+    // surfaces as what it really is — silently duplicated data
+    val conn = java.sql.DriverManager.getConnection(url)
+    try conn.createStatement().executeUpdate(
+      """CREATE TABLE t ("id" INT, "code" VARCHAR(8), "px" DOUBLE)""")
+    finally conn.close()
+    val rows = (1 to 40).map(i => (i, f"SEC$i%02d", i * 1.0))
+    val batches = rows.grouped(10).toSeq
+    val ms = MemoryStream[(Int, String, Double)](2)
+    val key = s"nc|$root"
+    graft.streaming.TransientFault.arm(key, 1)
+    var fed = 0
+    val outcome = graft.streaming.Supervisor.run(
+      () => ms.toDS().toDF("id", "code", "px").writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"$root/ck")
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            _: Long) =>
+          Sinks.jdbcAppend(b.toDF(), url, "t", derbyProps) // the plain A5 body
+          graft.streaming.TransientFault.tripwire(key)     // post-commit kill
+        }
+        .start(),
+      maxRestarts = 10, backoff = java.time.Duration.ZERO) { q =>
+      while (fed < batches.length) {
+        ms.addData(batches(fed)); fed += 1; q.processAllAvailable()
+      }
+      q.processAllAvailable()
+    }
+    assert(outcome.restarts == 1)
+    val back = spark.read.jdbc(url, "t", derbyProps)
+    // the killed micro-batch was Derby-committed, then replayed and
+    // committed AGAIN — at-least-once, measured: its rows appear twice
+    assert(back.count() == rows.length + batches.head.length)
+    assert(back.select("id").distinct().count() == rows.length)
+  }
+
   test("jdbcBatchIdempotent: ledger claims are scoped per sink and per partition") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
