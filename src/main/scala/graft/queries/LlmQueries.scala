@@ -3146,44 +3146,63 @@ object LlmQueries {
       .orderBy("vec_id")
   }
 
+  /** [[semDedupGuarded]]'s target cluster size — also baked into its
+    * oracle's K derivation below.
+    */
+  private val GuardedTarget = 35
+
   /** The guarded production path of [[semDedup]], driver-gated (round 6):
     * [[graft.llm.SemDedup.guardedAssign]] with K derived from the corpus
-    * count. On the twinned fixture at the correctness SFs (N = 550,
-    * `chooseK(550, 35) = 16`) no cluster exceeds the bound, so the
-    * guarded output must equal the PLAIN K=16 assignment mapped to
-    * refined keys — which is exactly what the static oracle states
-    * (`cent_id·64`, no splits, nothing capped). The guard-FIRING paths
-    * (split, cap, zero-norm reserve) cannot be oracled statically — K and
-    * the fired set depend on runtime counts — and are pinned by
-    * SemDedupSpec on a skewed fixture instead. At bench SF (N = 2050 →
-    * K = 59) the same entry exercises the corpus-derived-K path under
-    * timing.
+    * count. The oracle derives the SAME K in SQL (round 12 — the r11-asked
+    * full sf0.1 gate caught the r6 static-K=16 twin diverging at N = 2050,
+    * where `chooseK` = 59): `chooseK(n, target) = max(4, min(⌈n/target⌉,
+    * 2^20))` is pure integer arithmetic both engines state identically
+    * (the adaptiveBits discipline), the codebook CTE seeds vec_id < K, and
+    * the packed assignment key multiplies by the derived K — so the twin
+    * now holds at EVERY SF, not just where K happens to equal 16. On the
+    * twinned fixture no cluster exceeds the 550 bound at any shipped SF,
+    * so the guarded output equals the plain assignment mapped to refined
+    * keys (`cent_id·64`, no splits, nothing capped) — and if a future
+    * fixture DID trip a split/cap, the Spark side would emit split/capped
+    * rows the oracle doesn't state: a loud value failure, never a silent
+    * one. The guard-FIRING paths (split, cap, zero-norm reserve) stay
+    * pinned by SemDedupSpec on a skewed fixture.
     */
   val semDedupGuarded = QueryDef.sql(
-    "llm_semdedup_guarded",
-    s"""WITH ${graft.fixtures.Fixtures.embeddingsNearDupCte},
-       |emb AS (${Embed.preparedSqlFrom("emb_nd")}),
-       |cent AS (${Ivf.initCentSql(IvfK, 0)}),
-       |${Ivf.assignCtesSql(IvfK)}
-       |SELECT vec_id, cluster_key, split, capped FROM (
-       |  SELECT vec_id,
-       |    CAST(cent_id AS BIGINT) * ${graft.llm.SemDedup.SubCap} AS cluster_key,
-       |    false AS split, false AS capped
-       |  FROM assign
-       |  UNION ALL
-       |  -- zero-norm vectors: the assign CTE's nrm > 0 filter drops them,
-       |  -- the Scala path surfaces them under the reserved capped key -1 —
-       |  -- keep both renderings TOTAL so a future zero-norm fixture vector
-       |  -- fails on values, not on a confusing row-count diff (r6 advice)
-       |  SELECT vec_id, CAST(-1 AS BIGINT) AS cluster_key,
-       |    false AS split, true AS capped
-       |  FROM emb WHERE nrm <= 0
-       |) u ORDER BY vec_id""".stripMargin
+    "llm_semdedup_guarded", {
+      val assignCos = Embed.cosineSql(Embed.dotSql("cqv", "qv"), "cnrm", "nrm")
+      s"""WITH ${graft.fixtures.Fixtures.embeddingsNearDupCte},
+         |emb AS (${Embed.preparedSqlFrom("emb_nd")}),
+         |kk AS (SELECT GREATEST(4, LEAST((COUNT(*) + ${GuardedTarget - 1}) // $GuardedTarget,
+         |                                1048576)) AS k FROM emb),
+         |cent AS (SELECT CAST(vec_id AS INT) AS cent_id, qv AS cqv, nrm AS cnrm
+         |         FROM emb WHERE vec_id >= 0 AND vec_id < (SELECT k FROM kk)),
+         |keyed AS (SELECT vec_id, cent_id,
+         |      CAST(floor(ccos * 1099511627776) AS BIGINT) * (SELECT k FROM kk)
+         |        + ((SELECT k FROM kk) - 1 - cent_id) AS ck FROM (
+         |    SELECT vec_id, cent_id, $assignCos AS ccos FROM emb, cent
+         |    WHERE nrm > 0 AND cnrm > 0) s0),
+         |assign AS (SELECT vec_id, arg_max(cent_id, ck) AS cent_id FROM keyed GROUP BY vec_id)
+         |SELECT vec_id, cluster_key, split, capped FROM (
+         |  SELECT vec_id,
+         |    CAST(cent_id AS BIGINT) * ${graft.llm.SemDedup.SubCap} AS cluster_key,
+         |    false AS split, false AS capped
+         |  FROM assign
+         |  UNION ALL
+         |  -- zero-norm vectors: the assign CTE's nrm > 0 filter drops them,
+         |  -- the Scala path surfaces them under the reserved capped key -1 —
+         |  -- keep both renderings TOTAL so a future zero-norm fixture vector
+         |  -- fails on values, not on a confusing row-count diff (r6 advice)
+         |  SELECT vec_id, CAST(-1 AS BIGINT) AS cluster_key,
+         |    false AS split, true AS capped
+         |  FROM emb WHERE nrm <= 0
+         |) u ORDER BY vec_id""".stripMargin
+    }
   ) { (spark, dir) =>
     val emb = Embed.prepared(
       graft.fixtures.Fixtures.embeddingsNearDup(spark, dir)).cache()
     graft.llm.SemDedup.guardedAssign(emb,
-        targetClusterSize = 35, maxClusterSize = 550)
+        targetClusterSize = GuardedTarget, maxClusterSize = 550)
       .orderBy("vec_id")
   }
 
