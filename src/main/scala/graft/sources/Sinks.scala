@@ -17,7 +17,10 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * async-insert buffer — and exactly-once END STATE comes from the
   * dedup-on-key read path ([[graft.ingest.Dedup]]), mirroring the
   * reference's storage contract rather than trying to make the transport
-  * exactly-once.
+  * exactly-once. For a KEYED transactional store, where a PK rejects
+  * rather than absorbs a replayed row, the transport itself must be
+  * exactly-once — that is [[jdbcStreamAppendIdempotent]] (round 12): an
+  * epoch-ledger claim committed in the same transaction as the data.
   *
   * Scale notes: batch writes partition by the table's time column and
   * sort within partitions by the ReplacingMergeTree key prefix, so parquet
@@ -474,4 +477,26 @@ object Sinks {
         jdbcBatchIdempotent(batch.toDF(), url, table, props, sinkId, batchId)
       }
       .start()
+
+  /** Ledger retention: drop a sink's claims below `belowBatchId`. The
+    * ledger only needs to cover batch ids the checkpoint can still
+    * replay — anything below the offset log's earliest retained batch
+    * (`minBatchesToRetain`, default 100) can never be re-attempted, so a
+    * deployed sink calls this periodically and the ledger stays
+    * O(retained batches × partitions) instead of growing with stream
+    * lifetime. Returns the number of claims dropped.
+    */
+  def pruneEpochLedger(url: String, props: java.util.Properties,
+      sinkId: String, belowBatchId: Long): Int = {
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val ps = conn.prepareStatement(
+        s"""DELETE FROM $EpochLedgerTable WHERE "sink_id" = ? AND "batch_id" < ?""")
+      try {
+        ps.setString(1, sinkId)
+        ps.setLong(2, belowBatchId)
+        ps.executeUpdate()
+      } finally ps.close()
+    } finally conn.close()
+  }
 }

@@ -153,6 +153,44 @@ class SinksSpec extends SparkSuite {
     assert(back.select("id").distinct().count() == rows.length)
   }
 
+  test("jdbcStreamAppendIdempotent: multi-batch stream lands exactly once; " +
+      "ledger prunes below the retained horizon") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = Files.createTempDirectory("derby_si").toString
+    val url = s"jdbc:derby:$root/si;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try conn.createStatement().executeUpdate(
+      """CREATE TABLE t ("id" INT, "code" VARCHAR(8), "px" DOUBLE)""")
+    finally conn.close()
+    Sinks.ensureEpochLedger(url, derbyProps)
+    val ms = MemoryStream[(Int, String, Double)](2)
+    val q = Sinks.jdbcStreamAppendIdempotent(
+      ms.toDS().toDF("id", "code", "px"), url, "t", derbyProps,
+      s"$root/ck", "si_sink")
+    try {
+      (1 to 3).foreach { b =>
+        ms.addData((1 to 10).map(i => (b * 100 + i, f"S$b%02d", i * 1.0)))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val back = spark.read.jdbc(url, "t", derbyProps)
+    assert(back.count() == 30)
+    assert(back.select("id").distinct().count() == 30)
+    // ledger holds one claim per (batch, partition); pruning below the
+    // checkpoint's earliest replayable batch keeps it horizon-bounded
+    val ledger = spark.read.jdbc(url, Sinks.EpochLedgerTable, derbyProps)
+      .filter(org.apache.spark.sql.functions.col("sink_id") === "si_sink")
+    val before = ledger.count()
+    assert(before >= 3)
+    val dropped = Sinks.pruneEpochLedger(url, derbyProps, "si_sink", belowBatchId = 2)
+    assert(dropped > 0 && ledger.count() == before - dropped)
+    // claims at/above the horizon survive — a replay of batch 2 still skips
+    assert(ledger.filter(org.apache.spark.sql.functions.col("batch_id") >= 2)
+      .count() == before - dropped)
+  }
+
   test("jdbcBatchIdempotent: ledger claims are scoped per sink and per partition") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
