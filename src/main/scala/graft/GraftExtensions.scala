@@ -19,9 +19,13 @@ import graft.expr.{CharNgrams, HyperplaneDots, LastBy, TopK, VecDot, VecNormSq, 
   * extension-injected functions exist in EVERY session of the
   * application, including ones the library never sees being created.
   *
-  * Registered surface (SURVEY §2.C + the vector kernels):
-  * `graft_topk`, `to_start_of_interval`, `char_ngrams`, `word_ngrams`,
-  * `vec_normsq`, `vec_dot`, `hyperplane_dots`.
+  * Registered surface (SURVEY §2.C + the vector kernels) — the SAME
+  * name set as the per-session registrar (its idempotence guard checks
+  * every name, so the two surfaces cannot silently diverge again):
+  * `graft_topk`(+`_state`/`_merge`), `graft_last_by`,
+  * `graft_tdigest_quantiles`(+`_state`/`_merge`), `graft_capped_longs`,
+  * `to_start_of_interval`, `char_ngrams`, `word_ngrams`, `vec_normsq`,
+  * `vec_dot`, `hyperplane_dots`, `cdc_chunks`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -44,6 +48,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_last_by"),
       info("graft_last_by", "graft_last_by(value, ord) - value at max ord on the hash-aggregate path"),
       exprs => LastBy(exprs.head, exprs(1))))
+    // tdigest trio (round-12 review: these were register()-only, so an
+    // extensions-built session lacked them — the full surfaces now match)
+    ext.injectFunction((FunctionIdentifier("graft_tdigest_quantiles"),
+      info("graft_tdigest_quantiles", "graft_tdigest_quantiles(col, pcts) - merging t-digest quantiles"),
+      exprs => graft.expr.TDigestQuantiles(exprs.head, exprs(1))))
+    ext.injectFunction((FunctionIdentifier("graft_tdigest_state"),
+      info("graft_tdigest_state", "graft_tdigest_state(col) - serialized t-digest (quantileTDigestState)"),
+      exprs => graft.expr.TDigestState(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("graft_tdigest_merge"),
+      info("graft_tdigest_merge", "graft_tdigest_merge(state, pcts) - fold persisted digests (quantileTDigestMerge)"),
+      exprs => graft.expr.TDigestMerge(exprs.head, exprs(1))))
     ext.injectFunction((FunctionIdentifier("graft_capped_longs"),
       info("graft_capped_longs", "graft_capped_longs(col, cap) - bounded-buffer BIGINT collect"),
       exprs => graft.expr.CappedLongs(exprs.head, exprs(1))))

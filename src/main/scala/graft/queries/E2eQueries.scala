@@ -98,6 +98,25 @@ object E2eQueries {
       .collect().sortBy(r => (r.time.getTime, r.time.getNanos, r.trade_no))
   }
 
+  /** Reset a FAILED prior attempt's on-disk state before (re)ingesting
+    * (round 12 review: a memo block that throws records nothing, so the
+    * next call re-runs it — against a poisoned store the securities PK
+    * rejects the re-insert and a fresh MemoryStream cannot resume the
+    * progressed checkpoint). Shut the embedded database down FIRST
+    * (deleting a BOOTED Derby's files corrupts the in-JVM instance;
+    * `shutdown=true` throws SQLException on success and on not-booted —
+    * both fine), then delete the database and checkpoint trees. This is
+    * harness retry hygiene, NOT drop-and-recreate inside the experiment:
+    * the supervised restart under test still reuses the live store and
+    * checkpoint.
+    */
+  private def resetStore(dbPath: String, ck: String): Unit = {
+    try { java.sql.DriverManager.getConnection(s"jdbc:derby:$dbPath;shutdown=true"); () }
+    catch { case _: java.sql.SQLException => () }
+    graft.sources.Scratch.deleteRecursively(dbPath)
+    graft.sources.Scratch.deleteRecursively(ck)
+  }
+
   /** Stream-ingest the fixture into Derby once per (application, dir);
     * returns the JDBC url. Drop-and-recreate inside the memoized block so
     * a failed partial ingest retries clean (the PK would otherwise reject
@@ -108,10 +127,11 @@ object E2eQueries {
       s"e2e_jdbc|${spark.sparkContext.applicationId}|$dir")
     val url = s"jdbc:derby:$db/e2estore;create=true"
     ingested.computeIfAbsent(db, _ => {
-      // drop-and-recreate inside the memo: a failed partial ingest of THIS
-      // plain-append store retries clean (the PK would otherwise reject the
-      // replayed rows); the restart store below never drops — its sink is
-      // idempotent, which is the property under test there
+      // full reset of any FAILED prior attempt first (r12 review): dropping
+      // tables alone left the progressed checkpoint behind, and a fresh
+      // MemoryStream cannot resume those offsets — so "retries clean" was
+      // only true for the store half
+      resetStore(s"$db/e2estore", s"$db/ck")
       createTables(url, dropFirst = true)
       // securities: BATCH insert — the reference's PrepareBatch path (A2/A4)
       graft.sources.Sinks.jdbcAppend(
@@ -159,6 +179,11 @@ object E2eQueries {
       s"e2e_jdbc_restart|${spark.sparkContext.applicationId}|$dir")
     val url = s"jdbc:derby:$db/e2erestart;create=true"
     restartIngested.computeIfAbsent(db, _ => {
+      // reset a FAILED prior attempt (r12 review) — this restarts the whole
+      // experiment from scratch; WITHIN the experiment the supervised
+      // restart reuses the live store + checkpoint, which is the property
+      // under test (no drop-and-recreate across the kill)
+      resetStore(s"$db/e2erestart", s"$db/ck")
       createTables(url, dropFirst = false)
       graft.sources.Sinks.ensureEpochLedger(url, connProps())
       graft.sources.Sinks.jdbcAppend(

@@ -84,15 +84,7 @@ object EventQueries {
       // but may have left partial sink output and a progressed checkpoint
       // here — a fresh MemoryStream cannot resume those offsets, so the
       // retry must start from empty directories (r11 advice)
-      for (stale <- Seq(out, s"$root/ck")) {
-        val p = java.nio.file.Paths.get(stale)
-        if (java.nio.file.Files.exists(p)) {
-          val walk = java.nio.file.Files.walk(p)
-          try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-            .forEach(f => java.nio.file.Files.deleteIfExists(f))
-          finally walk.close()
-        }
-      }
+      Seq(out, s"$root/ck").foreach(graft.sources.Scratch.deleteRecursively)
       // in-order wire (no late drops): sort by the FULL timestamp — the
       // fixture carries microseconds, so a millis-only key could reorder
       // sub-ms neighbors (r11 advice; harmless today only because the

@@ -20,21 +20,29 @@ object Scratch {
     dirs.computeIfAbsent(key, _ =>
       Files.createTempDirectory("graft_scratch_").toString)
 
+  /** Recursive best-effort delete (walk deepest-first, swallow races) —
+    * ONE owner for the idiom (round 12 review): the shutdown hook below
+    * and the replay-retry cleanups (EventQueries, E2eQueries) all need
+    * it, and the copies had already drifted on IOException handling.
+    */
+  def deleteRecursively(path: String): Unit = {
+    val root: Path = Paths.get(path)
+    if (Files.exists(root)) {
+      val walk = Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(f =>
+          try Files.deleteIfExists(f)
+          catch { case _: java.io.IOException => () })
+      finally walk.close()
+    }
+  }
+
   Runtime.getRuntime.addShutdownHook(new Thread(() =>
     dirs.values.forEach { p =>
       // never let one racing dir (other shutdown hooks may still be
       // flushing — deletes throw DirectoryNotEmptyException and friends)
       // abort the cleanup of the remaining roots
-      try {
-        val root: Path = Paths.get(p)
-        if (Files.exists(root)) {
-          val walk = Files.walk(root)
-          try walk.sorted(java.util.Comparator.reverseOrder[Path]())
-            .forEach(f =>
-              try Files.deleteIfExists(f)
-              catch { case _: java.io.IOException => () })
-          finally walk.close()
-        }
-      } catch { case scala.util.control.NonFatal(_) => () }
+      try deleteRecursively(p)
+      catch { case scala.util.control.NonFatal(_) => () }
     }))
 }

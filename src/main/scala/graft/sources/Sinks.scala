@@ -349,6 +349,7 @@ object Sinks {
            |  "sink_id" VARCHAR(200) NOT NULL,
            |  "batch_id" BIGINT NOT NULL,
            |  "part_id" INT NOT NULL,
+           |  "n_parts" INT NOT NULL,
            |  PRIMARY KEY ("sink_id", "batch_id", "part_id"))""".stripMargin)
       catch {
         case e: java.sql.SQLException if e.getSQLState == "X0Y32" => () // exists
@@ -390,14 +391,20 @@ object Sinks {
     * Atomicity is PER PARTITION (each executor task owns one transaction),
     * so across a multi-partition batch the guarantee relies on Spark's
     * replay re-executing the SAME deterministic partitioning — true for a
-    * replayed micro-batch (same source offsets, same plan). The claim row
-    * is inserted FIRST inside the transaction: two racing attempts at the
+    * replayed micro-batch (same source offsets, same plan). That
+    * assumption is VALIDATED, not trusted (round-12 review): each claim
+    * records the batch's partition COUNT, and a replay arriving with a
+    * different count (e.g. a session whose shuffle-partition conf moved
+    * between attempts re-planning the batch) fails loudly instead of
+    * skipping rows one partitioning never wrote. The claim row is
+    * inserted FIRST inside the transaction: two racing attempts at the
     * same partition serialize on the ledger PK, the loser rolls back its
     * (uncommitted) data rows and skips.
     */
   def jdbcBatchIdempotent(df: DataFrame, url: String, table: String,
       props: java.util.Properties, sinkId: String, batchId: Long,
       batchSize: Int = 10000): Unit = {
+    val nParts = df.rdd.getNumPartitions
     val cols = df.schema.fields.map(_.name)
     val types = df.schema.fields.map(f => jdbcSqlType(f.dataType))
     val insertSql = cols.map(c => s""""$c"""")
@@ -414,14 +421,33 @@ object Sinks {
       val conn = java.sql.DriverManager.getConnection(url, p)
       try {
         conn.setAutoCommit(false)
+        // partitioning-drift guard: a prior attempt's claims for this batch
+        // must have been made under the SAME partition count, else the
+        // part_id -> rows mapping is incomparable and skipping would lose
+        // data — fail loudly (scaladoc above)
+        val chk = conn.prepareStatement(
+          s"""SELECT "n_parts" FROM $EpochLedgerTable
+             |WHERE "sink_id" = ? AND "batch_id" = ?""".stripMargin)
+        try {
+          chk.setString(1, sinkId)
+          chk.setLong(2, batchId)
+          val rs = chk.executeQuery()
+          if (rs.next() && rs.getInt(1) != nParts)
+            throw new IllegalStateException(
+              s"jdbcBatchIdempotent: batch $batchId of sink '$sinkId' was " +
+                s"previously claimed under ${rs.getInt(1)} partitions but " +
+                s"replayed with $nParts — the replay is not the same plan; " +
+                "refusing to skip/write against an incomparable ledger")
+        } finally chk.close()
         val claim = conn.prepareStatement(
-          s"""INSERT INTO $EpochLedgerTable ("sink_id", "batch_id", "part_id")
-             |VALUES (?, ?, ?)""".stripMargin)
+          s"""INSERT INTO $EpochLedgerTable ("sink_id", "batch_id", "part_id", "n_parts")
+             |VALUES (?, ?, ?, ?)""".stripMargin)
         val claimed =
           try {
             claim.setString(1, sinkId)
             claim.setLong(2, batchId)
             claim.setInt(3, partId)
+            claim.setInt(4, nParts)
             claim.executeUpdate()
             true
           } catch {

@@ -38,6 +38,9 @@ class E2eSpec extends SparkSuite {
     * real divergence and far outside float-association noise.
     */
   private def norm(v: Any): Any = v match {
+    // non-finite doubles pass through: BigDecimal(NaN) would throw and turn
+    // a value divergence into an opaque conversion error (r12 review)
+    case d: Double if d.isNaN || d.isInfinite => d
     case d: Double => BigDecimal(d).round(new java.math.MathContext(9)).toDouble
     case s: Seq[_] => s.map(norm)
     case r: org.apache.spark.sql.Row => r.toSeq.map(norm)
@@ -132,8 +135,11 @@ class E2eSpec extends SparkSuite {
       }
       q.processAllAvailable()
     }
-    assert(outcome.restarts >= 1, "the mid-epoch fault never fired")
-    assert(outcome.attempts == epochs + outcome.restarts)
+    // exact schedule, not the tautological attempts = epochs + restarts
+    // (rebounce constructs its Outcome that way — r12 review): ONE armed
+    // fault -> exactly one restart, so 3 epochs take 4 attempts
+    assert(outcome.restarts == 1, s"expected exactly one restart, got $outcome")
+    assert(outcome.attempts == 4)
     val back = spark.read.jdbc(url, "transaq_trades", props)
     assert(back.count() == all.length)
     assert(back.select("trade_no").distinct().count() == all.length)

@@ -205,8 +205,8 @@ class SinksSpec extends SparkSuite {
     // pre-claim partition 0 of batch 9 (as if a prior attempt committed it)
     val conn = java.sql.DriverManager.getConnection(url)
     try conn.createStatement().executeUpdate(
-      s"""INSERT INTO ${Sinks.EpochLedgerTable} ("sink_id", "batch_id", "part_id")
-         |VALUES ('sinkA', 9, 0)""".stripMargin)
+      s"""INSERT INTO ${Sinks.EpochLedgerTable} ("sink_id", "batch_id", "part_id", "n_parts")
+         |VALUES ('sinkA', 9, 0, 2)""".stripMargin)
     finally conn.close()
     Sinks.jdbcBatchIdempotent(df, url, "t", derbyProps, "sinkA", 9L)
     val landed = spark.read.jdbc(url, "t", derbyProps)
@@ -217,5 +217,24 @@ class SinksSpec extends SparkSuite {
     Sinks.jdbcBatchIdempotent(df, url, "t", derbyProps, "sinkB", 9L)
     val after = spark.read.jdbc(url, "t", derbyProps).count()
     assert(after == (4 - p0.size) + 4)
+  }
+
+  test("jdbcBatchIdempotent: a replay under a DIFFERENT partitioning fails " +
+      "loudly instead of skipping rows the old partitioning never wrote") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val url = freshIdemDb()
+    val df2 = Seq((1, "SEC01", 10.0), (2, "SEC02", 20.0), (3, "SEC03", 30.0),
+      (4, "SEC04", 40.0)).toDF("id", "code", "px").repartition(2, col("id"))
+    Sinks.jdbcBatchIdempotent(df2, url, "t", derbyProps, "sinkA", 5L)
+    val df3 = df2.repartition(3, col("id"))
+    val e = intercept[org.apache.spark.SparkException] {
+      Sinks.jdbcBatchIdempotent(df3, url, "t", derbyProps, "sinkA", 5L)
+    }
+    assert(Option(e.getMessage).getOrElse("").contains("not the same plan") ||
+      Option(e.getCause).exists(c =>
+        Option(c.getMessage).getOrElse("").contains("not the same plan")))
+    // the guard protected the table: still exactly the first write's rows
+    assert(spark.read.jdbc(url, "t", derbyProps).count() == 4)
   }
 }
