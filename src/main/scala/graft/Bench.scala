@@ -501,13 +501,53 @@ object Bench {
         }
       }
       val jdbc = best2(jdbcRun())
+      // Exactly-once JDBC lane (round 12): the SAME feed through the
+      // epoch-ledger sink — single-rep attribution lane (like _p32): it
+      // exists to price the transactional claim + per-partition
+      // PreparedStatement path against the plain batched-append lane
+      // above, not as a tracked headline number.
+      def jdbcIdemRun(): String = {
+        val url = "jdbc:derby:memory:benchjdbci;create=true"
+        val props = new java.util.Properties()
+        props.setProperty("driver", "org.apache.derby.iapi.jdbc.AutoloadedDriver")
+        val conn = java.sql.DriverManager.getConnection(url)
+        try conn.createStatement().executeUpdate(
+          """CREATE TABLE trades_bench ("secId" INT, "secCode" VARCHAR(16),
+            |  "ts" TIMESTAMP, "last" DOUBLE, "quantity" BIGINT,
+            |  "tickNo" BIGINT)""".stripMargin)
+        finally conn.close()
+        graft.sources.Sinks.ensureEpochLedger(url, props)
+        val jdbcBatches = batches.take(6)
+        val ms = MemoryStream[Tick](SourceParts)
+        val ck = java.nio.file.Files.createTempDirectory(ckRoot, "ck").toString
+        val q = graft.sources.Sinks.jdbcStreamAppendIdempotent(
+          ms.toDS().repartition(1).selectExpr("secId", "secCode",
+            "CAST(ts AS TIMESTAMP) AS ts", "last", "quantity", "tickNo"),
+          url, "trades_bench", props, ck, "bench_idem")
+        try {
+          ms.addData(jdbcBatches.head.toSeq)
+          q.processAllAvailable()
+          val after = q.lastProgress.batchId
+          val t0 = System.nanoTime()
+          jdbcBatches.tail.foreach { b => ms.addData(b.toSeq); q.processAllAvailable() }
+          val sec = (System.nanoTime() - t0) / 1e9
+          val rows = jdbcBatches.tail.map(_.length).sum
+          breakdown(q, after, math.round(rows / sec))
+        } finally {
+          q.stop()
+          try java.sql.DriverManager.getConnection("jdbc:derby:memory:benchjdbci;drop=true")
+          catch { case _: java.sql.SQLException => () } // expected on drop
+        }
+      }
+      val jdbcIdem = jdbcIdemRun()
       s"""{"candles":$exact,"candles_windowed":$windowed,"candles_p32":$exactP32,""" +
         s""""doc_gate":$docGate,"doc_gate_smallbatch":$docGateSmall,""" +
         s""""doc_gate_p32":$docGateP32,"doc_gate_rocksdb":$docGateRocks,""" +
         s""""doc_gate_rocksdb_changelog":$docGateRocksCl,""" +
         s""""stream_join":$streamJoin,"positions":$positions,""" +
         s""""sessions":$sessionsLane,""" +
-        s""""jdbc":$jdbc,"rows":${tickRows.length},"batch_size":$batchSize,""" +
+        s""""jdbc":$jdbc,"jdbc_exactly_once":$jdbcIdem,""" +
+        s""""rows":${tickRows.length},"batch_size":$batchSize,""" +
         s""""batches":${batches.length}}"""
     } catch { case e: Throwable =>
       val msg = Option(e.getMessage).getOrElse(e.getClass.getName).take(120)
