@@ -200,6 +200,25 @@ object IngestQueries {
     graft.sources.Sources.readJsonl(spark, out, t.schema).orderBy("trade_no")
   }
 
+  /** ORC twin of [[a23JsonRoundtrip]] (round 12 — closes the source-
+    * format matrix: parquet is the native store, CSV/JSON the text
+    * edges, JDBC the relational edge, ORC the OTHER columnar
+    * interchange). The identity oracle pins the vectorized ORC
+    * writer/reader's type fidelity over the fully TYPED table —
+    * timestamp precision, double bits, bigint/int widths, strings —
+    * through a container parquet never touches.
+    */
+  val a25OrcRoundtrip = QueryDef.sql(
+    "a25_orc_source_roundtrip",
+    withCtes("SELECT * FROM trades ORDER BY trade_no", tradesCte)
+  ) { (spark, dir) =>
+    val t = trades(spark, dir)
+    val out = graft.sources.Scratch.dir(
+      s"orc_roundtrip|${spark.sparkContext.applicationId}|$dir")
+    graft.sources.Sources.writeOrc(t, out)
+    graft.sources.Sources.readOrc(spark, out, t.schema).orderBy("trade_no")
+  }
+
   /** JDBC as a SOURCE (round 9; completes the A-surface's production
     * parity: SinksSpec proved the sink, this registers the read side
     * with the driver gate). Trades are staged into an embedded Derby
@@ -1119,5 +1138,5 @@ object IngestQueries {
     layoutZorderKey, layoutTtlRetention, layoutBucketedJoin,
     layoutDppPrune, layoutMutationDelete, layoutMutationUpdate,
     layoutOptimizeCompact, qxSampleTurnover, rollupSummingMerge,
-    a22CsvRoundtrip, a23JsonRoundtrip, a24JdbcRoundtrip)
+    a22CsvRoundtrip, a23JsonRoundtrip, a24JdbcRoundtrip, a25OrcRoundtrip)
 }

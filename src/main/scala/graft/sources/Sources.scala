@@ -86,4 +86,20 @@ object Sources {
     spark.read.schema(schema)
       .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
       .json(path)
+
+  /** ORC edge (round 12) — the OTHER first-class columnar format (the
+    * Hive/Trino interchange; orc-core ships with Spark, and Spark's
+    * vectorized ORC reader is on by default). Binary + typed like
+    * parquet — no text-rendering seams — so the identity round-trip pins
+    * the vectorized reader/writer's TYPE fidelity (timestamp precision,
+    * double bits, integer widths, string bytes) through a second
+    * columnar container. Same scale story as parquet: ORC stripes carry
+    * min/max statistics, so a key-clustered write gets the same
+    * stat-based pruning class ([[Sinks.batchAppend]]'s argument).
+    */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(org.apache.spark.sql.SaveMode.Overwrite).orc(path)
+
+  def readOrc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
 }

@@ -138,6 +138,9 @@ object ScaleProbe {
     // must both stay splittable-parallel and linear in bytes)
     "qx_topk_state_merge", "rollup_summing_merge",
     "a22_csv_source_roundtrip", "a23_json_source_roundtrip",
+    // ORC edge (r12): same write+read-linear-in-bytes contract as the
+    // text edges, through the vectorized columnar path
+    "a25_orc_source_roundtrip",
     // wave 5: the JDBC edge (staging write + 8-way partitioned read,
     // linear in rows through one external SQL engine) and the composed
     // KMV state merge (per-part windows over that part's distinct
