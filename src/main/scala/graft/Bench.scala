@@ -54,6 +54,14 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
+    // Per-bench token budget for warm passes (round 13, r12 verdict item
+    // 1): SPARK_GRAFT_WARM_PASSES=3 runs the FULL warm lane three times
+    // back-to-back in one session and reports min-of-passes per key plus
+    // each key's cross-pass spread — the measured variance bound that
+    // separates a code regression from shared-machine noise. Default 1
+    // keeps the driver's per-round bench at its usual cost.
+    val warmPasses = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_WARM_PASSES", "1").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -72,6 +80,95 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // ---- WARN-clean tail, ASSERTED (round 13, r12 verdict item 3) ----
+    // "A warning means something changed" is only a signal if the tail is
+    // clean AND a new WARN class is flagged. Two pieces:
+    //  - a capture appender on the root logger records every WARN event,
+    //    attributed to the query running at the time;
+    //  - the console appenders get a DENY filter for the ONE expected
+    //    WARN class — WindowExec's "No Partition Defined", emitted by the
+    //    two DELIBERATE bounded serial steps (EventQueries' timeline-bound
+    //    30-min-bucket prefix; the ~√N block-prefix of seq_pack/pack_spans)
+    //    — so the tail stays clean while the capture still sees everything.
+    // Any (WARN class, query) pair OUTSIDE the expected set is reported
+    // loudly on stderr, in the full artifact's `unexpected_warns` map, and
+    // in the compact line's `n_unexpected_warn_classes` counter — a
+    // nonzero count is the "something changed" signal.
+    val currentKey = new java.util.concurrent.atomic.AtomicReference[String]("startup")
+    val warnCounts = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+    val UnpartitionedWindowMsg = "No Partition Defined for Window operation"
+    // The adjudicated BOUNDED serial steps (each with a source comment
+    // arguing the bound): the unpartitioned window is deliberate and its
+    // input is sub-linear in the corpus —
+    //   evt_session_concurrency: one row per 30-min bucket (timeline-bound)
+    //   llm_seq_pack / llm_pack_spans: ~√N block totals (corpus-balanced)
+    //   llm_lang_classify: class-id numbering over DISTINCT languages
+    val expectedUnpartitioned = Set(
+      "evt_session_concurrency", "llm_seq_pack", "llm_pack_spans",
+      "llm_lang_classify")
+    // Benign ambient classes, each adjudicated (round 13 — the first
+    // asserted run surfaced them; all pre-existing and structural):
+    //   Broadcasting large task binary — informational plan-size note
+    //     (big literal plans: dialect rawSql, BPE merge tables, IVF
+    //     codebooks); plan-size regressions are watched by bench time +
+    //     ScaleShapeSpec, not this warning
+    //   Asked to cache already cached data — the CC fence()/memo reuse
+    //   AQE-on-streaming notes — logged once per streaming query in an
+    //     AQE session; structural to mixed batch+stream sessions
+    //   Cannot find active jobs / TaskKilled (Stage cancelled —
+    //     job-group cleanup after q.stop() and the DELIBERATE supervised
+    //     kills (a19/e2e restart lineages)
+    //   injected transient wire fault — the armed fault itself
+    val benignWarnClasses = Seq(
+      "Broadcasting large task binary",
+      "Asked to cache already cached data",
+      "spark.sql.adaptive.enabled is not supported in streaming",
+      "Disabling AQE since AQE is not supported in stateful",
+      "Cannot find active jobs",
+      "TaskKilled (Stage cancelled",
+      "injected transient wire fault")
+    def isExpectedWarn(qKey: String, msg: String): Boolean =
+      (msg.contains(UnpartitionedWindowMsg) && expectedUnpartitioned(qKey)) ||
+        benignWarnClasses.exists(msg.contains)
+    try {
+      import org.apache.logging.log4j.{Level, LogManager}
+      import org.apache.logging.log4j.core.{Filter, LogEvent, LoggerContext}
+      val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
+      val rootCfg = ctx.getConfiguration.getRootLogger
+      val capture = new org.apache.logging.log4j.core.appender.AbstractAppender(
+        "graftWarnCapture", null, null, true,
+        org.apache.logging.log4j.core.config.Property.EMPTY_ARRAY) {
+        override def append(event: LogEvent): Unit =
+          if (event.getLevel == Level.WARN) {
+            val msg = Option(event.getMessage).map(_.getFormattedMessage).getOrElse("")
+            val k = currentKey.get()
+            if (!isExpectedWarn(k, msg)) {
+              val cls = msg.replaceAll("\\s+", " ").take(100)
+              warnCounts.merge(s"$k :: ${event.getLoggerName} :: $cls", 1L,
+                (a, b) => a + b)
+            }
+          }
+      }
+      capture.start()
+      val deny = new org.apache.logging.log4j.core.filter.AbstractFilter() {
+        override def filter(event: LogEvent): Filter.Result =
+          if (Option(event.getMessage).map(_.getFormattedMessage)
+              .exists(_.contains(UnpartitionedWindowMsg))) Filter.Result.DENY
+          else Filter.Result.NEUTRAL
+      }
+      import scala.jdk.CollectionConverters._
+      val existing = rootCfg.getAppenders.asScala.toMap
+      existing.foreach { case (name, app) =>
+        rootCfg.removeAppender(name)
+        rootCfg.addAppender(app, null, deny)
+      }
+      rootCfg.addAppender(capture, Level.WARN, null)
+      ctx.updateLoggers()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] WARN-capture setup failed (tail not " +
+        s"asserted this run): ${e.getMessage}")
+    }
+
     def exec(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         dir: String): Unit =
       fn(spark, dir).write.format("noop").mode("overwrite").save()
@@ -80,6 +177,7 @@ object Bench {
 
     // warmup at the target SF (JIT + codegen + base-table materialization)
     names.foreach { n =>
+      currentKey.set(n)
       try exec(SparkEntry.queries(n), sfDir)
       catch { case _: Throwable => () }
     }
@@ -94,7 +192,12 @@ object Bench {
     // steady-state cost of THIS query with its own working set resident.
     val times = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    for (n <- names) {
+    // per-key value from EACH full pass (min-of-2 adjacent reps) — with
+    // SPARK_GRAFT_WARM_PASSES > 1 the min across passes is the headline
+    // and the cross-pass spread is the committed variance bound
+    val passVals = scala.collection.mutable.LinkedHashMap[String,
+      scala.collection.mutable.ArrayBuffer[Double]]()
+    for (pass <- 1 to warmPasses; n <- names) {
       // Isolate keys from each other (round 7, second iteration): adjacent
       // reps fixed the CROSS-PASS pollution, but entries that internally
       // .cache() working sets (the LSH signature/int-set tables, the CC
@@ -105,27 +208,31 @@ object Bench {
       // pair: rep 1 rebuilds THIS entry's own working set, rep 2 measures
       // its steady state — which is what the warm lane claims to report.
       graft.fixtures.Fixtures.clearDerivedCache(spark)
+      currentKey.set(n)
       try {
         val reps = (1 to 2).map { _ =>
           val t0 = System.nanoTime()
           exec(SparkEntry.queries(n), sfDir)
           (System.nanoTime() - t0) / 1e9
         }
-        times(n) = reps.min
+        passVals.getOrElseUpdate(n, scala.collection.mutable.ArrayBuffer())
+          .append(reps.min)
       } catch {
         case e: Throwable =>
           // a rep that fails stays an error, never a time: an intermittent
           // failure must not enter the warm total ("failures masquerading
           // as fast runs", round-1 note above)
           errors(n) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-          times.remove(n)
+          passVals.remove(n)
       }
     }
+    for ((n, vs) <- passVals if !errors.contains(n)) times(n) = vs.min
 
     // cold lane: JIT-warm, data-cold — min of two reps, caches dropped
     // before EACH rep so both pay the full scan/derivation path (round 8)
     val coldTimes = scala.collection.mutable.LinkedHashMap[String, Double]()
     names.foreach { n =>
+      currentKey.set(n)
       try {
         val reps = (1 to 2).map { _ =>
           graft.fixtures.Fixtures.clearDerivedCache(spark)
@@ -159,6 +266,7 @@ object Bench {
     // and every query is stopped in a finally so a mid-measurement failure
     // can no longer leave a stream running until JVM exit.
     val ckRoot = java.nio.file.Files.createTempDirectory("bench_ck")
+    currentKey.set("streaming")
     val streamingJson: String = try {
       import org.apache.spark.sql.{DataFrame, Dataset}
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -581,6 +689,7 @@ object Bench {
     }
     val reprobes = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
     for ((n, w0) <- firstPass) {
+      currentKey.set(n)
       try {
         graft.fixtures.Fixtures.clearDerivedCache(spark)
         val reps = (1 to 2).map { _ =>
@@ -619,7 +728,27 @@ object Bench {
       s"${jstr(k)}:{\"first\":$w0,\"final\":$w1}" }.mkString("{", ",", "}")
     val total = times.values.sum
     val coldTotal = coldTimes.values.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total":$coldTotal,"cold_queries":$cqs,"errors":$es,"inversions":$invs,"reprobes":$reps,"streaming":$streamingJson,"sf":"$sfDir"}"""
+    // unexpected WARN classes (the asserted tail, r12 verdict item 3):
+    // anything captured outside the adjudicated expected set
+    currentKey.set("post")
+    val unexpectedWarns = {
+      import scala.jdk.CollectionConverters._
+      warnCounts.asScala.toSeq.sortBy(-_._2.longValue)
+    }
+    if (unexpectedWarns.nonEmpty)
+      System.err.println("[bench] UNEXPECTED WARN classes (tail assertion): " +
+        unexpectedWarns.map { case (k, c) => s"$k ($c)" }.mkString(" | "))
+    val warnsJson = unexpectedWarns
+      .map { case (k, c) => s"${jstr(k)}:$c" }.mkString("{", ",", "}")
+    // cross-pass spread per key (only meaningful with warmPasses > 1):
+    // the committed variance bound behind "machine band" attributions
+    val spreadJson =
+      if (warmPasses > 1)
+        passVals.collect { case (k, vs) if vs.length > 1 =>
+          s"${jstr(k)}:{\"passes\":[${vs.mkString(",")}],\"spread\":${vs.max - vs.min}}"
+        }.mkString(s""","warm_passes":$warmPasses,"warm_spread":{""", ",", "}")
+      else ""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total":$coldTotal,"cold_queries":$cqs,"errors":$es,"inversions":$invs,"reprobes":$reps,"unexpected_warns":$warnsJson$spreadJson,"streaming":$streamingJson,"sf":"$sfDir"}"""
     // The driver keeps only the last ~2000 chars of stdout and parses the
     // JSON line out of that tail — the full artifact outgrew it rounds
     // ago (12 kB at 147 entries), which is why BENCH_r07/r08 both record
@@ -636,7 +765,9 @@ object Bench {
     val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
       s""""queries":$headlineQs,"cold_total":${r3(coldTotal)},""" +
       s""""n_queries":${times.size},"n_errors":${errors.size},""" +
-      s""""n_inversions":${inversions.size},"streaming_rows_per_sec":$streamRps,""" +
+      s""""n_inversions":${inversions.size},""" +
+      s""""n_unexpected_warn_classes":${unexpectedWarns.size},""" +
+      s""""streaming_rows_per_sec":$streamRps,""" +
       s""""full":"BENCH_FULL.json","sf":"$sfDir"}"""
     println(compact)
     // The driver's stdout capture has truncated the per-query head in past

@@ -145,7 +145,10 @@ object E2eQueries {
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       val rows = wireOrderedTrades(spark, dir)
-      val ms = MemoryStream[graft.schema.TradeRow](16)
+      // 64 source partitions: a 15k-row trade batch over 16 shipped
+      // ~1.26 MB task closures (over the 1 MB guideline — the tail WARN
+      // the r13 asserted bench caught); 64 keeps slices ~0.3 MB
+      val ms = MemoryStream[graft.schema.TradeRow](64)
       val q = graft.sources.Sinks.jdbcStreamAppend(
         ms.toDS().repartition(1), url, "transaq_trades", connProps(), s"$db/ck")
       try {
@@ -192,7 +195,8 @@ object E2eQueries {
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       val rows = wireOrderedTrades(spark, dir)
-      val ms = MemoryStream[graft.schema.TradeRow](16)
+      // 64 source partitions — same closure-size reasoning as [[ingest]]
+      val ms = MemoryStream[graft.schema.TradeRow](64)
       val faultKey = s"e2e_restart|$db"
       graft.streaming.TransientFault.arm(faultKey, 1)
       val batches = rows.grouped(math.max(50000, rows.length / 4 + 1)).toSeq

@@ -117,8 +117,18 @@ object CandleStream {
     * item 6: this port ran at machine-parallelism shards while the exact
     * port ran key-sized, and the r11 bench showed it commit-bound —
     * state_commit 233.6 s vs the exact port's 1.7 s on the same feed, a
-    * 4× rows/s gap that is shard arithmetic, not operator cost). Batch
-    * frames never touch the session conf; pass 0 to opt a stream out.
+    * 4× rows/s gap that is shard arithmetic, not operator cost).
+    *
+    * CALLER-FACING BEHAVIOR CHANGE (round 12; flagged per r12 advice):
+    * with a STREAMING input and the default `expectedKeys`, this call now
+    * MUTATES the session-wide `spark.sql.shuffle.partitions` (via
+    * [[StreamTuning.sizeStateShards]], which also logs the change) —
+    * before round 12 it never touched the conf. In a mixed batch+stream
+    * session, set the conf back after `.start()` (a streaming query pins
+    * its shard count at first start; later conf changes don't affect it)
+    * or pass `expectedKeys = 0` to opt out. Batch frames never touch the
+    * session conf. This matches [[graft.streaming.SessionStream]]'s
+    * existing pattern.
     */
   def candlesWindowed(ticks: Dataset[Tick], delay: String,
       expectedKeys: Long = 256): org.apache.spark.sql.DataFrame = {

@@ -109,8 +109,15 @@ class E2eSpec extends SparkSuite {
       .sortBy(r => (r.time.getTime, r.time.getNanos, r.trade_no))
     val epochs = 3
     val perEpoch = 2
-    val batches = all.grouped(all.length / (epochs * perEpoch) + 1).toSeq
-    assert(batches.length == epochs * perEpoch)
+    // slice into EXACTLY epochs×perEpoch contiguous batches (round 13
+    // advice: `grouped(n/6 + 1)` yields 6 groups only for some corpus
+    // sizes — e.g. n=24 gives 5 — so the schedule silently broke if the
+    // fixture shrank or a smaller SF was gated)
+    val nBatches = epochs * perEpoch
+    assert(all.length >= nBatches)
+    val batches = (0 until nBatches).map(i =>
+      all.slice(i * all.length / nBatches, (i + 1) * all.length / nBatches)).toSeq
+    assert(batches.length == nBatches && batches.map(_.length).sum == all.length)
     val ms = MemoryStream[graft.schema.TradeRow](4)
     val faultKey = s"rebounce|$dbDir"
     graft.streaming.TransientFault.arm(faultKey, 1)

@@ -228,13 +228,89 @@ class SinksSpec extends SparkSuite {
       (4, "SEC04", 40.0)).toDF("id", "code", "px").repartition(2, col("id"))
     Sinks.jdbcBatchIdempotent(df2, url, "t", derbyProps, "sinkA", 5L)
     val df3 = df2.repartition(3, col("id"))
-    val e = intercept[org.apache.spark.SparkException] {
+    // the count check runs DRIVER-SIDE before any task (round 13 advice:
+    // partition transactions touch only their own claim row), so the
+    // IllegalStateException surfaces directly, not wrapped in a task failure
+    val e = intercept[IllegalStateException] {
       Sinks.jdbcBatchIdempotent(df3, url, "t", derbyProps, "sinkA", 5L)
     }
-    assert(Option(e.getMessage).getOrElse("").contains("not the same plan") ||
-      Option(e.getCause).exists(c =>
-        Option(c.getMessage).getOrElse("").contains("not the same plan")))
+    assert(Option(e.getMessage).getOrElse("").contains("not the same plan"))
     // the guard protected the table: still exactly the first write's rows
     assert(spark.read.jdbc(url, "t", derbyProps).count() == 4)
+  }
+
+  test("jdbcBatchIdempotent: a SAME-COUNT replay that redistributes rows " +
+      "between partitions fails loudly on the row-count ledger check") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val url = freshIdemDb()
+    val df = Seq((1, "SEC01", 10.0), (2, "SEC02", 20.0), (3, "SEC03", 30.0),
+      (4, "SEC04", 40.0)).toDF("id", "code", "px").repartition(2, col("id"))
+    val p0Count = df.rdd.mapPartitionsWithIndex { (i, it) =>
+      if (i == 0) it else Iterator.empty
+    }.count()
+    // simulate a prior attempt whose partition 0 committed a DIFFERENT
+    // number of rows (same n_parts = 2, so the count-drift guard passes —
+    // exactly the same-count redistribution case the r13 advice named)
+    val conn = java.sql.DriverManager.getConnection(url)
+    try conn.createStatement().executeUpdate(
+      s"""INSERT INTO ${Sinks.EpochLedgerTable}
+         |("sink_id", "batch_id", "part_id", "n_parts", "n_rows")
+         |VALUES ('sinkC', 12, 0, 2, ${p0Count + 1})""".stripMargin)
+    finally conn.close()
+    val e = intercept[org.apache.spark.SparkException] {
+      Sinks.jdbcBatchIdempotent(df, url, "t", derbyProps, "sinkC", 12L)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("different row distribution")))
+    // a MATCHING committed row count skips silently (the legitimate replay)
+    val conn2 = java.sql.DriverManager.getConnection(url)
+    try conn2.createStatement().executeUpdate(
+      s"""UPDATE ${Sinks.EpochLedgerTable} SET "n_rows" = $p0Count
+         |WHERE "sink_id" = 'sinkC' AND "part_id" = 0""".stripMargin)
+    finally conn2.close()
+    Sinks.jdbcBatchIdempotent(df, url, "t", derbyProps, "sinkC", 12L)
+    // only the unclaimed partition's rows landed
+    assert(spark.read.jdbc(url, "t", derbyProps).count() == 4 - p0Count)
+  }
+
+  test("jdbcStreamAppendIdempotent: opt-in periodic prune keeps the ledger " +
+      "bounded by the retention horizon across a long replay") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("derby_pr").toString
+    val url = s"jdbc:derby:$root/pr;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try conn.createStatement().executeUpdate(
+      """CREATE TABLE t ("id" INT, "code" VARCHAR(8), "px" DOUBLE)""")
+    finally conn.close()
+    Sinks.ensureEpochLedger(url, derbyProps)
+    val ms = MemoryStream[(Int, String, Double)](2)
+    val q = Sinks.jdbcStreamAppendIdempotent(
+      ms.toDS().toDF("id", "code", "px"), url, "t", derbyProps,
+      s"$root/ck", "pr_sink", pruneEvery = 2, minBatchesToRetain = 3)
+    try {
+      (0 until 12).foreach { b =>
+        ms.addData((1 to 10).map(i => (b * 100 + i, f"B$b%02d", i * 1.0)))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // every row landed exactly once — pruning never touches data
+    val back = spark.read.jdbc(url, "t", derbyProps)
+    assert(back.count() == 120)
+    assert(back.select("id").distinct().count() == 120)
+    // last prune fired at batch 10 (10 % 2 == 0, 10 > 3) dropping claims
+    // below 10 - 3 = 7: the ledger holds exactly batches 7..11 — O(retained
+    // batches × partitions), not O(stream lifetime)
+    val ledger = spark.read.jdbc(url, Sinks.EpochLedgerTable, derbyProps)
+      .filter(col("sink_id") === "pr_sink")
+    val batchIds = ledger.select("batch_id").as[Long].collect().toSeq
+    assert(batchIds.min == 7 && batchIds.max == 11)
+    val nParts = ledger.select("n_parts").as[Int].collect().head
+    assert(ledger.count() == 5L * nParts)
   }
 }
