@@ -119,6 +119,11 @@ object Bench {
     //     job-group cleanup after q.stop() and the DELIBERATE supervised
     //     kills (a19/e2e restart lineages)
     //   injected transient wire fault — the armed fault itself
+    //   Block already exists / Error deleting blockmgr temp — storage
+    //     races: a cached partition recomputed by two tasks, and shuffle
+    //     temp cleanup overlapping the a19 DELIBERATE stream kill
+    //   Truncated the string representation of a plan — plan-print
+    //     truncation notice (wide 28-col parses), display-only
     val benignWarnClasses = Seq(
       "Broadcasting large task binary",
       "Asked to cache already cached data",
@@ -126,7 +131,10 @@ object Bench {
       "Disabling AQE since AQE is not supported in stateful",
       "Cannot find active jobs",
       "TaskKilled (Stage cancelled",
-      "injected transient wire fault")
+      "injected transient wire fault",
+      "already exists on this machine; not re-adding it",
+      "/blockmgr-",
+      "Truncated the string representation of a plan")
     def isExpectedWarn(qKey: String, msg: String): Boolean =
       (msg.contains(UnpartitionedWindowMsg) && expectedUnpartitioned(qKey)) ||
         benignWarnClasses.exists(msg.contains)

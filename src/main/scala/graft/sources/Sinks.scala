@@ -332,8 +332,11 @@ object Sinks {
   // ---- exactly-once JDBC streaming sink (round 12, r11 verdict item 1) ----
 
   /** The epoch ledger behind [[jdbcStreamAppendIdempotent]]. One row per
-    * committed (sink, micro-batch, partition); its PRIMARY KEY is what
-    * turns a replayed micro-batch into a no-op.
+    * committed (sink, micro-batch, partition) plus one MARKER row per
+    * (sink, micro-batch) at part_id = -1 registering the batch's
+    * partition count (the enforced drift guard — see
+    * [[jdbcBatchIdempotent]]); the PRIMARY KEY is what turns a replayed
+    * micro-batch into a no-op.
     */
   val EpochLedgerTable = "graft_stream_epochs"
 
@@ -411,12 +414,16 @@ object Sinks {
     * replayed micro-batch (same source offsets, same plan). The guard is
     * two-level (round 13, r12 verdict item 5 + advice):
     *
-    *  - partition-COUNT drift is checked ONCE on the driver before any
-    *    task runs (a replay re-planned under a different shuffle conf
-    *    fails loudly instead of skipping rows one partitioning never
-    *    wrote). Driver-side so partition transactions touch only their
-    *    OWN claim row — the per-partition SELECT this replaces could
-    *    block on another task's uncommitted claim under lock-based
+    *  - partition-COUNT drift is ENFORCED once on the driver before any
+    *    task runs: the batch's partition count is REGISTERED as a marker
+    *    claim (part_id = -1) keyed (sink, batch). The first attempt's
+    *    insert wins; every later — or CONCURRENT: split-brain drivers
+    *    serialize on the ledger PRIMARY KEY, so this is a guarantee, not
+    *    an assumption — attempt reads the committed marker and fails
+    *    loudly on a mismatch instead of skipping rows one partitioning
+    *    never wrote. Driver-side also means partition transactions touch
+    *    only their OWN claim row — the per-partition SELECT this replaced
+    *    could block on another task's uncommitted claim under lock-based
     *    stores and serialize the batch;
     *  - same-count REDISTRIBUTION (nondeterministic upstream, an
     *    AQE-replanned batch moving rows between equally-many partitions)
@@ -424,19 +431,9 @@ object Sinks {
     *    partition's ROW COUNT, and the skip path recounts the replayed
     *    partition and fails loudly on a mismatch. A redistribution that
     *    preserves every per-partition count is not detected — the guard
-    *    validates counts, not content; content determinism remains the
-    *    documented assumption below.
-    *
-    * SINGLE-DRIVER ASSUMPTION: attempts at a batch are SERIAL — the
-    * Structured Streaming model (one driver, restart-after-failure), under
-    * which the driver-side count check always sees the prior attempt's
-    * committed claims. Two split-brain drivers replaying the same batch
-    * CONCURRENTLY under different partition counts could each pass the
-    * check before the other commits; run one driver per (sinkId,
-    * checkpoint), which Structured Streaming's checkpoint lock already
-    * enforces everywhere short of a misconfigured manual replay.
-    * Same-plan speculative tasks remain safe at any concurrency: they
-    * serialize on the ledger PK and the loser rolls back.
+    *    validates counts, not content; content determinism across replays
+    *    of the same plan remains the (Structured-Streaming-given)
+    *    assumption.
     *
     * The claim row is inserted FIRST inside the transaction: two racing
     * attempts at the same partition serialize on the ledger PK, the loser
@@ -457,31 +454,44 @@ object Sinks {
       import scala.jdk.CollectionConverters._
       props.stringPropertyNames().asScala.map(k => k -> props.getProperty(k)).toMap
     }
-    // partitioning-drift guard, DRIVER-SIDE (scaladoc above): a prior
-    // attempt's claims for this batch must have been made under the SAME
-    // partition count, else the part_id -> rows mapping is incomparable
-    // and skipping would lose data. Read committed claims only (any
-    // prior attempt either committed its transaction or rolled it back).
+    // partitioning-drift guard, DRIVER-SIDE and ENFORCED (scaladoc above):
+    // register this batch's partition count as a marker claim
+    // (part_id = -1) before any partition task runs — autocommitted, so
+    // the first registration is immediately visible; a later or
+    // concurrent attempt whose insert loses on the PRIMARY KEY reads the
+    // committed marker and must match it
     locally {
       val conn = java.sql.DriverManager.getConnection(url, props)
       try {
-        val chk = conn.prepareStatement(
-          s"""SELECT MAX("n_parts") FROM $EpochLedgerTable
-             |WHERE "sink_id" = ? AND "batch_id" = ?""".stripMargin)
-        try {
-          chk.setString(1, sinkId)
-          chk.setLong(2, batchId)
-          val rs = chk.executeQuery()
-          if (rs.next()) {
-            val prior = rs.getInt(1)
-            if (!rs.wasNull() && prior != nParts)
+        val ins = conn.prepareStatement(
+          s"""INSERT INTO $EpochLedgerTable ("sink_id", "batch_id", "part_id", "n_parts")
+             |VALUES (?, ?, -1, ?)""".stripMargin)
+        val registered =
+          try {
+            ins.setString(1, sinkId)
+            ins.setLong(2, batchId)
+            ins.setInt(3, nParts)
+            ins.executeUpdate()
+            true
+          } catch {
+            case e: java.sql.SQLException if e.getSQLState == "23505" => false
+          } finally ins.close()
+        if (!registered) {
+          val chk = conn.prepareStatement(
+            s"""SELECT "n_parts" FROM $EpochLedgerTable
+               |WHERE "sink_id" = ? AND "batch_id" = ? AND "part_id" = -1""".stripMargin)
+          try {
+            chk.setString(1, sinkId)
+            chk.setLong(2, batchId)
+            val rs = chk.executeQuery()
+            if (rs.next() && rs.getInt(1) != nParts)
               throw new IllegalStateException(
                 s"jdbcBatchIdempotent: batch $batchId of sink '$sinkId' was " +
-                  s"previously claimed under $prior partitions but " +
-                  s"replayed with $nParts — the replay is not the same plan; " +
-                  "refusing to skip/write against an incomparable ledger")
-          }
-        } finally chk.close()
+                  s"previously registered under ${rs.getInt(1)} partitions " +
+                  s"but replayed with $nParts — the replay is not the same " +
+                  "plan; refusing to skip/write against an incomparable ledger")
+          } finally chk.close()
+        }
       } finally conn.close()
     }
     df.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>

@@ -310,7 +310,31 @@ class SinksSpec extends SparkSuite {
       .filter(col("sink_id") === "pr_sink")
     val batchIds = ledger.select("batch_id").as[Long].collect().toSeq
     assert(batchIds.min == 7 && batchIds.max == 11)
+    // per batch: one claim per partition + the part_id = -1 count marker
     val nParts = ledger.select("n_parts").as[Int].collect().head
-    assert(ledger.count() == 5L * nParts)
+    assert(ledger.count() == 5L * (nParts + 1))
+  }
+
+  test("jdbcBatchIdempotent: the drift guard is ENFORCED via the batch " +
+      "marker — a pre-registered different count fails BEFORE any task") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val url = freshIdemDb()
+    // a concurrent (split-brain) driver registered batch 20 under 5
+    // partitions — the marker's PK is what serializes the two drivers
+    val conn = java.sql.DriverManager.getConnection(url)
+    try conn.createStatement().executeUpdate(
+      s"""INSERT INTO ${Sinks.EpochLedgerTable}
+         |("sink_id", "batch_id", "part_id", "n_parts")
+         |VALUES ('sinkD', 20, -1, 5)""".stripMargin)
+    finally conn.close()
+    val df = Seq((1, "SEC01", 10.0), (2, "SEC02", 20.0))
+      .toDF("id", "code", "px").repartition(2, col("id"))
+    val e = intercept[IllegalStateException] {
+      Sinks.jdbcBatchIdempotent(df, url, "t", derbyProps, "sinkD", 20L)
+    }
+    assert(Option(e.getMessage).getOrElse("").contains("not the same plan"))
+    // nothing ran, nothing landed
+    assert(spark.read.jdbc(url, "t", derbyProps).count() == 0)
   }
 }
