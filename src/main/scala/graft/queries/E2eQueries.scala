@@ -242,6 +242,65 @@ object E2eQueries {
   private[graft] def readRestartStore(spark: SparkSession, dir: String): Map[String, DataFrame] =
     readStoreFrom(spark, ingestRestart(spark, dir))
 
+  private val prunedIngested =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** The DEPLOYED configuration of the exactly-once sink (round 13, r12
+    * verdict item 6 made end-to-end): [[graft.sources.Sinks.jdbcStreamAppendIdempotent]]
+    * with periodic ledger pruning enabled (pruneEvery = 2,
+    * minBatchesToRetain = 2) over a 10-micro-batch wire-ordered feed.
+    * SinksSpec pins the prune mechanics; this lineage puts the SAME
+    * configuration under the driver's cross-engine gate — a green panel
+    * means pruning deleted nothing a replay could need and the streamed
+    * store is row-identical to the parquet twin — and REQUIREs the
+    * ledger ends horizon-bounded (the deployed-sink memory claim):
+    * after the batch-8 prune (drop below 6), exactly batches 6..9 remain
+    * at one data claim + one count marker each.
+    */
+  private def ingestPruned(spark: SparkSession, dir: String): String = {
+    val db = graft.sources.Scratch.dir(
+      s"e2e_jdbc_pruned|${spark.sparkContext.applicationId}|$dir")
+    val url = s"jdbc:derby:$db/e2epruned;create=true"
+    prunedIngested.computeIfAbsent(db, _ => {
+      resetStore(s"$db/e2epruned", s"$db/ck")
+      createTables(url, dropFirst = true)
+      graft.sources.Sinks.ensureEpochLedger(url, connProps())
+      graft.sources.Sinks.jdbcAppend(
+        securities(spark, dir), url, "transaq_securities", connProps())
+      import spark.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val rows = wireOrderedTrades(spark, dir)
+      val ms = MemoryStream[graft.schema.TradeRow](64)
+      val q = graft.sources.Sinks.jdbcStreamAppendIdempotent(
+        ms.toDS().repartition(1), url, "transaq_trades", connProps(),
+        s"$db/ck", "e2e_pruned_trades", pruneEvery = 2, minBatchesToRetain = 2)
+      try {
+        // exactly 10 contiguous micro-batches at any SF (the rebounce
+        // slicing discipline — `grouped` yields 10 only for some sizes)
+        val nB = 10
+        (0 until nB).foreach { i =>
+          ms.addData(rows.slice(i * rows.length / nB,
+            (i + 1) * rows.length / nB).toSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      val conn = java.sql.DriverManager.getConnection(url)
+      try {
+        val rs = conn.createStatement().executeQuery(
+          s"""SELECT MIN("batch_id"), MAX("batch_id"), COUNT(*)
+             |FROM ${graft.sources.Sinks.EpochLedgerTable}""".stripMargin)
+        rs.next()
+        val (lo, hi, n) = (rs.getLong(1), rs.getLong(2), rs.getLong(3))
+        require(lo == 6 && hi == 9 && n == 8,
+          s"pruned ledger not horizon-bounded: batches [$lo, $hi], $n rows " +
+            "(expected [6, 9] at 2 rows per batch: one claim + one marker)")
+      } finally conn.close()
+      java.lang.Boolean.TRUE
+    })
+    url
+  }
+
   private def readStoreFrom(spark: SparkSession, url: String): Map[String, DataFrame] = {
     val props = connProps()
     val conn = java.sql.DriverManager.getConnection(url)
@@ -313,11 +372,22 @@ object E2eQueries {
   )((s, d) => runPanelOver(s, readRestartStore(s, d), 4,
     "toStartOfInterval(time"))
 
+  /** GD:2322 (IMOEX net interest, the NOT-IN-ETF panel) over the PRUNED
+    * exactly-once store: the deployed sink configuration — idempotent
+    * claims + periodic ledger retention — held to the same DuckDB twin as
+    * ch_q13; the ingest lineage additionally REQUIREs the ledger ends
+    * horizon-bounded ([[ingestPruned]]).
+    */
+  val e2eJdbcPruned = QueryDef.sql("e2e_jdbc_pruned",
+    ChQueries.chQ13.oracle.get
+  )((s, d) => runPanelOver(s, readStoreFrom(s, ingestPruned(s, d)), 12,
+    "not in [$sec_code_etf]", "toStartOfInterval(time,"))
+
   /** Same dashboard-JSON guard as [[ChQueries.all]] — the entries read
     * the panels' rawSql from the reference checkout at runtime.
     */
   def all: Seq[QueryDef] =
     if (!new java.io.File(ChDashboard.path).isFile) Seq.empty
     else Seq(e2eDashboardJdbc, e2eDashboardJdbcNetto, e2eDashboardJdbcCodes,
-      e2eJdbcRestart)
+      e2eJdbcRestart, e2eJdbcPruned)
 }

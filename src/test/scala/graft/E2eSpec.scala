@@ -92,6 +92,18 @@ class E2eSpec extends SparkSuite {
     assert(t.select("trade_no").distinct().count() == expected)
   }
 
+  test("pruned lineage: the exactly-once sink with periodic ledger " +
+      "retention reproduces the panel from a horizon-bounded ledger") {
+    assume(new java.io.File(graft.ch.ChDashboard.path).isFile)
+    // the entry's own ingest REQUIREs the ledger ends at batches [6, 9]
+    // with one claim + one marker each — running it IS the boundedness
+    // assertion; the panel equality pins that pruning lost nothing
+    val viaPruned = rows(E2eQueries.e2eJdbcPruned.fn(spark, dir))
+    val viaParquet = rows(ChQueries.chQ13.fn(spark, dir))
+    assert(viaPruned.nonEmpty)
+    assert(viaPruned == viaParquet)
+  }
+
   test("rebounce: scheduled multi-epoch stop/start ingest with a mid-epoch " +
       "kill lands the exact row set (r11 verdict item 8)") {
     import spark.implicits._
