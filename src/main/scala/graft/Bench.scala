@@ -94,7 +94,20 @@ object Bench {
     // loudly on stderr, in the full artifact's `unexpected_warns` map, and
     // in the compact line's `n_unexpected_warn_classes` counter — a
     // nonzero count is the "something changed" signal.
-    val currentKey = new java.util.concurrent.atomic.AtomicReference[String]("startup")
+    val currentKeyRef = new java.util.concurrent.atomic.AtomicReference[String]("startup")
+    // WARN attribution races the key handoff (round 14 advice): an event
+    // from an executor/streaming thread can land AFTER currentKey advanced
+    // to the next entry, mis-attributing a whitelisted unpartitioned-window
+    // WARN to its alphabetical neighbor — a flaky false alarm in the
+    // asserted tail. Keep the PREVIOUS key too and accept either
+    // attribution for the per-key-gated class (still far narrower than
+    // whitelisting the class on message alone: only the adjacent key can
+    // absorb a stray event).
+    val previousKeyRef = new java.util.concurrent.atomic.AtomicReference[String]("startup")
+    object currentKey {
+      def set(n: String): Unit = previousKeyRef.set(currentKeyRef.getAndSet(n))
+      def get(): String = currentKeyRef.get()
+    }
     val warnCounts = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
     val UnpartitionedWindowMsg = "No Partition Defined for Window operation"
     // The adjudicated BOUNDED serial steps (each with a source comment
@@ -135,8 +148,9 @@ object Bench {
       "already exists on this machine; not re-adding it",
       "/blockmgr-",
       "Truncated the string representation of a plan")
-    def isExpectedWarn(qKey: String, msg: String): Boolean =
-      (msg.contains(UnpartitionedWindowMsg) && expectedUnpartitioned(qKey)) ||
+    def isExpectedWarn(qKey: String, prevKey: String, msg: String): Boolean =
+      (msg.contains(UnpartitionedWindowMsg) &&
+        (expectedUnpartitioned(qKey) || expectedUnpartitioned(prevKey))) ||
         benignWarnClasses.exists(msg.contains)
     try {
       import org.apache.logging.log4j.{Level, LogManager}
@@ -150,7 +164,7 @@ object Bench {
           if (event.getLevel == Level.WARN) {
             val msg = Option(event.getMessage).map(_.getFormattedMessage).getOrElse("")
             val k = currentKey.get()
-            if (!isExpectedWarn(k, msg)) {
+            if (!isExpectedWarn(k, previousKeyRef.get(), msg)) {
               val cls = msg.replaceAll("\\s+", " ").take(100)
               warnCounts.merge(s"$k :: ${event.getLoggerName} :: $cls", 1L,
                 (a, b) => a + b)
@@ -273,6 +287,56 @@ object Bench {
     // end of the lane (round-8 ADVICE: bench_ck dirs accumulated per run),
     // and every query is stopped in a finally so a mid-measurement failure
     // can no longer leave a stream running until JVM exit.
+    // Lane sanity (round 7, r6 verdict item 3): warm is the same work as
+    // cold minus scan/derivation, so warm > cold + ε means the measurement
+    // itself is suspect (cache eviction between a key's reps, GC luck).
+    // ε absorbs benign jitter on sub-second keys.
+    def inverted(w: Double, c: Double): Boolean = w > c + math.max(0.25, 0.15 * c)
+    // Self-healing (round 8, r7 verdict item 2): every probed inversion so
+    // far (the r6 four, the r7 BPE pair, InversionProbe on the r7 driver
+    // pair) was a measurement artifact — a pause spanning BOTH adjacent
+    // reps on a shared machine. So instead of flag-and-probe-next-round,
+    // give a flagged key one extra cache-cleared adjacent rep pair NOW and
+    // report the overall min. Healed keys keep their original value in a
+    // `reprobes` map for accountability; a key still inverted after four
+    // reps is a real anomaly and stays in `inversions` as reprobed.
+    // MOVED before the streaming lane (round 14, r13 verdict item 2): the
+    // reprobe used to run LAST, after the streaming section had left its
+    // residue in the JVM (state-store maintenance threads, stopped-query
+    // teardown, the collected replay arrays' GC debt) — so a flagged key's
+    // second chance ran in a strictly worse environment than the cold reps
+    // it was compared against, and borderline keys could never heal. The
+    // reprobe now runs in the SAME environment as the cold lane it is
+    // checked against.
+    val firstPass = times.collect {
+      case (n, w) if coldTimes.get(n).exists(c => inverted(w, c)) => n -> w
+    }
+    val reprobes = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
+    for ((n, w0) <- firstPass) {
+      currentKey.set(n)
+      try {
+        graft.fixtures.Fixtures.clearDerivedCache(spark)
+        val reps = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          exec(SparkEntry.queries(n), sfDir)
+          (System.nanoTime() - t0) / 1e9
+        }
+        val healed = math.min(w0, reps.min)
+        times(n) = healed
+        reprobes(n) = (w0, healed)
+      } catch { case _: Throwable => () } // keep the original flag on failure
+    }
+    val inversions = times.collect {
+      case (n, w) if coldTimes.get(n).exists(c => inverted(w, c)) =>
+        n -> (w, coldTimes(n))
+    }
+    if (inversions.nonEmpty)
+      System.err.println(s"[bench] warm>cold inversions PERSISTING after reprobe: " +
+        inversions.map { case (n, (w, c)) => f"$n w=$w%.2f c=$c%.2f" }.mkString(", "))
+    if (reprobes.nonEmpty)
+      System.err.println(s"[bench] reprobed flagged keys: " +
+        reprobes.map { case (n, (w0, w1)) => f"$n $w0%.2f->$w1%.2f" }.mkString(", "))
+
     val ckRoot = java.nio.file.Files.createTempDirectory("bench_ck")
     currentKey.set("streaming")
     val streamingJson: String = try {
@@ -342,15 +406,27 @@ object Bench {
       // single-rep: they exist as comparisons against their base lane,
       // not as tracked numbers, and doubling them would add minutes of
       // replay for no tracked signal.
+      // Round 14 (r13 verdict item 3): the multi-pass anchor discipline
+      // now covers the lanes too — SPARK_GRAFT_WARM_PASSES > 1 runs each
+      // HEADLINE lane that many times and commits every pass's rows/s
+      // plus the cross-pass spread (`rps_passes`/`rps_spread`), so a
+      // lane-wide movement like the r12→r13 10–33% dip is attributable
+      // against a measured per-lane variance band, exactly as warm keys
+      // already are.
       def best2(mk: => String): String = {
-        val a = mk; val b = mk
+        val reps = (1 to math.max(2, warmPasses)).map(_ => mk)
         def rps(s: String): Long =
           "\"rows_per_sec\":(\\d+)".r.findFirstMatchIn(s)
             .map(_.group(1).toLong).getOrElse(0L)
-        val (best, other) = if (rps(a) >= rps(b)) (a, b) else (b, a)
-        if (best.endsWith("}"))
-          best.dropRight(1) + s""","rps_other_rep":${rps(other)}}"""
-        else best
+        val vals = reps.map(rps)
+        val best = reps.maxBy(rps)
+        val other = vals.sorted(Ordering[Long].reverse).drop(1).headOption.getOrElse(0L)
+        if (best.endsWith("}")) {
+          val spread = if (warmPasses > 1)
+            s""","rps_passes":[${vals.mkString(",")}],"rps_spread":${vals.max - vals.min}"""
+          else ""
+          best.dropRight(1) + s""","rps_other_rep":$other$spread}"""
+        } else best
       }
 
       // shufflePartitions: a streaming query's STATE SHARD COUNT is fixed
@@ -678,48 +754,6 @@ object Bench {
           .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
       } catch { case _: Throwable => () }
     }
-
-    // Lane sanity (round 7, r6 verdict item 3): warm is the same work as
-    // cold minus scan/derivation, so warm > cold + ε means the measurement
-    // itself is suspect (cache eviction between a key's reps, GC luck).
-    // ε absorbs benign jitter on sub-second keys.
-    def inverted(w: Double, c: Double): Boolean = w > c + math.max(0.25, 0.15 * c)
-    // Self-healing (round 8, r7 verdict item 2): every probed inversion so
-    // far (the r6 four, the r7 BPE pair, InversionProbe on the r7 driver
-    // pair) was a measurement artifact — a pause spanning BOTH adjacent
-    // reps on a shared machine. So instead of flag-and-probe-next-round,
-    // give a flagged key one extra cache-cleared adjacent rep pair NOW and
-    // report the overall min. Healed keys keep their original value in a
-    // `reprobes` map for accountability; a key still inverted after four
-    // reps is a real anomaly and stays in `inversions` as reprobed.
-    val firstPass = times.collect {
-      case (n, w) if coldTimes.get(n).exists(c => inverted(w, c)) => n -> w
-    }
-    val reprobes = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
-    for ((n, w0) <- firstPass) {
-      currentKey.set(n)
-      try {
-        graft.fixtures.Fixtures.clearDerivedCache(spark)
-        val reps = (1 to 2).map { _ =>
-          val t0 = System.nanoTime()
-          exec(SparkEntry.queries(n), sfDir)
-          (System.nanoTime() - t0) / 1e9
-        }
-        val healed = math.min(w0, reps.min)
-        times(n) = healed
-        reprobes(n) = (w0, healed)
-      } catch { case _: Throwable => () } // keep the original flag on failure
-    }
-    val inversions = times.collect {
-      case (n, w) if coldTimes.get(n).exists(c => inverted(w, c)) =>
-        n -> (w, coldTimes(n))
-    }
-    if (inversions.nonEmpty)
-      System.err.println(s"[bench] warm>cold inversions PERSISTING after reprobe: " +
-        inversions.map { case (n, (w, c)) => f"$n w=$w%.2f c=$c%.2f" }.mkString(", "))
-    if (reprobes.nonEmpty)
-      System.err.println(s"[bench] reprobed flagged keys: " +
-        reprobes.map { case (n, (w0, w1)) => f"$n $w0%.2f->$w1%.2f" }.mkString(", "))
 
     def jstr(s: String): String =
       "\"" + s.flatMap {

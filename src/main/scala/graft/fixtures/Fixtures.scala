@@ -156,6 +156,14 @@ object Fixtures {
     // lifetime of the app. Clearing the memo makes the next access
     // rebuild AND re-mark, restoring the documented warm-lane state.
     dimCache.clear()
+    // Blocking release (round 14, r13 verdict items 2/6): catalog
+    // .clearCache() unpersists every cached plan NON-blocking — the
+    // storage blocks of the PREVIOUS key's caches are still being torn
+    // down while the next key's reps run, and that async churn (block-
+    // manager removal + the GC of freed pages) lands inside the warm
+    // lane's timed window. Unpersist the registered RDDs blocking FIRST
+    // so a clear actually returns with storage memory released.
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
     spark.catalog.clearCache()
   }
 

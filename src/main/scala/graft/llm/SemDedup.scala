@@ -74,7 +74,18 @@ object SemDedup {
       s"maxClusterSize ($maxClusterSize) must be >= targetClusterSize ($targetClusterSize)")
     val n = emb.count()
     val k = chooseK(n, targetClusterSize)
-    val assigned = Ivf.assign(emb, Ivf.initCent(emb, k, 0), k)
+    // K grows with the corpus here (≈ N/target), so the flat O(N·K)
+    // assignment is FLOP-quadratic in N — the one shape the r13 audit
+    // flagged. assignHier is the two-level replacement (round 14):
+    // O(N·√K) dots, exact-equal below Ivf.HierMinK, nprobe=1 approximate
+    // above it with the oracle stating the same algorithm — see
+    // [[Ivf.assignHier]]; contract pinned in SemDedupSpec, measured
+    // flop/time ratio in IvfHierProbe. CACHED because the guard logic
+    // below consumes it from several branches (sizes, flagged, the split
+    // path) — N (vec_id, cent_id) rows, ~16 B/row, the entry-internal
+    // session-scoped class of the r14 cache audit; without it every
+    // branch re-runs the two-level chain.
+    val assigned = Ivf.assignHier(emb, Ivf.initCent(emb, k, 0), k).cache()
     val sizes = assigned.groupBy("cent_id").agg(count(lit(1)).as("sz"))
     // sizes is K rows — broadcastable by chooseK's cap
     val flagged = assigned.join(broadcast(sizes), "cent_id")

@@ -3232,32 +3232,36 @@ object LlmQueries {
     * full sf0.1 gate caught the r6 static-K=16 twin diverging at N = 2050,
     * where `chooseK` = 59): `chooseK(n, target) = max(4, min(⌈n/target⌉,
     * 2^20))` is pure integer arithmetic both engines state identically
-    * (the adaptiveBits discipline), the codebook CTE seeds vec_id < K, and
-    * the packed assignment key multiplies by the derived K — so the twin
-    * now holds at EVERY SF, not just where K happens to equal 16. On the
-    * twinned fixture no cluster exceeds the 550 bound at any shipped SF,
-    * so the guarded output equals the plain assignment mapped to refined
-    * keys (`cent_id·64`, no splits, nothing capped) — and if a future
-    * fixture DID trip a split/cap, the Spark side would emit split/capped
-    * rows the oracle doesn't state: a loud value failure, never a silent
-    * one. The guard-FIRING paths (split, cap, zero-norm reserve) stay
-    * pinned by SemDedupSpec on a skewed fixture.
+    * (the adaptiveBits discipline), the codebook CTE seeds vec_id < K —
+    * so the twin holds at EVERY SF, not just where K happens to equal 16.
+    *
+    * Round 14 (r13 verdict item 1): the assignment itself is now the
+    * TWO-LEVEL [[graft.llm.Ivf.assignHier]] — O(N·√K) dots instead of the
+    * FLOP-quadratic O(N·K) flat argmax — and the oracle states the SAME
+    * two-level algorithm ([[graft.llm.Ivf.hierAssignCtesSql]]: G from
+    * [[graft.llm.Ivf.hierGSql]], coarse codebook Lloyd-trained on the
+    * centroid table, live-cell coarse argmax, fine argmax within), so the
+    * cross-engine hash holds on BOTH branches: the degenerate G = K one
+    * (≡ flat; sf0.001/sf0.01, K = 4/16) and the trained G = ⌈√K⌉ one
+    * (sf0.1, K = 59 ≥ HierMinK = 32). On the twinned fixture no cluster
+    * exceeds the 550 bound at any shipped SF, so the guarded output
+    * equals the assignment mapped to refined keys (`cent_id·64`, no
+    * splits, nothing capped) — and if a future fixture DID trip a
+    * split/cap, the Spark side would emit split/capped rows the oracle
+    * doesn't state: a loud value failure, never a silent one. The
+    * guard-FIRING paths (split, cap, zero-norm reserve) stay pinned by
+    * SemDedupSpec on a skewed fixture.
     */
   val semDedupGuarded = QueryDef.sql(
     "llm_semdedup_guarded", {
-      val assignCos = Embed.cosineSql(Embed.dotSql("cqv", "qv"), "cnrm", "nrm")
       s"""WITH ${graft.fixtures.Fixtures.embeddingsNearDupCte},
          |emb AS (${Embed.preparedSqlFrom("emb_nd")}),
          |kk AS (SELECT GREATEST(4, LEAST((COUNT(*) + ${GuardedTarget - 1}) // $GuardedTarget,
          |                                1048576)) AS k FROM emb),
          |cent AS (SELECT CAST(vec_id AS INT) AS cent_id, qv AS cqv, nrm AS cnrm
          |         FROM emb WHERE vec_id >= 0 AND vec_id < (SELECT k FROM kk)),
-         |keyed AS (SELECT vec_id, cent_id,
-         |      CAST(floor(ccos * 1099511627776) AS BIGINT) * (SELECT k FROM kk)
-         |        + ((SELECT k FROM kk) - 1 - cent_id) AS ck FROM (
-         |    SELECT vec_id, cent_id, $assignCos AS ccos FROM emb, cent
-         |    WHERE nrm > 0 AND cnrm > 0) s0),
-         |assign AS (SELECT vec_id, arg_max(cent_id, ck) AS cent_id FROM keyed GROUP BY vec_id)
+         |${Ivf.hierGSql},
+         |${Ivf.hierAssignCtesSql}
          |SELECT vec_id, cluster_key, split, capped FROM (
          |  SELECT vec_id,
          |    CAST(cent_id AS BIGINT) * ${graft.llm.SemDedup.SubCap} AS cluster_key,

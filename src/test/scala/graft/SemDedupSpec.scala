@@ -110,6 +110,78 @@ class SemDedupSpec extends SparkSuite {
     assert(verdicts(108L) == ((-1L, -1L, false)))
   }
 
+  /** Parity pins for the round-14 two-level assignment
+    * ([[graft.llm.Ivf.assignHier]], r13 verdict item 1): BELOW
+    * [[graft.llm.Ivf.HierMinK]] the two-level plan sets G = K and must
+    * return ROW-IDENTICAL output to the flat N×K argmax (the degenerate
+    * branch both the driver gate at sf0.001/sf0.01 and these fixtures
+    * exercise against the two-level DuckDB twin).
+    */
+  private def assertHierParity(e: org.apache.spark.sql.DataFrame, k: Int): Unit = {
+    val flat = graft.llm.Ivf.assign(e, graft.llm.Ivf.initCent(e, k, 0), k)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    val hier = graft.llm.Ivf.assignHier(e, graft.llm.Ivf.initCent(e, k, 0), k)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    assert(hier == flat, s"hier/flat assignment diverged at K=$k")
+  }
+
+  test("assignHier ≡ assign below HierMinK on the skewed fixture — identical " +
+      "vectors merge direction-preservingly") {
+    // the 52 identical d2 vectors tie EVERY cosine: they merge into one
+    // coarse cell whose trained mean is the same vector, and the fine
+    // stage resolves with the global packed key — flat-identical
+    assertHierParity(emb, SemDedup.chooseK(109, 25))
+  }
+
+  test("assignHier ≡ assign below HierMinK on the real embedding fixture") {
+    graft.expr.GraftFunctions.register(spark)
+    val real = graft.llm.Embed.prepared(
+      graft.fixtures.Fixtures.embeddings(spark, "/root/testdata/sf0.001")).cache()
+    for (k <- Seq(4, 16, 23)) assertHierParity(real, k)
+    real.unpersist()
+  }
+
+  test("assignHier above HierMinK: deterministic, total, valid cells, and " +
+      "near-dup twins CO-ASSIGN like flat (the contract that matters for dedup)") {
+    graft.expr.GraftFunctions.register(spark)
+    // sf0.1 near-dup fixture: the oracled entry's own corpus shape at the
+    // SF where K = chooseK ≥ HierMinK = 32 selects the trained branch
+    val real = graft.llm.Embed.prepared(
+      graft.fixtures.Fixtures.embeddingsNearDup(spark, "/root/testdata/sf0.1")).cache()
+    val n = real.count()
+    val k = SemDedup.chooseK(n, 35)
+    assert(k >= graft.llm.Ivf.HierMinK, s"fixture regressed below the trained branch: K=$k")
+    val cent = graft.llm.Ivf.initCent(real, k, 0)
+    def run() = graft.llm.Ivf.assignHier(real, cent, k)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    val a = run()
+    // deterministic: two plans, same result
+    assert(a == run(), "two-level assignment must be deterministic")
+    // total: every nonzero-norm vector assigned exactly once, to a valid cell
+    val nValid = real.filter(col("nrm") > 0).count()
+    assert(a.length == nValid, s"expected $nValid assignments, got ${a.length}")
+    assert(a.map(_._1).distinct.length == a.length)
+    assert(a.forall(x => x._2 >= 0 && x._2 < k))
+    // THE semdedup contract: the planted cos≈0.99 twins (vec v twinned as
+    // v+100000 for v < 50) land in the SAME cell. A boundary vector and
+    // its twin drift TOGETHER under nprobe=1 (their coarse scores are
+    // near-identical), so co-assignment must track the flat argmax's —
+    // per-vector cell agreement with flat is NOT the contract and may be
+    // low on an isotropic corpus (info'd for the record).
+    val hierMap = a.toMap
+    val flat = graft.llm.Ivf.assign(real, cent, k)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    def coAssign(m: Map[Long, Int]): Int =
+      (0L until 50L).count(v => m.get(v).exists(c => m.get(v + 100000L).contains(c)))
+    val (coH, coF) = (coAssign(hierMap), coAssign(flat))
+    val agree = a.count { case (v, c) => flat(v) == c }
+    info(f"K=$k: twin co-assignment hier=$coH/50 flat=$coF/50, " +
+      f"per-vector flat agreement $agree/${a.length}")
+    assert(coH >= coF - 2,
+      s"two-level broke twin co-assignment: $coH/50 vs flat $coF/50")
+    real.unpersist()
+  }
+
   test("guardedPairs covers the split clusters and excludes the capped quadratic") {
     val pairs = SemDedup.guardedPairs(emb, assignment, threshold = 0.99).cache()
     // within-variant cosines are exactly 1.0: C(17,2) pairs per variant

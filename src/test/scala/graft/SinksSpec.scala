@@ -276,6 +276,91 @@ class SinksSpec extends SparkSuite {
     assert(spark.read.jdbc(url, "t", derbyProps).count() == 4 - p0Count)
   }
 
+  test("jdbcBatchIdempotent: a same-count replay with DIFFERENT rows fails " +
+      "loudly on the content-hash ledger check (round 14)") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val url = freshIdemDb()
+    // prior attempt commits normally — claims carry n_rows AND content_hash
+    val df1 = Seq((1, "SEC01", 10.0), (2, "SEC02", 20.0), (3, "SEC03", 30.0),
+      (4, "SEC04", 40.0)).toDF("id", "code", "px").repartition(2, col("id"))
+    Sinks.jdbcBatchIdempotent(df1, url, "t", derbyProps, "sinkH", 31L)
+    // the replay keeps every id (same hash-partition layout, same
+    // per-partition COUNTS — the n_rows guard passes) but carries
+    // different payloads: exactly the count-preserving redistribution the
+    // r13 scaladoc conceded was invisible
+    val df2 = Seq((1, "SEC01", 11.0), (2, "SEC02", 21.0), (3, "SEC03", 31.0),
+      (4, "SEC04", 41.0)).toDF("id", "code", "px").repartition(2, col("id"))
+    val e = intercept[org.apache.spark.SparkException] {
+      Sinks.jdbcBatchIdempotent(df2, url, "t", derbyProps, "sinkH", 31L)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("content hash")))
+    // the HONEST replay (same rows) still skips silently
+    Sinks.jdbcBatchIdempotent(df1, url, "t", derbyProps, "sinkH", 31L)
+    assert(spark.read.jdbc(url, "t", derbyProps).count() == 4)
+  }
+
+  test("ensureEpochLedger migrates a pre-r13 ledger in place — missing " +
+      "n_rows/content_hash columns are ADDed, and the sink then runs") {
+    import spark.implicits._
+    val url = s"jdbc:derby:${Files.createTempDirectory("derby_m").toString}/mig;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      conn.createStatement().executeUpdate(
+        """CREATE TABLE t ("id" INT, "code" VARCHAR(8), "px" DOUBLE)""")
+      // the ORIGINAL r12 ledger DDL: no n_rows, no content_hash
+      conn.createStatement().executeUpdate(
+        s"""CREATE TABLE ${Sinks.EpochLedgerTable} (
+           |  "sink_id" VARCHAR(200) NOT NULL,
+           |  "batch_id" BIGINT NOT NULL,
+           |  "part_id" INT NOT NULL,
+           |  "n_parts" INT NOT NULL,
+           |  PRIMARY KEY ("sink_id", "batch_id", "part_id"))""".stripMargin)
+    } finally conn.close()
+    // pre-migration, the back-fill UPDATE would throw on every batch —
+    // ensure must detect the old shape and ALTER instead of skipping
+    Sinks.ensureEpochLedger(url, derbyProps)
+    Sinks.ensureEpochLedger(url, derbyProps) // still idempotent after ALTER
+    val df = Seq((1, "SEC01", 10.0)).toDF("id", "code", "px")
+    Sinks.jdbcBatchIdempotent(df, url, "t", derbyProps, "sinkM", 1L)
+    Sinks.jdbcBatchIdempotent(df, url, "t", derbyProps, "sinkM", 1L) // replay skips
+    assert(spark.read.jdbc(url, "t", derbyProps).count() == 1)
+    val ledger = spark.read.jdbc(url, Sinks.EpochLedgerTable, derbyProps)
+    assert(ledger.columns.map(_.toLowerCase).toSet
+      .intersect(Set("n_rows", "content_hash")).size == 2)
+  }
+
+  test("clearUncommittedBatchMarker: clears only a marker with ZERO " +
+      "committed partitions — the sanctioned replanned-replay remediation") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val url = freshIdemDb()
+    // crash-before-any-task: only the marker exists for batch 40
+    val conn = java.sql.DriverManager.getConnection(url)
+    try conn.createStatement().executeUpdate(
+      s"""INSERT INTO ${Sinks.EpochLedgerTable}
+         |("sink_id", "batch_id", "part_id", "n_parts")
+         |VALUES ('sinkR', 40, -1, 8)""".stripMargin)
+    finally conn.close()
+    val df = Seq((1, "SEC01", 10.0), (2, "SEC02", 20.0))
+      .toDF("id", "code", "px").repartition(2, col("id"))
+    // the replanned replay (2 parts vs the pinned 8) fails loudly...
+    intercept[IllegalStateException] {
+      Sinks.jdbcBatchIdempotent(df, url, "t", derbyProps, "sinkR", 40L)
+    }
+    // ...the admin helper clears the orphaned marker, and the replay runs
+    assert(Sinks.clearUncommittedBatchMarker(url, derbyProps, "sinkR", 40L))
+    Sinks.jdbcBatchIdempotent(df, url, "t", derbyProps, "sinkR", 40L)
+    assert(spark.read.jdbc(url, "t", derbyProps).count() == 2)
+    // a batch with committed partitions must NOT be clearable
+    assert(!Sinks.clearUncommittedBatchMarker(url, derbyProps, "sinkR", 40L))
+    val marker = spark.read.jdbc(url, Sinks.EpochLedgerTable, derbyProps)
+      .filter(col("sink_id") === "sinkR" && col("part_id") === -1)
+    assert(marker.count() == 1, "the live batch's marker must survive")
+  }
+
   test("jdbcStreamAppendIdempotent: opt-in periodic prune keeps the ledger " +
       "bounded by the retention horizon across a long replay") {
     import spark.implicits._
