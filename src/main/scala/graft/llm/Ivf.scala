@@ -327,9 +327,27 @@ object Ivf {
     * window over the (bounded) candidate set.
     */
   def search(emb: DataFrame, cent: DataFrame, numCent: Int, numQueries: Int,
-      nprobe: Int, topN: Int): DataFrame = {
+      nprobe: Int, topN: Int): DataFrame =
+    searchWith(assign(emb, cent, numCent), emb, cent, numCent, numQueries,
+      nprobe, topN)
+
+  /** [[search]] with the corpus assignment routed through the two-level
+    * [[assignHier]] — the RUNTIME-K scale path (round 14): when the
+    * codebook grows with the corpus (K = [[SemDedup.chooseK]]), flat
+    * assignment is the same FLOP-quadratic shape the semdedup entry had,
+    * while probe selection stays cheap regardless (numQueries×K dots —
+    * the query block is bounded). Everything downstream (probed-list
+    * candidates, exact rescoring, top-N window over the bounded candidate
+    * set) is identical to [[search]].
+    */
+  def searchScaled(emb: DataFrame, cent: DataFrame, numCent: Int,
+      numQueries: Int, nprobe: Int, topN: Int): DataFrame =
+    searchWith(assignHier(emb, cent, numCent), emb, cent, numCent,
+      numQueries, nprobe, topN)
+
+  private def searchWith(assigned: DataFrame, emb: DataFrame, cent: DataFrame,
+      numCent: Int, numQueries: Int, nprobe: Int, topN: Int): DataFrame = {
     val sc = scored(emb, cent, numCent, carryQv = false)
-    val assigned = assign(emb, cent, numCent)
     val probes = sc.filter(col("vec_id") < numQueries)
       .groupBy("vec_id")
       .agg(slice(array_sort(collect_list(struct((-col("ck")).as("nk"),
@@ -365,6 +383,36 @@ object Ivf {
        |probes AS (SELECT vec_id AS query_id, cent_id FROM (
        |    SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY ck DESC) AS rn
        |    FROM keyed WHERE vec_id < $numQueries) r WHERE rn <= $nprobe),
+       |cand AS (SELECT p.query_id, a.vec_id FROM probes p
+       |         JOIN assign a ON a.cent_id = p.cent_id
+       |         WHERE a.vec_id != p.query_id),
+       |rescored AS (SELECT c.query_id, c.vec_id, $rescoreCos AS cos_sim
+       |  FROM cand c JOIN emb qq ON qq.vec_id = c.query_id
+       |              JOIN emb cc ON cc.vec_id = c.vec_id),
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rank
+       |           FROM rescored)
+       |SELECT query_id, vec_id, cos_sim, rank FROM ranked
+       |WHERE rank <= $topN ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** DuckDB twin of [[searchScaled]]: the two-level assignment CTEs
+    * ([[hierAssignCtesSql]] — requires `kk`/`gg` in scope, see
+    * [[hierGSql]]) plus probe/candidate/rescore CTEs with the packed key
+    * multiplying by the RUNTIME k. Mirrors [[searchSql]] otherwise.
+    */
+  def searchScaledSql(numQueries: Int, nprobe: Int, topN: Int): String = {
+    val kE = "(SELECT k FROM kk)"
+    val qCos = Embed.cosineSql(Embed.dotSql("cqv", "qv"), "cnrm", "nrm")
+    val rescoreCos = Embed.cosineSql(Embed.dotSql("qq.qv", "cc.qv"), "qq.nrm", "cc.nrm")
+    s"""$hierAssignCtesSql,
+       |qkeyed AS (SELECT vec_id, cent_id,
+       |    CAST(floor(ccos * $KeyScale) AS BIGINT) * $kE
+       |      + ($kE - 1 - cent_id) AS ck FROM (
+       |    SELECT vec_id, cent_id, $qCos AS ccos FROM emb, cent
+       |    WHERE nrm > 0 AND cnrm > 0 AND vec_id < $numQueries) s0),
+       |probes AS (SELECT vec_id AS query_id, cent_id FROM (
+       |    SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY ck DESC) AS rn
+       |    FROM qkeyed) r WHERE rn <= $nprobe),
        |cand AS (SELECT p.query_id, a.vec_id FROM probes p
        |         JOIN assign a ON a.cent_id = p.cent_id
        |         WHERE a.vec_id != p.query_id),

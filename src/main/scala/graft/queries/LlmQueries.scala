@@ -1012,6 +1012,42 @@ object LlmQueries {
     Ivf.search(emb, trained, IvfK, NumQueries, IvfProbes, 3)
   }
 
+  /** [[annIvf]] at the RUNTIME-K scale shape (round 14): the fixture
+    * entries pin K = 16, but a production IVF sizes its codebook from the
+    * corpus (K = [[graft.llm.SemDedup.chooseK]](N, 35) here, the same
+    * sizing the semantic-dedup path uses) — and at that shape the flat
+    * N×K assignment is FLOP-quadratic, so this entry routes assignment
+    * through the two-level [[graft.llm.Ivf.assignHier]]
+    * ([[graft.llm.Ivf.searchScaled]]). Probe selection stays a bounded
+    * numQueries×K scan. The oracle derives the SAME K from COUNT(*) and
+    * states the SAME two-level algorithm — like [[semDedupGuarded]], the
+    * gate exercises the degenerate G = K branch at sf0.001/sf0.01
+    * (K = 13) and the trained G = ⌈√K⌉ branch at sf0.1 (K = 58).
+    */
+  /** Codebook sizing target for [[annIvfScaled]] — same value as
+    * [[semDedupGuarded]]'s `GuardedTarget` (declared separately because
+    * Scala object vals initialize in declaration order and that one
+    * lives further down the file).
+    */
+  private val ScaledTarget = 35
+
+  val annIvfScaled = QueryDef.sql(
+    "llm_ann_ivf_scaled",
+    s"""WITH emb AS (${Embed.preparedSql}),
+       |kk AS (SELECT GREATEST(4, LEAST((COUNT(*) + ${ScaledTarget - 1}) // $ScaledTarget,
+       |                                1048576)) AS k FROM emb),
+       |cent AS (SELECT CAST(vec_id - $NumQueries AS INT) AS cent_id, qv AS cqv, nrm AS cnrm
+       |         FROM emb WHERE vec_id >= $NumQueries
+       |           AND vec_id < $NumQueries + (SELECT k FROM kk)),
+       |${Ivf.hierGSql},
+       |${Ivf.searchScaledSql(NumQueries, IvfProbes, 3)}""".stripMargin
+  ) { (spark, dir) =>
+    val emb = Embed.prepared(embeddings(spark, dir)).cache()
+    val k = graft.llm.SemDedup.chooseK(emb.count(), ScaledTarget)
+    Ivf.searchScaled(emb, Ivf.initCent(emb, k, NumQueries), k,
+      NumQueries, IvfProbes, 3)
+  }
+
   /** Bloom hash count (k). */
   private val BloomK = 4
 
@@ -5365,7 +5401,7 @@ object LlmQueries {
     corpusDrift,
     textStats, langId, exactDedup, minhashLsh, incrementalNearDup,
     dedupClusters, ngramJaccard, spanDedup, dupSpanMerge, paragraphDedup, cdcChunk,
-    simhash, simhashNearDup, fingerprint, embedTopk, annLsh, annIvf, annIvfTrained, annPq,
+    simhash, simhashNearDup, fingerprint, embedTopk, annLsh, annIvf, annIvfTrained, annIvfScaled, annPq,
     embedNearDup, knnGraph, tokenCount, imageMeta, audioMeta, imageResize,
     frameSample, imageMetaReal, audioMetaReal, htmlExtract, qualityScore, piiScrub, repetition,
     contamination, urlHostStats, urlDedup, hostCap, tokenBudget, snapshotDiff,

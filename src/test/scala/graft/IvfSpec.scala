@@ -53,6 +53,17 @@ class IvfSpec extends SparkSuite {
     assert(r2 >= r0, s"training regressed recall: $r2 < $r0")
   }
 
+  test("searchScaled ≡ search below HierMinK (the degenerate two-level branch)") {
+    // K = 16 < HierMinK: assignHier sets G = K and the two-level plan
+    // degenerates to the flat argmax, so the scaled search must return
+    // the flat search's rows exactly (the r14 parity contract)
+    val cent = Ivf.initCent(emb, K, NQ)
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    assert(rows(Ivf.searchScaled(emb, cent, K, NQ, 2, 3)) ==
+      rows(Ivf.search(emb, cent, K, NQ, 2, 3)))
+  }
+
   test("Lloyd iteration is deterministic and keeps at most K centroids") {
     val init = Ivf.initCent(emb, K, NQ)
     def train() = Ivf.lloydIter(emb, Ivf.lloydIter(emb, init, K), K)
