@@ -57,6 +57,10 @@ object ScaleProbe {
     // index (fixed-width hash agg + shuffle-hash join-back), and the
     // classifier's train/score joins
     "llm_ann_pq", "llm_span_dedup", "llm_lang_classify",
+    // round 14: runtime-K IVF search — K grows 10× with the corpus here
+    // (chooseK), so this is the entry whose slope would expose a
+    // reintroduced flat N×K assignment
+    "llm_ann_ivf_scaled",
     // bloom pre-filter: corpus-adaptive m must keep FP flat at 10x
     "llm_bloom_dedup",
     // BM25: same postings shape as tfidf, plus the dl/avgdl join
