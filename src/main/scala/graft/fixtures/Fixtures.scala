@@ -95,7 +95,8 @@ object Fixtures {
   // returns the winner — both builds share one plan-keyed Spark cache
   // entry, so the duplicate .cache() is idempotent and nothing needs
   // unpersisting.
-  private def memo(spark: SparkSession, dir: String, name: String)(
+  private def memo(spark: SparkSession, dir: String, name: String,
+      bytesPerPartDefault: Long = 64L << 10)(
       build: => DataFrame): DataFrame = {
     val key = spark.sparkContext.applicationId + "#" + dir + "#" + name
     val existing = tableCache.get(key)
@@ -126,8 +127,11 @@ object Fixtures {
       // clamp in BigInt space BEFORE converting: stats without column
       // histograms multiply child sizes, and a BigInt past 2^63 would
       // otherwise .toLong-wrap to an arbitrary (possibly negative)
-      // target and silently skip normalization (round-8 review finding)
-      val target = (bytes / BigInt(64L << 10))
+      // target and silently skip normalization (round-8 review finding).
+      // Divisor overridable for single-JVM A/B probes (round 15).
+      val bytesPerPart = sys.props.get("graft.memo.bytesPerPart")
+        .map(_.toLong).getOrElse(bytesPerPartDefault)
+      val target = (bytes / BigInt(bytesPerPart))
         .min(BigInt(spark.sparkContext.defaultParallelism))
         .max(BigInt(1)).toInt
       // A/B probe escape hatch (system property so a single-JVM interleaved
@@ -618,8 +622,26 @@ object Fixtures {
   def documents(spark: SparkSession, dir: String): DataFrame =
     memo(spark, dir, "documents")(spark.read.parquet(s"$dir/documents.parquet"))
 
+  /** Embedding tables size their partitions 8× wider than the text
+    * tables (round 15, guide §1 "per-task work" + §2.2): an embedding
+    * row's stats bytes are dominated by the 64-component array, while
+    * its consumers' per-row work is a fused integer dot-product chain —
+    * microseconds per row. At the 64 KB/partition text-table rule the
+    * 2 k-row sf0.1 corpus cached as ~30 partitions, and every job of the
+    * 15-entry ANN/semdedup family paid ~30 task launches per stage for
+    * ~70 rows each (JobBreakdown: 40+ jobs × 30–63 tasks on the guarded
+    * entry). 512 KB/partition keeps the SAME size-proportional,
+    * machine-capped rule (sf1 still fans out to ~20+ partitions; real
+    * deployments' multi-file scans never enter the branch) while cutting
+    * fixture-scale task-launch overhead ~8×. Text tables keep 64 KB —
+    * their consumers (the BPE replace chains, shingle explodes) are
+    * CPU-bound per row and measurably regress with fewer tasks.
+    */
+  private val EmbBytesPerPart = 512L << 10
+
   def embeddings(spark: SparkSession, dir: String): DataFrame =
-    memo(spark, dir, "embeddings")(spark.read.parquet(s"$dir/embeddings.parquet"))
+    memo(spark, dir, "embeddings", EmbBytesPerPart)(
+      spark.read.parquet(s"$dir/embeddings.parquet"))
 
   /** Base embeddings plus a deterministic perturbed TWIN of each vec_id<50
     * (twin id = vec_id + 100000): component i gets ±0.02 additive noise
@@ -633,7 +655,7 @@ object Fixtures {
   private val twinNoise = "(((i * 13 + vec_id) % 5) - 2) * 0.01"
 
   def embeddingsNearDup(spark: SparkSession, dir: String): DataFrame =
-    memo(spark, dir, "embeddings_neardup") {
+    memo(spark, dir, "embeddings_neardup", EmbBytesPerPart) {
       val base = spark.read.parquet(s"$dir/embeddings.parquet")
       base.selectExpr("vec_id", "label",
           "transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding")
@@ -660,7 +682,7 @@ object Fixtures {
     * hash-groupBy where the perturbed twins (≈0.99 cosine) do not.
     */
   def embeddingsRedelivered(spark: SparkSession, dir: String): DataFrame =
-    memo(spark, dir, "embeddings_redelivered") {
+    memo(spark, dir, "embeddings_redelivered", EmbBytesPerPart) {
       embeddingsNearDup(spark, dir).unionAll(
         spark.read.parquet(s"$dir/embeddings.parquet")
           .where("vec_id % 5 = 0")

@@ -177,13 +177,21 @@ object Ivf {
     val g = hierG(numCent)
     val valid = cent.filter(col("cnrm") > 0)
     val reps = trainedCoarseReps(valid, g)
-    // stage 2: fine membership (argmax rep cosine, packed tiebreak over g)
+    // stage 2: fine membership (argmax rep cosine, packed tiebreak over g).
+    // localCheckpoint (round 15, guide §3.3/§5): the K-row membership
+    // feeds TWO broadcast subtrees (fineByCoarse + liveReps) — left lazy,
+    // each broadcast build re-ran the K×G membership join, and the
+    // duplicated subtree was the largest contributor to the consumer's
+    // ~5000-line formatted plan (plans/r15/llm_semdedup_guarded_before
+    // .txt). Materialized once as in-engine blocks (codebook-sized, the
+    // same distributed class as the cache it feeds), lineage truncated.
     val fineMem = valid.join(broadcast(reps), lit(true))
       .withColumn("rcosv",
         expr(Embed.cosineSql(Embed.dotExpr("rqv", "cqv"), "rnrm", "cnrm")))
       .withColumn("rk", expr(
         s"CAST(floor(rcosv * $KeyScale) AS BIGINT) * $g + (${g - 1} - coarse_id)"))
       .groupBy("cent_id").agg(max_by(col("coarse_id"), col("rk")).as("coarse_id"))
+      .localCheckpoint()
     val fineByCoarse = fineMem.join(valid, "cent_id")
     val liveReps = reps.join(fineMem.select("coarse_id").distinct(), "coarse_id")
     // stage 3: coarse argmax over live cells, fine argmax within

@@ -122,7 +122,13 @@ object SemDedup {
         (col("cent_id").cast("long") * SubCap + col("sub_id")).as("cluster_key"),
         lit(true).as("split"))
 
-    val refined = ok.unionByName(subAssigned)
+    // localCheckpoint (round 15, guide §5 "materialise an intermediate"):
+    // refined feeds BOTH sides of the size-flag join below — left lazy,
+    // the whole split path (window + sub-centroid join + packed argmax)
+    // executed twice per run and doubled the plan tree. Materialized once
+    // as in-engine blocks (N 17-byte rows, the same storage class as the
+    // `assigned` cache above), lineage truncated.
+    val refined = ok.unionByName(subAssigned).localCheckpoint()
     val refinedSizes = refined.groupBy("cluster_key").agg(count(lit(1)).as("rsz"))
     val flaggedOut = refined.join(refinedSizes, "cluster_key")
       .select(col("vec_id"), col("cluster_key"), col("split"),

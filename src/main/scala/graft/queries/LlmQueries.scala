@@ -2444,9 +2444,21 @@ object LlmQueries {
       // iteration — cache it so the corpus-sized derivation runs ONCE
       // (without this the edge dedup re-scans the corpus ~6×)
       .cache()
+    // Round 15 (guide §3.3/§5 — "materialising an intermediate truncates
+    // the plan"): deg/nodes/every iteration's r are host-bounded frames
+    // consumed by SEVERAL later broadcast subtrees; left lazy, iteration
+    // t's broadcast build re-ran the whole prefix chain (plan tree grew
+    // to ~1000 formatted lines / 102 Exchanges at 3 iterations — see
+    // plans/r15/llm_pagerank_hosts_before.txt). localCheckpoint()
+    // materializes each once as in-engine blocks and truncates lineage —
+    // still distributed (NO driver collect, the 10^7-host shape is
+    // unchanged), the loop stays the fixed 3-join plan. Measured
+    // 2.8–3.6 → 1.7–2.0 s warm at sf0.1 (KeyProbe, OPTIMIZATION_r15.md).
     val deg = links.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint()
     val nodes = links.select(col("src").as("host"))
       .union(links.select(col("dst").as("host"))).distinct()
+      .localCheckpoint()
     var r = nodes.withColumn("r", lit(PrQ))
     for (_ <- 1 to PrIters) {
       val contrib = links
@@ -2456,6 +2468,7 @@ object LlmQueries {
         .groupBy("host").agg(sum("c").as("inflow"))
       r = nodes.join(contrib, Seq("host"), "left")
         .selectExpr("host", s"CAST($PrBase + coalesce(inflow, 0) AS BIGINT) AS r")
+        .localCheckpoint()
     }
     nodes.join(broadcast(deg.withColumnRenamed("src", "host")), Seq("host"), "left")
       .join(r, "host")
@@ -4901,13 +4914,24 @@ object LlmQueries {
     * DISTINCT words — word-vocabulary-bound (Heaps' law: ~10^6-10^7 rows
     * at web scale), with the corpus contributing exactly (1) the word
     * count aggregate and (2) the final per-doc stats join
-    * (shuffle-hashed, the [[lmScore]] lever). Each DP level is a
-    * join+aggregate over the vocab-sized frontier, PLAN-FENCED through
-    * the documented `createDataFrame(df.rdd, schema)` idiom
-    * ([[dedupClusters]] precedent) because the 4-ary level recurrence
-    * would otherwise tetranacci the plan tree (~43k subtree copies at
-    * depth 16); the candidate table is cached (piece-vocabulary-sized).
-    * Fertility = pieces per word, the tokenizer-quality headline.
+    * (shuffle-hashed, the [[lmScore]] lever). Round 15 (optimization —
+    * guide §2.4 "remove shuffles outright"): the DP itself is WORD-LOCAL
+    * (a word's segmentation reads nothing from any other word), so the
+    * 16 unrolled join+aggregate levels — each a shuffle-hash join plus a
+    * hash aggregate over the vocab-sized frontier, plan-fenced through
+    * `createDataFrame(df.rdd, schema)` to stop the 4-ary recurrence
+    * tetranacci-ing the plan tree — collapse to ONE `collect_list` of
+    * each word's candidate spans (≤ UniMaxW·UniMaxPiece structs/word)
+    * and a map-side `aggregate` fold over positions 1..len(w): dp[i] =
+    * min over spans ending at i of dp[s] + cost·64 + 1, exactly the
+    * level recurrence (null = unreachable; `array_min` skips nulls like
+    * the join's absent frontier rows; min of BIGINTs is the same
+    * deterministic tie-break). 32 vocab-sized shuffles + 16 RDD fences
+    * become one shuffle and zero fences; measured 4.4 → 1.3 s warm at
+    * sf0.1 (KeyProbe, OPTIMIZATION_r15.md). The DuckDB oracle keeps the
+    * unrolled-CTE statement of the SAME recurrence, so the cross-engine
+    * hash pins the rewrite's equivalence. Fertility = pieces per word,
+    * the tokenizer-quality headline.
     */
   val unigramFertility = QueryDef.sql(
     "llm_unigram_fertility", {
@@ -4947,11 +4971,11 @@ object LlmQueries {
          |FROM ds ORDER BY doc_id""".stripMargin
     }
   ) { (spark, dir) =>
-    def fence(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-      spark.createDataFrame(df.rdd, df.schema)
     val docs = documents(spark, dir).select(col("doc_id"), split(col("text"), " ").as("tk"))
     val wf = docs.select(explode(col("tk")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
+    // vocab-sized; feeds the candidate derivation twice (piece counts +
+    // the cost join) — cached so the corpus-sized word count runs once
     val dw = wf.filter(length(col("w")) <= UniMaxW).cache()
     val spans = spark.range(0, UniMaxW).toDF("s")
       .crossJoin(spark.range(1, UniMaxPiece + 1).toDF("l"))
@@ -4963,22 +4987,24 @@ object LlmQueries {
     val tot = pc.agg(expr("CAST(length(bin(sum(freq))) AS BIGINT)").as("tot_bits"))
     val cand = raw.join(pc.hint("shuffle_hash"), "piece").crossJoin(broadcast(tot))
       .selectExpr("w", "s", "e", "tot_bits - length(bin(freq)) AS cost")
-      .cache()
-    var dps = Map(0 -> dw.select(col("w"), lit(0).as("pos"), lit(0L).as("key")))
-    for (i <- 1 to UniMaxW) {
-      val prev = (math.max(0, i - UniMaxPiece) until i).map(dps)
-        .reduce(_ unionAll _)
-        .select(col("w").as("pw"), col("pos"), col("key").as("pkey"))
-      val dpi = cand.filter(col("e") === i)
-        .join(prev, col("pw") === col("w") && col("pos") === col("s"))
-        .groupBy("w").agg(min(expr("pkey + cost * 64 + 1")).as("key"))
-        .select(col("w"), lit(i).as("pos"), col("key"))
-      dps += i -> fence(dpi)
-    }
-    val allDp = (1 to UniMaxW).map(dps).reduce(_ unionAll _)
-      .select(col("w").as("dw2"), col("pos"), col("key"))
-    val ws = dw.join(allDp, col("dw2") === col("w") && col("pos") === length(col("w")))
-      .select(col("w"), col("key"))
+    // the word-local Viterbi fold (scaladoc above): dp[0] = 0; dp[i] =
+    // min over candidate spans (s, e = i, cost) of dp[s] + cost·64 + 1 —
+    // the exact unrolled-level recurrence as one expression. null marks
+    // an unreachable position (never hit in practice: every length-1
+    // substring is a piece), array_min skips null candidates exactly as
+    // the join formulation's absent frontier rows drop out.
+    val ws = cand.groupBy("w")
+      .agg(collect_list(struct(col("s"), col("e"), col("cost"))).as("cands"))
+      .select(col("w"), expr(
+        s"""aggregate(
+           |  sequence(1, length(w)),
+           |  array(CAST(0 AS BIGINT)),
+           |  (acc, i) -> array_append(acc,
+           |    array_min(transform(
+           |      filter(cands, c -> c.e = i),
+           |      c -> element_at(acc, c.s + 1) + c.cost * 64 + 1))),
+           |  acc -> element_at(acc, -1))""".stripMargin).as("key"))
+      .filter(col("key").isNotNull)
     docs.select(col("doc_id"), explode(col("tk")).as("w"))
       .join(ws.hint("shuffle_hash"), "w")
       .groupBy("doc_id")
