@@ -80,12 +80,16 @@ object SemDedup {
     // O(N·√K) dots, exact-equal below Ivf.HierMinK, nprobe=1 approximate
     // above it with the oracle stating the same algorithm — see
     // [[Ivf.assignHier]]; contract pinned in SemDedupSpec, measured
-    // flop/time ratio in IvfHierProbe. CACHED because the guard logic
-    // below consumes it from several branches (sizes, flagged, the split
-    // path) — N (vec_id, cent_id) rows, ~16 B/row, the entry-internal
-    // session-scoped class of the r14 cache audit; without it every
-    // branch re-runs the two-level chain.
-    val assigned = Ivf.assignHier(emb, Ivf.initCent(emb, k, 0), k).cache()
+    // flop/time ratio in IvfHierProbe. localCheckpoint (round 15; was
+    // .cache() in r14) because the guard logic below consumes it from
+    // several branches (sizes, flagged, the split path) — N (vec_id,
+    // cent_id) rows, ~16 B/row: the cache kept the full two-level
+    // lineage inside every consumer's plan (the 5,000-line formatted
+    // plan of the guarded entry), so each of the ~10 downstream jobs
+    // re-planned it; the checkpoint truncates lineage at the same
+    // storage cost.
+    val assigned = Ivf.assignHier(emb, Ivf.initCent(emb, k, 0), k)
+      .localCheckpoint()
     val sizes = assigned.groupBy("cent_id").agg(count(lit(1)).as("sz"))
     // sizes is K rows — broadcastable by chooseK's cap
     val flagged = assigned.join(broadcast(sizes), "cent_id")

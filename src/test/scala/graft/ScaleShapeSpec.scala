@@ -105,13 +105,22 @@ class ScaleShapeSpec extends SparkSuite {
     // After the one corpus-sized edge dedup, every iteration must join
     // host-cardinality rank/degree tables BROADCAST onto the edge set —
     // a sort-merge there would re-shuffle the edge set three times.
+    // Round 15: deg/nodes/per-iteration ranks are localCheckpoint'ed
+    // (lineage truncation — each iteration's broadcast build used to
+    // re-run the whole prefix chain), so the RETURNED plan reads only
+    // the host-bounded checkpointed RDDs: it must carry no corpus scan
+    // at all (the one cached edge-set scan runs during the eager
+    // iteration materialization inside the builder).
     val p = plan("llm_pagerank_hosts")
     assert(p.contains("BroadcastHashJoin"),
       "iteration joins must broadcast the rank/deg side:\n" + p.take(2000))
     assert(!p.contains("SortMergeJoin"),
       "no sort-merge join may appear in the iteration chain:\n" + p.take(2000))
-    assert(p.contains("InMemoryTableScan"),
-      "the edge set must be cached (one corpus scan, not six):\n" + p.take(2000))
+    assert(p.contains("Scan ExistingRDD"),
+      "the final join must read the checkpointed host tables:\n" + p.take(2000))
+    assert(!p.contains("FileScan") && !p.contains("InMemoryTableScan"),
+      "the returned plan must be host-bounded only — no corpus rescan:\n" +
+        p.take(2000))
   }
 
   test("round-9 shapes: neyman selection is one per-source window, alloc broadcast") {
