@@ -1690,7 +1690,9 @@ object LlmQueries {
         s"CAST(size(regexp_extract_all(rich, '$BpePattern', 0)) AS BIGINT) AS n_bpe_tokens",
         "CAST(size(regexp_extract_all(rich, ' ?[0-9]+', 0)) AS BIGINT) AS n_num_tokens",
         "CAST(size(regexp_extract_all(rich, ' ?[^a-z0-9 ]+', 0)) AS BIGINT) AS n_punct_tokens")
-      .orderBy("doc_id")
+      // localCheckpoint: the ORDER BY's range sampling otherwise runs the
+      // four-regex projection twice (audioMetaReal's note)
+      .localCheckpoint().orderBy("doc_id")
   }
 
   /** Multimodal: binary media column → typed mapPartitions decode (stub
@@ -1701,9 +1703,11 @@ object LlmQueries {
     s"${Multimodal.decodeMetaSql}\nORDER BY doc_id"
   ) { (spark, dir) =>
     import spark.implicits._
+    // localCheckpoint before the sort: see audioMetaReal's note (the
+    // range-sampling pass otherwise runs the decode twice)
     Multimodal.decodeMeta(
         Multimodal.attachMedia(documents(spark, dir)).as[RawMedia])
-      .toDF().orderBy("doc_id")
+      .toDF().localCheckpoint().orderBy("doc_id")
   }
 
   /** Multimodal: audio metadata through the same codec-pluggable seam
@@ -1717,7 +1721,7 @@ object LlmQueries {
     import spark.implicits._
     Multimodal.decodeAudioMeta(
         Multimodal.attachMedia(documents(spark, dir)).as[RawMedia])
-      .toDF().orderBy("doc_id")
+      .toDF().localCheckpoint().orderBy("doc_id")
   }
 
   /** Multimodal: resize to a bounded box through the codec seam (stub
@@ -1731,7 +1735,7 @@ object LlmQueries {
     import spark.implicits._
     Multimodal.resize(
         Multimodal.attachMedia(documents(spark, dir)).as[RawMedia])
-      .toDF().orderBy("doc_id")
+      .toDF().localCheckpoint().orderBy("doc_id")
   }
 
   /** Multimodal with the REAL decoder in the registered, ORACLED path
@@ -1749,7 +1753,7 @@ object LlmQueries {
     import spark.implicits._
     Multimodal.imageMetaReal(
         Multimodal.attachMedia(documents(spark, dir)).as[RawMedia])
-      .toDF().orderBy("doc_id")
+      .toDF().localCheckpoint().orderBy("doc_id")
   }
 
   /** Real-WAV twin of [[imageMetaReal]]: genuine RIFF/WAVE containers
@@ -1760,9 +1764,18 @@ object LlmQueries {
     s"${Multimodal.audioMetaRealSql}\nORDER BY doc_id"
   ) { (spark, dir) =>
     import spark.implicits._
+    // localCheckpoint before the presentation sort (round 15, guide §1.1/
+    // §7.2): a global ORDER BY range-partitions, and RangePartitioner's
+    // boundary-sampling pass executes the ENTIRE map-side child once
+    // before the real pass runs it again — JobBreakdown measured two
+    // equal ~1.45 s decode jobs per rep (render + javax.sound parse over
+    // every row, twice). Materializing the decoded rows once (tiny typed
+    // rows) makes the sampling pass read blocks instead of re-decoding:
+    // 3.1 → ~1.7 s warm at sf0.1. Same applies to the other real-codec
+    // mm entries below.
     Multimodal.audioMetaReal(
         Multimodal.attachMedia(documents(spark, dir)).as[RawMedia])
-      .toDF().orderBy("doc_id")
+      .toDF().localCheckpoint().orderBy("doc_id")
   }
 
   /** Multimodal: video-style frame sampling — the 1→N explode of a binary
@@ -1775,7 +1788,7 @@ object LlmQueries {
     import spark.implicits._
     Multimodal.sampleFrames(
         Multimodal.attachMedia(documents(spark, dir)).as[RawMedia])
-      .toDF().orderBy("doc_id", "frame_idx")
+      .toDF().localCheckpoint().orderBy("doc_id", "frame_idx")
   }
 
   // ---- HTML boilerplate extraction ----
