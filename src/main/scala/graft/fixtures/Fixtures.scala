@@ -130,7 +130,18 @@ object Fixtures {
       // target and silently skip normalization (round-8 review finding).
       // Divisor overridable for single-JVM A/B probes (round 15).
       val bytesPerPart = sys.props.get("graft.memo.bytesPerPart")
-        .map(_.toLong).getOrElse(bytesPerPartDefault)
+        .map { v =>
+          // probe knob — fail with the knob's NAME, not a bare
+          // NumberFormat/ArithmeticException from fixture construction
+          // (r15 ADVICE): non-numeric or non-positive values would
+          // otherwise surface as an unattributed crash inside memo()
+          val parsed = scala.util.Try(v.toLong).getOrElse(
+            throw new IllegalArgumentException(
+              s"graft.memo.bytesPerPart must be a positive long, got '$v'"))
+          require(parsed > 0,
+            s"graft.memo.bytesPerPart must be a positive long, got '$v'")
+          parsed
+        }.getOrElse(bytesPerPartDefault)
       val target = (bytes / BigInt(bytesPerPart))
         .min(BigInt(spark.sparkContext.defaultParallelism))
         .max(BigInt(1)).toInt
@@ -144,13 +155,76 @@ object Fixtures {
     }
   }
 
+  /** Entry-internal derived-frame memo (round 16). The r15 plan-truncation
+    * pass replaced several `.cache()` sites with `localCheckpoint()` —
+    * which truncates lineage but, unlike `.cache()`, is NOT plan-keyed:
+    * a builder re-invoked for the warm lane's second rep creates a FRESH
+    * checkpoint and re-executes the whole derivation (KeyProbe r16:
+    * llm_ann_ledger warm ≈ cold ≈ 4.1 s — zero steady-state reuse). And
+    * plan-keyed `.cache()` reuse cannot help closure-bearing plans
+    * (mapPartitions codecs): each builder invocation creates a new
+    * closure instance, canonicalization misses, and every rep leaks a new
+    * cached copy. This registry is the NAME-keyed twin of [[memo]] for
+    * such frames: one materialization per (application, dir, name),
+    * returned to every builder re-invocation, dropped by
+    * [[clearDerivedCache]] — which makes that function the single release
+    * owner the r14 verdict asked for (item 6): the bench clears between
+    * keys, a production session composing entries calls it once when its
+    * working set should drop.
+    */
+  private val derivedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** Materialize a frame as in-engine blocks with lineage truncated.
+    * `localCheckpoint()` is only safe where executor loss is impossible —
+    * it is NOT fault-tolerant (lineage is gone, so losing a block's
+    * executor fails the job) — so it is gated to local masters (this
+    * repo's bench/driver shape, single JVM). Any other master falls back
+    * to `.cache()`: recomputable under executor loss and dynamic
+    * allocation, at the cost of the full lineage staying in consumer
+    * plans (the r15 ADVICE gate).
+    */
+  def materialized(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.isLocal) df.localCheckpoint()
+    else df.cache()
+
+  /** Memoize a [[materialized]] derived frame per (application, dir,
+    * name). Same non-recursive build-then-putIfAbsent discipline as
+    * [[memo]]; a lost race leaves a duplicate checkpoint whose blocks are
+    * released by the next [[clearDerivedCache]] (harmless — nothing
+    * references it).
+    */
+  def derived(spark: SparkSession, dir: String, name: String)(
+      build: => DataFrame): DataFrame = {
+    val key = spark.sparkContext.applicationId + "#" + dir + "#" + name
+    val existing = derivedCache.get(key)
+    if (existing != null) existing
+    else {
+      val built = materialized(build)
+      val prev = derivedCache.putIfAbsent(key, built)
+      if (prev != null) prev else built
+    }
+  }
+
   /** Drop every memoized derived table AND Spark's block cache (which is
     * keyed by canonicalized plan, so even non-memoized `.cache()` calls
     * inside query builders are reused across invocations). Used by the
-    * bench's cold lane to measure the real scan path.
+    * bench's cold lane to measure the real scan path, and the release
+    * owner for every session-scoped cache a query builder creates (r14
+    * verdict item 6): production callers composing several entries call
+    * this once when the accumulated working set should drop.
+    *
+    * Deliberately NOT dropped (app-lifetime DRIVER artifacts, not engine
+    * storage — each is a broadcast-sized deterministic table under the
+    * train-once/ingest-once contract argued at its site): the BPE merge
+    * table memo (`LlmQueries.bpeMemo`), the CC pair-stream scratch dirs
+    * and the e2e ingested-store/streaming-replay scratch
+    * ([[graft.sources.Scratch]]). A fresh JVM rebuilds all of them from
+    * the parquet inputs.
     */
   def clearDerivedCache(spark: SparkSession): Unit = {
     tableCache.clear()
+    derivedCache.clear()
     // dimCache too (round 10): catalog.clearCache() UNPERSISTS the dim
     // frames, so a surviving dimCache entry would be a half-state — the
     // same DataFrame object, silently no longer cache-marked. Queries

@@ -363,19 +363,41 @@ object Multimodal {
     (img.getWidth, img.getHeight, img.getColorModel.getNumComponents, sum)
   }
 
-  /** Render→decode stage over the seed stream: same partition-wise seam
-    * as [[decodeMeta]], but the codec is the REAL `javax.imageio` path.
+  /** The rendered REAL-container tables, SPLIT from their decode stages
+    * (round 16, guide §1.2): the render is FIXTURE SYNTHESIS — a
+    * production deployment's parquet holds real container bytes, and the
+    * md5-seeded encoder exists only so the oracle can predict the decoded
+    * values — so re-rendering per rep modeled re-ingesting the corpus on
+    * every read, exactly the argument for memoizing [[graft.fixtures
+    * .Fixtures.trades]]. Callers memoize the rendered table like any
+    * other post-ingest table; the DECODE stages below stay per-rep: the
+    * codec parse IS the operator under test.
     */
-  def imageMetaReal(seeds: Dataset[RawMedia]): Dataset[ImageMetaReal] = {
+  def renderPngTable(seeds: Dataset[RawMedia]): Dataset[RawMedia] = {
     import seeds.sparkSession.implicits._
-    seeds.mapPartitions { it =>
+    seeds.mapPartitions(_.map(m => RawMedia(m.doc_id, renderPng(m.media))))
+  }
+
+  /** REAL decode + raster checksum over stored container bytes — the
+    * operator half of the former render→decode fusion.
+    */
+  def decodeImageSumStage(media: Dataset[RawMedia]): Dataset[ImageMetaReal] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
       it.map { m =>
-        val (w, h, c, s) = decodeImageSum(renderPng(m.media))
+        val (w, h, c, s) = decodeImageSum(m.media)
         ImageMetaReal(m.doc_id, w, h, c, s)
       }
     }
   }
+
+  /** Render→decode stage over the seed stream: same partition-wise seam
+    * as [[decodeMeta]], but the codec is the REAL `javax.imageio` path.
+    * (Composition of the split stages — the spec-driven seam.)
+    */
+  def imageMetaReal(seeds: Dataset[RawMedia]): Dataset[ImageMetaReal] =
+    decodeImageSumStage(renderPngTable(seeds))
 
   /** DuckDB twin: predicts the REAL decoder's output from the md5 seed
     * arithmetic alone (PNG is lossless, the fill is solid).
@@ -416,18 +438,31 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** WAV twin of [[renderPngTable]]: the rendered RIFF/WAVE container
+    * table (fixture synthesis — memoizable post-ingest bytes).
+    */
+  def renderWavTable(seeds: Dataset[RawMedia]): Dataset[RawMedia] = {
+    import seeds.sparkSession.implicits._
+    seeds.mapPartitions(_.map(m => RawMedia(m.doc_id, renderWav(m.media))))
+  }
+
+  /** REAL WAV header parse over stored container bytes — the operator
+    * half of the former render→decode fusion.
+    */
+  def decodeWavMetaStage(media: Dataset[RawMedia]): Dataset[AudioMetaReal] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { m =>
+      val a = decodeWav(m.media)
+      AudioMetaReal(m.doc_id, a.sampleRate, a.channels, a.frames)
+    })
+  }
+
   /** Render→decode stage through the REAL `javax.sound.sampled` parser
     * ([[decodeWav]]) — partition-wise like everything else in this file.
+    * (Composition of the split stages — the spec-driven seam.)
     */
-  def audioMetaReal(seeds: Dataset[RawMedia]): Dataset[AudioMetaReal] = {
-    import seeds.sparkSession.implicits._
-    seeds.mapPartitions { it =>
-      it.map { m =>
-        val a = decodeWav(renderWav(m.media))
-        AudioMetaReal(m.doc_id, a.sampleRate, a.channels, a.frames)
-      }
-    }
-  }
+  def audioMetaReal(seeds: Dataset[RawMedia]): Dataset[AudioMetaReal] =
+    decodeWavMetaStage(renderWavTable(seeds))
 
   /** DuckDB twin of [[audioMetaReal]]. */
   val audioMetaRealSql: String =
