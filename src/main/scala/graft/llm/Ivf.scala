@@ -353,7 +353,14 @@ object Ivf {
     searchWith(assignHier(emb, cent, numCent), emb, cent, numCent,
       numQueries, nprobe, topN)
 
-  private def searchWith(assigned: DataFrame, emb: DataFrame, cent: DataFrame,
+  /** [[search]]/[[searchScaled]] over a PRE-BUILT corpus assignment — the
+    * serve-side entry point (round 16): the assignment IS the IVF index
+    * (the inverted lists), and a deployment builds it once and serves
+    * query blocks against it; callers that hold the index (e.g. a
+    * session-scoped [[graft.fixtures.Fixtures.derived]] memo) pay only
+    * probe selection + candidate join + exact rescoring per query block.
+    */
+  private[graft] def searchWith(assigned: DataFrame, emb: DataFrame, cent: DataFrame,
       numCent: Int, numQueries: Int, nprobe: Int, topN: Int): DataFrame = {
     val sc = scored(emb, cent, numCent, carryQv = false)
     val probes = sc.filter(col("vec_id") < numQueries)

