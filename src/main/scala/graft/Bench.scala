@@ -20,6 +20,11 @@ import org.apache.spark.sql.SparkSession
   *     inversions — PERF_NOTES.md round 7);
   *   - failures are reported in an `errors` map and EXCLUDED from totals
   *     instead of masquerading as fast runs (round-1 advice);
+  *   - an AMBIENT-DRIFT CANARY (round 16, r14 verdict item 2): a fixed
+  *     cheap key (q21_sec_codes) runs FULLY COLD every 15 keys in both
+  *     lanes — identical work per sample, so the committed series +
+  *     drift factor (median/min) lets a reader attribute a band move to
+  *     the machine vs the code without a second run;
   *   - a `streaming` section reports rows/s through both streaming candle
   *     ports plus the doc-curation gate and the JDBC sink (rounds 7-8),
   *     each with a per-micro-batch duration breakdown from
@@ -223,12 +228,39 @@ object Bench {
     // steady-state cost of THIS query with its own working set resident.
     val times = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+
+    // ---- Ambient-drift canary (round 16, r14 verdict item 2) ----
+    // The r14 driver artifact landed 30% outside the committed machine
+    // band with untouched keys regressing 5x, and carried no internal
+    // evidence to attribute machine vs code. Interleave a fixed cheap
+    // key (q21_sec_codes) every CanaryEvery keys in both lanes, each
+    // sample taken FULLY COLD (cache clear before AND after) so every
+    // sample performs identical work — parquet scan + distinct + sort —
+    // and the series reads as a machine-speed trace across the run. The
+    // surrounding clear also restores the per-key protocol exactly (the
+    // next key still starts from a clean clear). Committed in
+    // BENCH_FULL as the sample series plus a derived drift factor
+    // (median/min — how far above its own best the machine ran); the
+    // canary median is the cross-round normalizer the verdict protocol
+    // reads deltas against. Canary samples never enter any total.
+    val CanaryKey = "q21_sec_codes"
+    val CanaryEvery = 15
+    val canarySamples = scala.collection.mutable.ArrayBuffer[Double]()
+    def canarySample(): Unit = try {
+      graft.fixtures.Fixtures.clearDerivedCache(spark)
+      currentKey.set("canary")
+      val t0 = System.nanoTime()
+      exec(SparkEntry.queries(CanaryKey), sfDir)
+      canarySamples += (System.nanoTime() - t0) / 1e9
+      graft.fixtures.Fixtures.clearDerivedCache(spark)
+    } catch { case _: Throwable => () } // a failed sample is just absent
     // per-key value from EACH full pass (min-of-2 adjacent reps) — with
     // SPARK_GRAFT_WARM_PASSES > 1 the min across passes is the headline
     // and the cross-pass spread is the committed variance bound
     val passVals = scala.collection.mutable.LinkedHashMap[String,
       scala.collection.mutable.ArrayBuffer[Double]]()
-    for (pass <- 1 to warmPasses; n <- names) {
+    for (pass <- 1 to warmPasses; (n, i) <- names.zipWithIndex) {
+      if (i % CanaryEvery == 0) canarySample()
       // Isolate keys from each other (round 7, second iteration): adjacent
       // reps fixed the CROSS-PASS pollution, but entries that internally
       // .cache() working sets (the LSH signature/int-set tables, the CC
@@ -262,7 +294,8 @@ object Bench {
     // cold lane: JIT-warm, data-cold — min of two reps, caches dropped
     // before EACH rep so both pay the full scan/derivation path (round 8)
     val coldTimes = scala.collection.mutable.LinkedHashMap[String, Double]()
-    names.foreach { n =>
+    names.zipWithIndex.foreach { case (n, i) =>
+      if (i % CanaryEvery == 0) canarySample()
       currentKey.set(n)
       try {
         val reps = (1 to 2).map { _ =>
@@ -799,7 +832,18 @@ object Bench {
           s"${jstr(k)}:{\"passes\":[${vs.mkString(",")}],\"spread\":${vs.max - vs.min}}"
         }.mkString(s""","warm_passes":$warmPasses,"warm_spread":{""", ",", "}")
       else ""
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total":$coldTotal,"cold_queries":$cqs,"errors":$es,"inversions":$invs,"reprobes":$reps,"unexpected_warns":$warnsJson$spreadJson,"streaming":$streamingJson,"sf":"$sfDir"}"""
+    // canary series + drift factor (round 16): median/min = how far above
+    // its own best this machine ran during the run; the median is the
+    // cross-round machine normalizer. Samples never enter totals.
+    val canaryJson = if (canarySamples.isEmpty) "null" else {
+      val sorted = canarySamples.sorted
+      val med = sorted(sorted.length / 2)
+      val mn = sorted.head
+      s"""{"key":${jstr("q21_sec_codes")},"samples":[${
+        canarySamples.map(v => f"$v%.3f").mkString(",")}],""" +
+        f""""min":$mn%.3f,"median":$med%.3f,"drift":${med / mn}%.3f}"""
+    }
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total":$coldTotal,"cold_queries":$cqs,"errors":$es,"inversions":$invs,"reprobes":$reps,"unexpected_warns":$warnsJson$spreadJson,"canary":$canaryJson,"streaming":$streamingJson,"sf":"$sfDir"}"""
     // The driver keeps only the last ~2000 chars of stdout and parses the
     // JSON line out of that tail — the full artifact outgrew it rounds
     // ago (12 kB at 147 entries), which is why BENCH_r07/r08 both record

@@ -7,6 +7,16 @@ import org.apache.spark.sql.SparkSession
   * Used to keep the scale checklist honest: pushed filters reach the scan,
   * dims broadcast, aggregates stay partial/final, sorts only where the
   * query semantics demand order.
+  *
+  * Note (r15 ADVICE): builders that materialize intermediates eagerly
+  * (the localCheckpoint / Fixtures.derived plan-truncation class, and
+  * the ≤G-row LocalRelation collects) EXECUTE those stages at DataFrame
+  * construction time — so explaining such an entry runs real Spark jobs
+  * and its printed plan shows `Scan ExistingRDD` where the truncated
+  * derivation ran. Expected and acceptable for this audit tool (and for
+  * ScaleShapeSpec's plan pins); per-action timing that wanted to EXCLUDE
+  * builder time would undercount exactly these entries — the bench times
+  * builders inside the rep, so it does not.
   */
 object Explain {
   def main(args: Array[String]): Unit = {

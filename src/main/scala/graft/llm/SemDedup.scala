@@ -70,10 +70,23 @@ object SemDedup {
     */
   def guardedAssign(emb: DataFrame, targetClusterSize: Int,
       maxClusterSize: Int): DataFrame = {
+    val n = emb.count()
+    guardedAssignWithK(emb, chooseK(n, targetClusterSize),
+      targetClusterSize, maxClusterSize)
+  }
+
+  /** [[guardedAssign]] with the codebook size SUPPLIED instead of derived
+    * — the body is identical (guardedAssign passes chooseK's value).
+    * Exists so the post-cap probe (r14 verdict item 4) can simulate the
+    * regime where chooseK's 2^20 cap binds (expected cluster size exceeds
+    * the target because K can no longer grow with N) without needing a
+    * 37-billion-vector corpus: force K below N/target and measure what
+    * the split + capped routes absorb. PostCapProbe commits the table.
+    */
+  private[graft] def guardedAssignWithK(emb: DataFrame, k: Int,
+      targetClusterSize: Int, maxClusterSize: Int): DataFrame = {
     require(maxClusterSize >= targetClusterSize,
       s"maxClusterSize ($maxClusterSize) must be >= targetClusterSize ($targetClusterSize)")
-    val n = emb.count()
-    val k = chooseK(n, targetClusterSize)
     // K grows with the corpus here (≈ N/target), so the flat O(N·K)
     // assignment is FLOP-quadratic in N — the one shape the r13 audit
     // flagged. assignHier is the two-level replacement (round 14):
